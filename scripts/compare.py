@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json in DuckDB over <sfDir>'s tables, and
+compares: columns sorted by name, rows sorted by all columns, exact value
+equality. Reports per-query PASS/FAIL. Strict — if this passes, any
+reasonable driver compare passes too.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize dtypes for compare: datetimes -> ns, ints -> int64
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("bool")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_rowsonly = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"{name}: NO OUTPUT"); n_fail += 1; continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        if name not in oracle:
+            status = "ROWS-ONLY" if len(spark_df) > 0 else "ROWS-ONLY(EMPTY!)"
+            print(f"{name}: {status} rows={len(spark_df)}")
+            n_rowsonly += 1
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"{name}: ORACLE SQL ERROR: {e}"); n_fail += 1; continue
+        a, b = norm(spark_df), norm(duck_df)
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+            print(f"{name}: PASS rows={len(a)}")
+            n_pass += 1
+        except AssertionError as e:
+            print(f"{name}: FAIL rows spark={len(a)} duck={len(b)}")
+            msg = str(e).split("\n")
+            print("   " + "\n   ".join(msg[:12]))
+            if len(a) == len(b) and list(a.columns) == list(b.columns):
+                for c in a.columns:
+                    col_a, col_b = a[c], b[c]
+                    if col_a.dtype.kind == 'f':
+                        neq = ~(np.isclose(col_a, col_b, rtol=0, atol=0, equal_nan=True))
+                    else:
+                        neq = ~((col_a == col_b) | (col_a.isna() & col_b.isna()))
+                    if neq.any():
+                        i = int(np.argmax(neq.values))
+                        print(f"   col {c}: {int(neq.sum())} diffs; first at row {i}: spark={col_a.iloc[i]!r} duck={col_b.iloc[i]!r}")
+            n_fail += 1
+    print(f"\nSUMMARY: {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,186 @@
+package graft.text
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * column expressions — no UDFs, no driver-side loops — so each operator is
+  * a narrow per-row map that scales linearly and keeps whole-stage codegen
+  * intact. All arithmetic is integer / deterministic-double so results are
+  * reproducible across partitionings (and against the DuckDB oracle).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer over trimmed text (split never yields trailing
+    * empties on trimmed input).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** Stopword list used by quality scoring; intentionally small + fixed. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), w => w.isin(Stopwords: _*)))
+
+  /** Deterministic quality score in [0,1]: blend of length saturation,
+    * mean token length band, and stopword presence — the shape of the
+    * heuristics used by open-source corpus filters (C4/Gopher rules),
+    * reduced to exactly reproducible arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChars = length(text).cast("double")
+    val avgTokLen = when(nTok > 0, (nChars - (nTok - 1)) / nTok).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0, stopwordCount(text).cast("double") / nTok).otherwise(lit(0.0))
+    val lenScore = least(nChars / lit(500.0), lit(1.0))
+    val tokLenScore = when(avgTokLen >= 3 && avgTokLen <= 10, lit(1.0)).otherwise(lit(0.5))
+    val stopScore = when(stopRatio > 0.01 && stopRatio < 0.5, lit(1.0)).otherwise(lit(0.5))
+    lenScore * lit(0.4) + tokLenScore * lit(0.3) + stopScore * lit(0.3)
+  }
+
+  /** Marker-word sets per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic argmax with fixed priority order en>de>es>fr>zh.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(tokens(text), w => w.isin(words: _*)))
+    }
+
+  def languageId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = greatest(scores.map(_._2): _*)
+    // fixed priority: first language reaching the max wins; 'und' if no hits
+    when(best <= 0, lit("und"))
+      .otherwise(
+        scores.reverse.foldLeft(lit("und")) { case (acc, (lang, sc)) =>
+          when(sc === best, lit(lang)).otherwise(acc)
+        })
+  }
+
+  /** Polynomial rolling-hash document fingerprint over characters:
+    * h = Σ (h*31 + ascii(c)) mod 1e9+7 — bounded int64 arithmetic, exactly
+    * reproducible in ANSI SQL (list_reduce in DuckDB).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      // drop the trailing "" Spark's split(limit=-1) produces on char-split
+      filter(split(text, ""), ch => length(ch) > 0),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(1000000007L)))
+
+  // ---- query wrappers over the `documents` table -------------------------
+
+  val qTokenStats = GraftQuery(
+    "q21_token_stats",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).as("n_unique_tokens"),
+        stopwordCount(col("text")).as("n_stopwords"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             length(text) AS n_chars_actual,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_unique_tokens,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS n_stopwords
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val qQuality = GraftQuery(
+    "q22_quality_score",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) AS n_stop
+        FROM documents),
+      m AS (
+        SELECT doc_id, n_chars, n_tok,
+               CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok ELSE 0.0 END AS avg_tok_len,
+               CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio
+        FROM t)
+      SELECT doc_id,
+             least(n_chars / 500.0, 1.0) * 0.4
+           + (CASE WHEN avg_tok_len >= 3 AND avg_tok_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.3
+           + (CASE WHEN stop_ratio > 0.01 AND stop_ratio < 0.5 THEN 1.0 ELSE 0.5 END) * 0.3 AS quality
+      FROM m
+      ORDER BY doc_id"""))
+
+  val qLangId = GraftQuery(
+    "q23_language_id",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = langScores(col("text")).foldLeft(d) {
+        case (df, (lang, sc)) => df.withColumn(s"score_$lang", sc)
+      }
+      scored.select(
+        (Seq(col("doc_id"), col("lang").as("labeled_lang"),
+          languageId(col("text")).as("predicted_lang")) ++
+          TextAnalysis.LangMarkers.map { case (l, _) => col(s"score_$l") }): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id, lang AS labeled_lang,
+          len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('the','and','of','to','is'))) AS score_en,
+          len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('der','die','das','und','ist'))) AS score_de,
+          len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('el','la','los','que','es'))) AS score_es,
+          len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('le','la','les','et','est'))) AS score_fr,
+          len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('de','shi','bu','le','wo'))) AS score_zh
+        FROM documents)
+      SELECT doc_id, labeled_lang,
+        CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) <= 0 THEN 'und'
+             WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+             WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+             WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+             WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+             ELSE 'zh' END AS predicted_lang,
+        score_en, score_de, score_es, score_fr, score_zh
+      FROM s
+      ORDER BY doc_id"""))
+
+  val qFingerprint = GraftQuery(
+    "q24_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qTokenStats, qQuality, qLangId, qFingerprint)
+}

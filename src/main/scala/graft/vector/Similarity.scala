@@ -1,0 +1,162 @@
+package graft.vector
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k (baseline) and an
+  * LSH-bucketed approximate variant (the scale path), plus embedding-cosine
+  * near-duplicate detection.
+  *
+  * Vector math is pure codegen'd column expressions (`zip_with` +
+  * `aggregate` — sequential left fold, so results are bit-deterministic and
+  * match a sequential oracle). Elements are cast float→double BEFORE any
+  * arithmetic so both engines do the same double-precision fold.
+  *
+  * Scale design: brute-force is a broadcast of the (tiny) query vector —
+  * a narrow map + top-k (TakeOrdered), no shuffle of the corpus. The LSH
+  * variant buckets by deterministic random-hyperplane signs, turning ANN
+  * into a hash-partition join: at 100 TB the corpus shuffles once by bucket
+  * key and each probe touches 1/2^planes of the data.
+  */
+object Similarity {
+
+  /** Element-wise dot product of two float-array columns in double
+    * precision, sequential left-to-right accumulation.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Brute-force cosine top-k of `corpus` against the single-row `query`
+    * (must have column `qv`). TakeOrderedAndProject — no global sort.
+    */
+  def cosineTopK(corpus: DataFrame, query: DataFrame, k: Int): DataFrame =
+    corpus.crossJoin(broadcast(query))
+      .withColumn("cos_sim", cosine(col("embedding"), col("qv")))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
+    * xxhash64 folded into [-1, 1). No RNG state — reproducible anywhere.
+    */
+  private def coeff(plane: Int, i: Column): Column =
+    (pmod(xxhash64(lit(plane), i), lit(2000L)).cast("double") - 1000.0) / 1000.0
+
+  /** LSH bucket id from `planes` random-hyperplane sign bits. */
+  def lshBucket(emb: Column, planes: Int = 8): Column = {
+    val bits = (0 until planes).map { p =>
+      val score = aggregate(
+        transform(emb.cast("array<double>"), (x, i) => x * coeff(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(score >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN via LSH buckets: exact cosine ranking within the query's bucket.
+    * Recall < 1 by construction; the baseline brute-force is the oracle.
+    */
+  def annLsh(corpus: DataFrame, query: DataFrame, k: Int, planes: Int = 6): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val qb = query.withColumn("qbucket", lshBucket(col("qv"), planes))
+    bucketed.join(broadcast(qb), col("bucket") === col("qbucket"))
+      .withColumn("cos_sim", cosine(col("embedding"), col("qv")))
+      .select(col("vec_id"), col("label"), col("bucket"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by LSH bucket so the
+    * pair space is bucket-local (standard dedup blocking at scale).
+    */
+  def embeddingDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 6): DataFrame = {
+    val bucketed = corpus
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  // ---- query wrappers ----------------------------------------------------
+
+  private def queryVec(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+
+  /** Brute-force cosine top-20 vs vec_id=0. Oracle computes the identical
+    * double-precision sequential fold via list_reduce on a zipped pair list.
+    */
+  val qBruteForce = GraftQuery(
+    "q28_ann_bruteforce",
+    (s, dir) =>
+      cosineTopK(Tables.embeddings(s, dir), queryVec(s, dir), 20),
+    Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id, label,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, len(embedding)),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))),
+            (acc, v) -> acc + v) AS dot,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, len(embedding)),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+            (acc, v) -> acc + v)) AS n_a,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, len(qv)),
+              i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))),
+            (acc, v) -> acc + v)) AS n_q
+        FROM embeddings CROSS JOIN q)
+      SELECT vec_id, label,
+        CASE WHEN n_a = 0 OR n_q = 0 THEN 0.0 ELSE dot / (n_a * n_q) END AS cos_sim
+      FROM scored
+      ORDER BY cos_sim DESC, vec_id
+      LIMIT 20"""))
+
+  /** LSH-bucketed ANN — xxhash64-based, rows-only check (ScalaTest compares
+    * recall vs brute force).
+    */
+  val qAnnLsh = GraftQuery(
+    "q29_ann_lsh",
+    (s, dir) =>
+      annLsh(Tables.embeddings(s, dir), queryVec(s, dir), 20),
+    None)
+
+  /** Embedding near-dup pairs with planted duplicates (corpus vectors are
+    * random — near-exact pairs only exist if we plant them).
+    */
+  val qEmbeddingDedup = GraftQuery(
+    "q30_embedding_dedup",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val planted = e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        col("embedding"), col("label"))
+      embeddingDupPairs(
+        e.unionByName(planted).select(col("vec_id"), col("embedding")),
+        threshold = 0.999)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None)
+
+  val queries: Seq[GraftQuery] = Seq(qBruteForce, qAnnLsh, qEmbeddingDedup)
+}
