@@ -17,7 +17,8 @@ object SparkEntry {
     relational.RelationalQueries.all ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
-      vector.Similarity.queries
+      vector.Similarity.queries ++
+      wrm.WrmQueries.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,79 @@
+package graft.wrm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spatial grid density analysis (A3/A5/J1/O3/F7-F9; reference
+  * bike_spatial_density_analysis.py:18-190).
+  *
+  * The reference nested-loops grid cells × stations (O(cells·n)); here the
+  * cell key is computed directly per point — `floor((coord - min)/delta)` —
+  * and aggregated in one shuffle (O(n), SURVEY §2.3 J1). Cell membership is
+  * half-open `[min, max)` with the top edge clamped into the last cell,
+  * matching the reference's boundary handling.
+  *
+  * Grid geometry (bike_spatial_density_analysis.py:70-81,126-134): square
+  * cells of `cellAreaM2` m² — side sqrt(area) meters, converted to degrees
+  * with the flat-earth approximation (1° lat = 111320 m;
+  * 1° lon = 111320·cos(lat_center) m — constants F9).
+  */
+object Density {
+
+  final case class GridResult(
+      cells: DataFrame,
+      top10: Array[org.apache.spark.sql.Row],
+      totalBikes: Long, nStations: Long, nBikes: Long)
+
+  /** Per-cell density over the latest-station view. */
+  def gridDensity(latest: DataFrame, cellAreaM2: Double = 1000.0): DataFrame = {
+    val pts = latest.filter(col("lat").isNotNull && col("lon").isNotNull)
+
+    // A3 bounds — tiny 1-row aggregate, broadcast to every partition.
+    val bounds = pts.agg(
+      min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"),
+      min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"),
+      avg(col("lat")).as("lat_center"))
+
+    val sideM = math.sqrt(cellAreaM2) // F7: e.g. 31.6 m for 1000 m²
+    val latDelta = lit(sideM / 111320.0) // F9 meters→degrees lat
+    val lonDelta = lit(sideM) / (lit(111320.0) * cos(radians(col("lat_center"))))
+
+    val nRows = ceil((col("lat_max") - col("lat_min")) / latDelta).cast("int")
+    val nCols = ceil((col("lon_max") - col("lon_min")) / lonDelta).cast("int")
+
+    pts.crossJoin(broadcast(bounds))
+      .withColumn("cell_row",
+        least(floor((col("lat") - col("lat_min")) / latDelta),
+          greatest(nRows - 1, lit(0)).cast("long")).cast("int"))
+      .withColumn("cell_col",
+        least(floor((col("lon") - col("lon_min")) / lonDelta),
+          greatest(nCols - 1, lit(0)).cast("long")).cast("int"))
+      .groupBy(col("cell_row"), col("cell_col"))
+      .agg(
+        // A5 per-cell aggregate (bike_spatial_density_analysis.py:168-185)
+        sum(col("bikes")).as("bike_count"),
+        count(when(col("record_type") === "station", 1)).as("station_count"),
+        count(when(col("record_type") === "bike", 1)).as("mobile_bike_count"),
+        avg(col("lat")).as("center_lat"),
+        avg(col("lon")).as("center_lon"),
+        sort_array(collect_list(struct(
+          col("station_id"), col("name"), col("bikes"), col("record_type"))))
+          .as("members"))
+  }
+
+  /** Full analysis: per-cell grid + global tallies + top-10 densest
+    * (bike_spatial_density_analysis.py:93-102).
+    */
+  def analyze(latest: DataFrame, cellAreaM2: Double = 1000.0): GridResult = {
+    val cells = gridDensity(latest, cellAreaM2)
+    val top10 = cells.orderBy(col("bike_count").desc, col("cell_row"), col("cell_col"))
+      .limit(10).collect()
+    val globals = latest.agg(
+      sum(col("bikes")).as("total"),
+      count(when(col("record_type") === "station", 1)).as("ns"),
+      count(when(col("record_type") === "bike", 1)).as("nb")).collect()(0)
+    GridResult(cells, top10,
+      if (globals.isNullAt(0)) 0L else globals.getLong(0),
+      globals.getLong(1), globals.getLong(2))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.wrm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Processed → enhanced: record classification + metadata columns + strict
+  * column order (SURVEY §2.2 P8/P9/P7; reference enhanced_all.py:53-84).
+  */
+object Enhance {
+
+  /** P8 classification (enhanced_all.py:56-68):
+    *  - 'station': all-digit id AND name not starting 'BIKE'
+    *  - 'bike':    id starting 'fb' AND name starting 'BIKE'
+    *  - else 'unknown'
+    * Null name → neither predicate fires (pandas `na=False`), case-sensitive
+    * prefixes, `^[0-9]+$` (false on empty — matches str.isdigit).
+    */
+  def recordType(stationId: Column, name: Column): Column =
+    when(stationId.rlike("^[0-9]+$") &&
+      !coalesce(name.startsWith("BIKE"), lit(false)), "station")
+      .when(stationId.startsWith("fb") &&
+        coalesce(name.startsWith("BIKE"), lit(false)), "bike")
+      .otherwise("unknown")
+
+  /** Attach record_type, partition date, processed_at; emit the 20-column
+    * enhanced order (enhanced_all.py:73-84).
+    */
+  def enhance(processed: DataFrame, partitionDate: String): DataFrame =
+    processed
+      .withColumn("record_type", recordType(col("station_id"), col("name")))
+      .withColumn("date", lit(partitionDate).cast("timestamp"))
+      .withColumn("processed_at", current_timestamp())
+      .select(Schemas.enhancedColumns.map(col): _*)
+
+  /** A8: classification tallies (enhanced_all.py:107-111). */
+  def classificationCounts(enhanced: DataFrame): DataFrame =
+    enhanced.groupBy(col("record_type")).count()
+}

@@ -1,0 +1,54 @@
+package graft.wrm
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.charset.StandardCharsets
+
+/** Deterministic raw-snapshot fixture generator in the reference's exact
+  * file format (FIXTURES.md §1; test_processed.py:29-87): used by the
+  * rows-only wrm_* queries and the ScalaTest specs.
+  */
+object WrmFixture {
+
+  val Header =
+    "#id,1705147845.123|3600|-3600,name,lat,lon,bikes,spaces,installed,locked,temporary,total_docks,givesbonus_acceptspedelecs_fbbattlevel,pedelecs"
+
+  /** One synthetic snapshot: `n` stations + `nBikes` free bikes, offset by
+    * `tick` so consecutive snapshots differ.
+    */
+  def payload(tick: Int, n: Int = 8, nBikes: Int = 4): String = {
+    val epoch = 1705147845L + tick * 60
+    val stations = (1 to n).map { i =>
+      val bikes = (i + tick) % 10
+      val spaces = 15 - bikes
+      f"$i%03d,$epoch.${100 + i}%d|3600|-3600,Station $i%d,${51.10 + i * 0.001}%.4f,${17.03 + i * 0.001}%.4f,$bikes%d,$spaces%d,true,false,false,15,false,${i % 3}%d"
+    }
+    val bikes = (1 to nBikes).map { i =>
+      f"fb$i%03d,$epoch.${200 + i}%d|3600|-3600,BIKE 640$i%02d,${51.11 + (i + tick) * 0.002}%.4f,${17.02 + (i + tick) * 0.002}%.4f,1,0,true,false,false,1,true,0"
+    }
+    (Header +: (stations ++ bikes)).mkString("\n")
+  }
+
+  /** Write `ticksPerDate` snapshot files for each date under
+    * `root/dt=<date>/wrm_stations_<ts>.txt` and return the root. Reuses an
+    * existing directory (deterministic content).
+    */
+  def writeRawFiles(root: Path, dates: Seq[String], ticksPerDate: Int = 3): Path = {
+    dates.zipWithIndex.foreach { case (date, d) =>
+      val dir = root.resolve(s"dt=$date")
+      Files.createDirectories(dir)
+      (0 until ticksPerDate).foreach { t =>
+        val hh = 10 + t
+        val f = dir.resolve(f"wrm_stations_${date}_$hh%02d-00-00.txt")
+        Files.write(f, payload(d * 10 + t).getBytes(StandardCharsets.UTF_8))
+      }
+    }
+    root
+  }
+
+  /** Shared fixture for the wrm_* queries: built once per JVM under /tmp. */
+  lazy val defaultRoot: Path = {
+    val root = Paths.get("/tmp/graft_wrm_fixture/raw")
+    writeRawFiles(root, Seq("2025-05-01", "2025-05-02"))
+    root
+  }
+}

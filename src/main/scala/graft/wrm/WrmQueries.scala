@@ -1,0 +1,69 @@
+package graft.wrm
+
+import graft.GraftQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's own domain surface exposed as queries() entries
+  * (rows-only checks — the raw→enhanced semantics aren't expressible as
+  * ANSI SQL over the driver's tables; ScalaTest specs pin the semantics
+  * against hand-computed fixtures).
+  */
+object WrmQueries {
+
+  private val Dates = Seq("2025-05-01", "2025-05-02")
+
+  /** Full ingest pipeline over the deterministic fixture: read raw .txt →
+    * parse → validate → enhance per date partition → union.
+    */
+  def enhancedAll(spark: SparkSession): DataFrame = {
+    val root = WrmFixture.defaultRoot
+    Dates.map { date =>
+      val processed = RawParser.processPartition(spark, s"$root/dt=$date")
+      val enhanced = Enhance.enhance(processed, date)
+      Validation.assertColumnOrder(enhanced, Schemas.enhancedColumns)
+      Validation.validate(enhanced, Validation.enhancedChecks)
+    }.reduce(_ unionByName _)
+  }
+
+  val qPipeline = GraftQuery(
+    "wrm_pipeline_enhanced",
+    (s, _) => enhancedAll(s).orderBy(col("date"), col("file_timestamp"),
+      col("station_id")),
+    None)
+
+  val qLatest = GraftQuery(
+    "wrm_latest_per_station",
+    (s, _) => Views.latestPerStation(enhancedAll(s))
+      .select(col("station_id"), col("name"), col("bikes"), col("spaces"),
+        col("timestamp"), col("date"))
+      .orderBy(col("station_id")),
+    None)
+
+  val qDailySummary = GraftQuery(
+    "wrm_station_daily_summary",
+    (s, _) => DailyStats.stationDailySummary(enhancedAll(s))
+      .orderBy(col("station_id")),
+    None)
+
+  val qMovement = GraftQuery(
+    "wrm_bike_movement",
+    (s, _) => DailyStats.bikeMovementSummary(enhancedAll(s))
+      .orderBy(col("station_id")),
+    None)
+
+  val qDensity = GraftQuery(
+    "wrm_density_grid",
+    (s, _) => Density.gridDensity(Views.latestPerStation(enhancedAll(s)))
+      .drop("members") // struct members verified in the spec; keep dump flat
+      .orderBy(col("cell_row"), col("cell_col")),
+    None)
+
+  val qTop10 = GraftQuery(
+    "wrm_top10_recent",
+    (s, _) => Summary.top10Recent(enhancedAll(s)),
+    None)
+
+  val queries: Seq[GraftQuery] = Seq(
+    qPipeline, qLatest, qDailySummary, qMovement, qDensity, qTop10)
+}

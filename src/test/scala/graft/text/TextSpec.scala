@@ -1,0 +1,95 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token stats on known strings") {
+    val df = Seq((1L, "the cat sat on the mat"), (2L, "  "), (3L, "one"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.stopwordCount(col("text")).as("stops"))
+      .orderBy("doc_id").collect()
+    assert(df(0).getInt(1) == 6 && df(0).getInt(2) == 2) // 'the' ×2
+    assert(df(1).getInt(1) == 0)
+    assert(df(2).getInt(1) == 1 && df(2).getInt(2) == 0)
+  }
+
+  test("shingles: 3-gram count and short-text guard") {
+    val out = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextDedup.shingles(col("text")).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](1) == Seq("a b c", "b c d", "c d e"))
+    assert(out(1).getSeq[String](1).isEmpty) // shorter than n → no shingles
+    assert(out(2).getSeq[String](1) == Seq("a b c"))
+  }
+
+  test("jaccard: exact on constructed sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("a", "b")
+      .select(TextDedup.jaccard(col("a"), col("b")).as("j"))
+    assert(df.collect()(0).getDouble(0) == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"token$i").mkString(" ") + " x y z"
+    val unrelated = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.minhashDupPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash est_jaccard approximates true jaccard for identical docs") {
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val r = TextDedup.minhashDupPairs(docs, threshold = 0.9).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("est_jaccard") == 1.0)
+    assert(r(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical texts collide, near texts are close, far texts far") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 48).map(i => s"tok$i").mkString(" ") + " zz yy"
+    val far = (200 to 250).map(i => s"abc$i").mkString(" ")
+    val out = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextDedup.simhash(col("text")).as("h"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(out(0) == out(1))
+    assert(hamming(out(0), out(2)) < 12)
+    assert(hamming(out(0), out(3)) > 16)
+  }
+
+  test("language id: marker words dominate prediction; no markers → und") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist hier"),
+      (3L, "xyz qqq zzz www"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(df.sameElements(Array("en", "de", "und")))
+  }
+
+  test("fingerprint: deterministic, order-sensitive") {
+    val out = Seq((1L, "abc"), (2L, "abc"), (3L, "acb"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(out(0) == out(1))
+    assert(out(0) != out(2))
+    // h("abc") = ((97*31 + 98)*31 + 99) = 96354 + ... compute: ((0*31+97)*31+98)*31+99
+    val expected = ((97L * 31 + 98) * 31 + 99) % 1000000007L
+    assert(out(0) == expected)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.vector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / cosine on known vectors") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+      .select(
+        Similarity.dot(col("a"), col("b")).as("d"),
+        Similarity.cosine(col("a"), col("a")).as("self"),
+        Similarity.cosine(col("a"), col("b")).as("c"))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 0.9746318461970762) < 1e-12)
+  }
+
+  test("zero vector cosine is 0, not NaN") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(df.collect()(0).getDouble(0) == 0.0)
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force on real embeddings") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = Similarity.cosineTopK(e, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.annLsh(e, q, 10, planes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // recall@10 with 4 planes (16 buckets over 500 vecs): expect overlap,
+    // and the query vector itself must always be found (same bucket).
+    assert(approx.contains(0L))
+    assert((exact intersect approx).nonEmpty)
+  }
+
+  test("embedding dedup finds planted duplicates with cosine ~1") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val planted = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val pairs = Similarity.embeddingDupPairs(
+      e.select(col("vec_id"), col("embedding")).unionByName(planted), 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 1000L)), s"missing planted pair $i")
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.wrm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EnhanceViewsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("record_type classification edge cases (P8, SURVEY §7.4.7)") {
+    val cases = Seq(
+      ("001", "Station 1", "station"),   // all digits, non-BIKE name
+      ("123", "BIKE 999", "unknown"),    // digits but BIKE name
+      ("fb001", "BIKE 64021", "bike"),   // fb + BIKE
+      ("fb001", "Station X", "unknown"), // fb but non-BIKE name
+      ("", "Station 1", "unknown"),      // empty id: isdigit false
+      ("12a", "Station 1", "unknown"),   // mixed id
+      ("001", null, "station"),          // null name: startswith na=False
+      ("fb9", null, "unknown"))          // null name can't start BIKE
+    val df = cases.toDF("station_id", "name", "expected")
+      .withColumn("got", Enhance.recordType(col("station_id"), col("name")))
+    val bad = df.filter(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, s"misclassified: ${bad.mkString(", ")}")
+  }
+
+  test("enhanced output has the 20 reference-ordered columns") {
+    val enhanced = WrmQueries.enhancedAll(spark)
+    assert(enhanced.columns.toSeq == Schemas.enhancedColumns)
+    assert(enhanced.count() == 2 * 3 * 12) // 2 dates × 3 ticks × 12 records
+  }
+
+  test("latest-per-station keeps exactly one newest station row per id") {
+    val enhanced = WrmQueries.enhancedAll(spark)
+    val latest = Views.latestPerStation(enhanced)
+    val n = latest.count()
+    assert(n == 8) // 8 stations in the fixture
+    // every station's winner comes from the newest date + newest file
+    val wrong = latest.filter(
+      col("date") =!= lit("2025-05-02").cast("timestamp") ||
+        col("file_timestamp") =!= lit("2025-05-02 12:00:00").cast("timestamp"))
+      .count()
+    assert(wrong == 0)
+  }
+
+  test("the four views register and answer the reference smoke queries") {
+    Views.register(spark, WrmQueries.enhancedAll(spark))
+    val total = spark.sql(s"SELECT count(*) FROM ${Views.Base}").collect()(0).getLong(0)
+    assert(total == 72)
+    val types = spark.sql(
+      s"SELECT record_type, count(*) AS n FROM ${Views.Base} GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types == Map("station" -> 48, "bike" -> 24))
+    assert(spark.sql(s"SELECT count(*) FROM ${Views.StationsOnly}").collect()(0).getLong(0) == 48)
+    assert(spark.sql(s"SELECT count(*) FROM ${Views.BikesOnly}").collect()(0).getLong(0) == 24)
+    assert(spark.sql(s"SELECT count(*) FROM ${Views.Latest}").collect()(0).getLong(0) == 8)
+  }
+
+  test("validation catches constraint violations with per-check counts") {
+    val bad = Seq(
+      ("001", "S1", java.sql.Timestamp.valueOf("2025-05-01 10:00:00"), -5L, 0L),
+      ("002", "S2", java.sql.Timestamp.valueOf("2025-05-01 10:00:00"), 3L, 2L))
+      .toDF("station_id", "name", "timestamp", "bikes", "total_docks")
+    val ex = intercept[Validation.SchemaValidationException] {
+      Validation.validate(bad, Seq(
+        Validation.Check("bikes_ge_0", col("bikes") >= 0),
+        Validation.Check("total_docks_ge_1", col("total_docks") >= 1)))
+    }
+    assert(ex.failures.toMap == Map("bikes_ge_0" -> 1L, "total_docks_ge_1" -> 1L))
+  }
+
+  test("dedup gate: identical consecutive payloads skipped, old dup re-kept") {
+    val a = "payload A"; val b = "payload B"
+    // a, a (skip), b, a (kept again — only compared to most recent)
+    assert(DedupGate.filterIngest(Seq(a, a, b, a)) == Seq(a, b, a))
+  }
+
+  test("fix_text repairs latin1-decoded UTF-8 mojibake, preserves clean text") {
+    assert(TextFix.fixText("KrzyÅ¼owa") == "Krzyżowa")
+    assert(TextFix.fixText("Station Główna") == "Station Główna")
+    assert(TextFix.fixText("plain ascii") == "plain ascii")
+    assert(TextFix.fixText(null) == null)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.wrm
+
+import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+import graft.SparkSpec
+
+/** Parser semantics pinned to the reference's unit-test matrix
+  * (test_processed.py; FIXTURES.md §1).
+  */
+class RawParserSpec extends SparkSpec {
+
+  private def tmpDir(): Path = Files.createTempDirectory("rawparser")
+
+  private def write(dir: Path, name: String, content: String): Path = {
+    val f = dir.resolve(name)
+    Files.write(f, content.getBytes(StandardCharsets.UTF_8))
+    f
+  }
+
+  private val CanonicalFixture =
+    """#id,1705147845.123|3600|-3600,name,lat,lon,bikes,spaces,installed,locked,temporary,total_docks,givesbonus_acceptspedelecs_fbbattlevel,pedelecs
+      |001,1705147845.123|3600|-3600,Station 1,51.1089,17.0377,5,10,true,false,false,15,false,2
+      |002,1705147845.456|3600|-3600,Station 2,51.1097,17.0314,0,12,true,false,false,12,true,3
+      |fb001,1705147845.789|3600|-3600,BIKE 64021,51.1105,17.0251,1,0,true,false,false,1,true,0
+      |""".stripMargin
+
+  test("canonical 3-row fixture parses into the 17-column processed table") {
+    val dir = tmpDir()
+    write(dir, "wrm_stations_2025-05-01_10-00-00.txt", CanonicalFixture)
+    val out = RawParser.processPartition(spark, dir.toString)
+    assert(out.columns.toSeq == Schemas.processedColumns)
+    val rows = out.orderBy("station_id").collect()
+    assert(rows.length == 3)
+    val r0 = rows(0)
+    assert(r0.getAs[String]("station_id") == "001")
+    assert(r0.getAs[String]("name") == "Station 1")
+    assert(r0.getAs[Long]("gmt_local_diff_sec") == 3600L)
+    assert(r0.getAs[Long]("gmt_servertime_diff_sec") == -3600L)
+    assert(r0.getAs[Double]("lat") == 51.1089)
+    assert(r0.getAs[Long]("bikes") == 5L)
+    assert(!r0.getAs[Boolean]("givesbonus_acceptspedelecs_fbbattlevel"))
+    assert(rows(1).getAs[Boolean]("givesbonus_acceptspedelecs_fbbattlevel"))
+    // epoch 1705147845.123 → 2024-01-13 12:10:45.123 UTC with millis kept
+    assert(r0.getAs[Timestamp]("timestamp").getTime == 1705147845123L)
+    // file_timestamp from the filename pattern
+    assert(r0.getAs[Timestamp]("file_timestamp") ==
+      Timestamp.valueOf("2025-05-01 10:00:00"))
+    assert(r0.getAs[String]("s3_source_key").contains("wrm_stations_2025-05-01_10-00-00.txt"))
+  }
+
+  test("malformed composite rows are dropped row-level, valid rows survive") {
+    val dir = tmpDir()
+    write(dir, "wrm_stations_2025-05-01_10-00-00.txt",
+      """#id,ts,name,lat,lon,bikes,spaces,installed,locked,temporary,total_docks,gb,pedelecs
+        |001,1705147845.123|3600|-3600,Station 1,51.1,17.0,5,10,true,false,false,15,false,2
+        |002,NO_PIPES_HERE,Station 2,51.2,17.1,1,9,true,false,false,10,false,0
+        |003,1705147845.9|3600|-3600,Station 3,51.3,17.2,2,8,true,false,false,10,true,1
+        |""".stripMargin)
+    val ids = RawParser.processPartition(spark, dir.toString)
+      .select("station_id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("001", "003"))
+  }
+
+  test("a cast failure drops the whole file, not just the row") {
+    val dir = tmpDir()
+    write(dir, "wrm_stations_2025-05-01_10-00-00.txt",
+      """#id,ts,name,lat,lon,bikes,spaces,installed,locked,temporary,total_docks,gb,pedelecs
+        |001,1705147845.1|3600|-3600,Station 1,51.1,17.0,NOT_A_NUMBER,10,true,false,false,15,false,2
+        |002,1705147845.2|3600|-3600,Station 2,51.2,17.1,1,9,true,false,false,10,false,0
+        |""".stripMargin)
+    write(dir, "wrm_stations_2025-05-01_11-00-00.txt",
+      """#id,ts,name,lat,lon,bikes,spaces,installed,locked,temporary,total_docks,gb,pedelecs
+        |003,1705147845.3|3600|-3600,Station 3,51.3,17.2,2,8,true,false,false,10,true,1
+        |""".stripMargin)
+    val ids = RawParser.processPartition(spark, dir.toString)
+      .select("station_id").collect().map(_.getString(0)).sorted
+    // file 1 aborted entirely (001 AND 002 gone); file 2 intact
+    assert(ids.toSeq == Seq("003"))
+  }
+
+  test("filename timestamp falls back to file mtime when pattern missing") {
+    val dir = tmpDir()
+    write(dir, "wrm_stations_oddname.txt", CanonicalFixture)
+    val fts = RawParser.processPartition(spark, dir.toString)
+      .select("file_timestamp").collect().map(_.getTimestamp(0))
+    assert(fts.forall(_ != null))
+    // mtime is "now-ish", certainly after 2024
+    assert(fts.forall(_.getTime > Timestamp.valueOf("2024-01-01 00:00:00").getTime))
+  }
+
+  test("no files → NoFilesException; header-only file → NoValidDataException") {
+    val empty = tmpDir()
+    intercept[RawParser.NoFilesException] {
+      RawParser.processPartition(spark, empty.toString)
+    }
+    val dir = tmpDir()
+    write(dir, "wrm_stations_2025-05-01_10-00-00.txt",
+      "#id,ts,name,lat,lon,bikes,spaces,installed,locked,temporary,total_docks,gb,pedelecs\n")
+    intercept[RawParser.NoValidDataException] {
+      RawParser.processPartition(spark, dir.toString)
+    }
+  }
+
+  test("boolean variants map like the reference (true/false/empty)") {
+    val dir = tmpDir()
+    write(dir, "wrm_stations_2025-05-01_10-00-00.txt",
+      """#id,ts,name,lat,lon,bikes,spaces,installed,locked,temporary,total_docks,gb,pedelecs
+        |001,1705147845.1|3600|-3600,Station 1,51.1,17.0,5,10,True,False,false,15,,2
+        |""".stripMargin)
+    val r = RawParser.processPartition(spark, dir.toString).collect()(0)
+    assert(r.getAs[Boolean]("installed"))
+    assert(!r.getAs[Boolean]("locked"))
+    // empty givesbonus → false (null-tolerant P4)
+    assert(!r.getAs[Boolean]("givesbonus_acceptspedelecs_fbbattlevel"))
+  }
+}
