@@ -18,7 +18,9 @@ object SparkEntry {
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       vector.Similarity.queries ++
-      wrm.WrmQueries.queries
+      wrm.WrmQueries.queries ++
+      multimodal.Multimodal.queries ++
+      streaming.EventsStream.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,131 @@
+package graft.multimodal
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary media columns with typed
+  * metadata, batch feature extraction, and frame sampling.
+  *
+  * The Spark-side contract is real and tested — schema (binary payload +
+  * metadata struct), partition-preserving batch UDF shape (`mapPartitions`
+  * over a typed Dataset, the Scala analog of `mapInPandas`), deterministic
+  * output schema. The actual image/audio DECODE is a clearly marked STUB
+  * (no codec libraries in this container): `decodeStub` derives features
+  * from the raw bytes deterministically so the plumbing is verifiable.
+  *
+  * At 100 TB: media rows are large — the operators avoid shuffling payload
+  * bytes (feature extraction is a narrow map; metadata-only projections
+  * drop the binary column before any wide operation).
+  */
+object Multimodal {
+
+  final case class MediaAsset(
+      asset_id: Long, mime: String, media: Array[Byte],
+      width: Int, height: Int, duration_ms: Long)
+
+  final case class MediaFeatures(
+      asset_id: Long, mime: String, n_bytes: Long, features: Array[Float])
+
+  /** Wrap documents as fake media assets: payload = UTF-8 bytes. Stands in
+    * for `spark.read.format("binaryFile")` over an object store.
+    */
+  def assetsFromDocuments(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("asset_id"),
+      lit("application/octet-stream").as("mime"),
+      encode(col("text"), "UTF-8").as("media"),
+      lit(64).as("width"), lit(64).as("height"),
+      (length(col("text")) * 10L).as("duration_ms"))
+      .as[MediaAsset]
+  }
+
+  /** STUB decoder ??? — stands in for a real image/audio decode (pillow/
+    * ffmpeg-style). Deterministic: 16-bin byte histogram normalized to
+    * [0,1]. Replace the body with a real codec call in production; the
+    * Spark plumbing (batched mapPartitions, schema, partitioning) is the
+    * tested contract.
+    */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    if (bytes == null || bytes.isEmpty) return hist
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xFF) >> 4) += 1f
+      i += 1
+    }
+    var b = 0
+    while (b < 16) { hist(b) /= bytes.length.toFloat; b += 1 }
+    hist
+  }
+
+  /** Batch feature extraction: mapPartitions so a real decoder could amortize
+    * per-batch model/codec init (exactly the mapInPandas batching contract).
+    */
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition init would go here (codec handles, model weights)
+      it.map { a =>
+        MediaFeatures(a.asset_id, a.mime,
+          if (a.media == null) 0L else a.media.length.toLong,
+          decodeStub(a.media))
+      }
+    }
+  }
+
+  /** Frame sampling (video analog): slice the payload into `n` evenly
+    * spaced fixed-size windows — the shape of keyframe extraction.
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], n: Int, frameBytes: Int = 32): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      val len = if (a.media == null) 0 else a.media.length
+      if (len == 0) Iterator.empty
+      else (0 until n).iterator.map { f =>
+        val start = (len.toLong * f / n).toInt
+        val end = math.min(start + frameBytes, len)
+        (a.asset_id, f, java.util.Arrays.copyOfRange(a.media, start, end))
+      }
+    }.toDF("asset_id", "frame_no", "frame_bytes")
+  }
+
+  // ---- queries -----------------------------------------------------------
+
+  /** Metadata extraction is expression-only (binary length etc.) → oracle-
+    * checkable: octet_length(encode(text)) matches in DuckDB.
+    */
+  val qMeta = GraftQuery(
+    "q31_multimodal_meta",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id").as("asset_id"),
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+        ascii(substring(col("text"), 1, 1)).as("first_byte"))
+        .orderBy(col("asset_id")),
+    Some("""
+      SELECT doc_id AS asset_id,
+             octet_length(encode(text)) AS n_bytes,
+             ascii(substr(text, 1, 1)) AS first_byte
+      FROM documents
+      ORDER BY asset_id"""))
+
+  /** Full binary pipeline (wrap → mapPartitions decode-stub → features):
+    * rows-only; the spec checks the histogram math.
+    */
+  val qFeatures = GraftQuery(
+    "q32_multimodal_features",
+    (s, dir) => {
+      import s.implicits._
+      extractFeatures(assetsFromDocuments(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("asset_id"), col("n_bytes"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 8).as("f7"))
+        .orderBy(col("asset_id"))
+    },
+    None)
+
+  val queries: Seq[GraftQuery] = Seq(qMeta, qFeatures)
+}

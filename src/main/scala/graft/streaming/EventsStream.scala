@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over the events stream: watermarked windowed
+  * aggregation (T6) and stateful latest-per-key (T7) — the streaming duals
+  * of q18_hourly_window and q06_latest_per_key.
+  */
+object EventsStream {
+
+  import graft.GraftQuery
+
+  /** Streaming duals of q18/q06, run as real streaming queries and checked
+    * against the SAME DuckDB oracles — the streaming path must compute the
+    * batch answer.
+    */
+  val qStreamHourly = GraftQuery(
+    "stream_hourly_window",
+    (s, dir) => runHourlyWindowStream(s, dir),
+    graft.relational.RelationalQueries.q18.oracle)
+
+  val qStreamLatest = GraftQuery(
+    "stream_latest_per_user",
+    (s, dir) => runLatestPerUserStream(s, dir),
+    graft.relational.RelationalQueries.q06.oracle)
+
+  def queries: Seq[GraftQuery] = Seq(qStreamHourly, qStreamLatest)
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class LatestEvent(
+      user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+
+  /** Hourly tumbling-window counts/sums with a 1-hour watermark for
+    * bounded state. Append mode: a window emits once its watermark passes —
+    * at 100 TB/day the state store holds only open windows.
+    */
+  def hourlyAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("n"), col("total_value"))
+
+  /** Stage the events parquet into a directory (streaming file sources
+    * require directories) and return a micro-batch stream of it with the
+    * ns→µs conversion applied.
+    */
+  def stagedEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      staged.resolve("events.parquet"))
+    spark.readStream
+      .schema(spark.read.parquet(staged.toString).schema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run the hourly aggregation as a real streaming query (complete mode,
+    * AvailableNow) and return the final result — oracle-identical to the
+    * batch q18, proving the streaming path computes the same answer.
+    */
+  def runHourlyWindowStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stagedEventStream(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("n"), col("total_value"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("hour_start"))
+  }
+
+  /** Run latest-per-user as a stateful streaming query (update mode) and
+    * reduce the update log to final state — oracle-identical to batch q06.
+    */
+  def runLatestPerUserStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"stream_latest_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = latestPerUser(stagedEventStream(spark, sfDir).as[Event])
+      .writeStream.outputMode("update").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("w"))
+      .select(col("user_id"), col("w.event_id").as("event_id"),
+        col("w.event_type").as("event_type"), col("w.value").as("value"),
+        col("w.ts").as("ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** T7: live latest-per-user via mapGroupsWithState — state is one record
+    * per key (bounded by key cardinality, like the reference's
+    * latest-per-station view).
+    */
+  def latestPerUser(events: Dataset[Event]): Dataset[LatestEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[LatestEvent]) =>
+          val newest = (state.getOption.iterator ++ batch.map(e =>
+            LatestEvent(e.user_id, e.event_id, e.ts, e.event_type, e.value)))
+            .maxBy(e => (e.ts.getTime, e.event_id))
+          state.update(newest)
+          newest
+      }
+  }
+}

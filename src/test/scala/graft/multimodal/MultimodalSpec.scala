@@ -1,0 +1,42 @@
+package graft.multimodal
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("documents wrap into binary assets with metadata") {
+    val assets = Multimodal.assetsFromDocuments(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val a = assets.orderBy("asset_id").head()
+    assert(a.mime == "application/octet-stream")
+    assert(a.media.nonEmpty)
+    assert(a.duration_ms == new String(a.media, "UTF-8").length * 10L)
+  }
+
+  test("feature extraction: histogram is normalized and deterministic") {
+    val f = Multimodal.decodeStub("aaaa".getBytes("UTF-8"))
+    // 'a' = 0x61 → bin 6 gets everything
+    assert(f(6) == 1.0f)
+    assert(f.sum == 1.0f)
+    assert(Multimodal.decodeStub(Array.empty[Byte]).forall(_ == 0f))
+
+    val feats = Multimodal.extractFeatures(
+      Multimodal.assetsFromDocuments(Tables.documents(spark, "/root/testdata/sf0.001")))
+    val r = feats.orderBy("asset_id").head()
+    assert(r.features.length == 16)
+    assert(math.abs(r.features.sum - 1.0f) < 1e-4)
+    assert(r.n_bytes > 0)
+  }
+
+  test("frame sampling slices n evenly spaced windows") {
+    val assets = Multimodal.assetsFromDocuments(
+      Tables.documents(spark, "/root/testdata/sf0.001").limit(3))
+    val frames = Multimodal.sampleFrames(assets, n = 4)
+    val counts = frames.groupBy("asset_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ == 4))
+    val sizes = frames.select(octet_length(col("frame_bytes"))).as[Int].collect()
+    assert(sizes.forall(s => s > 0 && s <= 32))
+  }
+}

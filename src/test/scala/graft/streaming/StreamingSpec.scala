@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.nio.file.Files
+import graft.{SparkSpec, Tables}
+import graft.wrm.WrmFixture
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Streaming file sources need a directory — stage the single parquet
+    * file into one.
+    */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming hourly agg matches the batch q18 result (T6)") {
+    val batchEvents = Tables.events(spark, "/root/testdata/sf0.001")
+    // stream the same parquet through a file source (schema from batch read)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventsStream.hourlyAgg(streamed)
+      .writeStream.outputMode("append").format("memory").queryName("hourly")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hourly")
+    val expected = EventsStream.hourlyAgg(batchEvents.withWatermark("ts", "1 hour"))
+    // append mode withholds windows newer than the watermark — every emitted
+    // window must match batch, and all but the tail must be emitted
+    val gotMap = got.collect().map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expMap = expected.collect().map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(gotMap.nonEmpty)
+    gotMap.foreach { case (k, v) => assert(expMap(k) == v, s"window $k") }
+    // a 1-hour watermark keeps up to 2 tail windows open (unemitted)
+    assert(gotMap.size >= expMap.size - 2)
+  }
+
+  test("stateful latest-per-user matches the batch q06 winners (T7)") {
+    val ds = Tables.events(spark, "/root/testdata/sf0.001").as[EventsStream.Event]
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .as[EventsStream.Event]
+    val q = EventsStream.latestPerUser(streamed)
+      .writeStream.outputMode("update").format("memory").queryName("latest")
+      .start()
+    q.processAllAvailable(); q.stop()
+    // last update per user in the memory sink = final state
+    val got = spark.table("latest")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("event_id"), col("ts")), struct(col("ts"), col("event_id"))).as("w"))
+      .select(col("user_id"), col("w.event_id").as("event_id"))
+      .as[(Long, Long)].collect().toMap
+    val expected = graft.relational.RelationalQueries.q06
+      .run(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id")).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("WRM streaming ingest: files flow to dt= partitions; late files append (T1-T4)") {
+    val root = Files.createTempDirectory("wrmstream")
+    val rawRoot = root.resolve("raw")
+    val enhancedRoot = root.resolve("enhanced").toString
+    val checkpoint = root.resolve("ckpt").toString
+    WrmFixture.writeRawFiles(rawRoot, Seq("2025-05-01"), ticksPerDate = 2)
+
+    val cfg = WrmStreamPipeline.Config(
+      rawRoot.toString, enhancedRoot, checkpoint,
+      trigger = Trigger.AvailableNow())
+    val q1 = WrmStreamPipeline.start(spark, cfg)
+    q1.awaitTermination()
+    val afterFirst = spark.read.parquet(enhancedRoot)
+    assert(afterFirst.count() == 2 * 12)
+    assert(afterFirst.select("dt").distinct().as[String].collect().toSeq == Seq("2025-05-01"))
+
+    // late file lands for the same (old) date + a new date appears
+    WrmFixture.writeRawFiles(rawRoot, Seq("2025-05-01", "2025-05-02"), ticksPerDate = 3)
+    val q2 = WrmStreamPipeline.start(spark, cfg)
+    q2.awaitTermination()
+    val afterLate = spark.read.parquet(enhancedRoot)
+    // 3 files per date now exist; first two of 05-01 were already processed
+    assert(afterLate.filter(col("dt") === "2025-05-01").count() == 3 * 12)
+    assert(afterLate.filter(col("dt") === "2025-05-02").count() == 3 * 12)
+    // offset tracking (T2): records are not duplicated on re-run
+    val q3 = WrmStreamPipeline.start(spark, cfg)
+    q3.awaitTermination()
+    assert(spark.read.parquet(enhancedRoot).count() == 6 * 12)
+  }
+}
