@@ -23,24 +23,30 @@ object TextDedup {
   /** Token n-gram shingles (default 3) as a distinct array. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
-    val cnt = size(toks) - (n - 1)
-    // NB: Spark's sequence(1, 0) yields [1, 0] (descending), not empty —
-    // guard short documents explicitly.
-    val grams = when(cnt >= 1,
-      transform(
-        sequence(lit(1), cnt),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-      .otherwise(array().cast("array<string>"))
+    val cnt = greatest(size(toks) - (n - 1), lit(0))
+    // Build n-grams by zipping n shifted slices of the token array — NOT by
+    // indexing with element_at inside a transform lambda: a lambda-embedded
+    // reference to `toks` re-evaluates the tokenizer per element, turning
+    // shingling O(tokens²). Slices evaluate it a constant n+1 times.
+    val parts = (0 until n).map(k => slice(toks, lit(k + 1), cnt))
+    val grams = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
     array_distinct(grams)
   }
 
-  /** MinHash signature: for each of k hash families, the minimum xxhash64
-    * over the shingle set (seeded by the family index column).
+  /** MinHash signature in ONE pass over the shingle set: each shingle
+    * string is hashed exactly once (the aggregate's input), then the k
+    * family values derive from cheap long re-hashes folded into a k-wide
+    * running-min accumulator. (k separate `array_min(transform(...))`
+    * expressions would re-hash every shingle string k times — projection
+    * collapse inlines repeated subtrees.)
     */
-  def minhashSignature(shingleCol: Column, k: Int = 16): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingleCol, sh => xxhash64(lit(i), sh)))
-    }: _*)
+  def minhashSignature(shingleCol: Column, k: Int = 16): Column = {
+    val seeds = typedLit((0 until k).map(_.toLong))
+    aggregate(
+      transform(shingleCol, s => xxhash64(s)),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, seeds, (m, i) => least(m, xxhash64(i, h))))
+  }
 
   /** LSH band keys: split the k-row signature into `bands` bands of
     * k/bands rows each; band key = hash of the band's slice.
@@ -68,25 +74,37 @@ object TextDedup {
     */
   def minhashDupPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    // Shingle + sign ONCE (native kernel expressions) and cache: the table
+    // is reused for band explode and twice for candidate verification. At
+    // 100 TB this is a persisted intermediate; the key property is the
+    // same — downstream shuffles never carry document shingles, only
+    // (ids, band keys) and, for the candidate pairs only, the two joined
+    // shingle sets.
     val sigs = docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"),
+        TextExprs.tokenShingles(spark, TextAnalysis.tokens(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("sig", TextExprs.minhashSig(spark, col("sh"), k))
+      .cache()
+
+    // LSH candidate generation: shuffle only (band_id, band_hash, doc_id).
     val banded = sigs
-      .select(col("doc_id"), col("sh"), col("sig"),
-        explode(bandKeys(col("sig"), k, bands)).as("band"))
-      .select(col("doc_id"), col("sh"), col("sig"),
-        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
-    val a = banded.select(
-      col("band_id"), col("band_hash"), col("doc_id").as("doc_a"),
-      col("sh").as("sh_a"), col("sig").as("sig_a"))
-    val b = banded.select(
-      col("band_id"), col("band_hash"), col("doc_id").as("doc_b"),
-      col("sh").as("sh_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_id", "band_hash"))
+      .select(col("doc_id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band_id", "band_hash"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        col("sh_a"), col("sh_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+
+    // Verification: join shingle sets back for the (few) candidates only.
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1.0).otherwise(0.0)),
@@ -94,21 +112,28 @@ object TextDedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
-      .distinct()
   }
 
   /** 64-bit SimHash from token hashes: bit b of the fingerprint is set when
     * more token-hashes have bit b set than unset.
+    *
+    * Single pass: tokens are hashed once (aggregate input); the per-bit
+    * vote counters are a 64-wide array accumulator updated via zip_with
+    * against a constant mask array. (64 separate aggregate expressions
+    * would re-tokenize + re-hash the text 64 times.)
     */
   def simhash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val n = size(hashes)
-    val bitCols = (0 until 64).map { b =>
-      val ones = aggregate(hashes, lit(0),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)).cast("int"))
-      when(ones * 2 >= n, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_.bitwiseOR(_))
+    val masks = typedLit((0 until 64).map(1L << _))
+    val counts = aggregate(
+      transform(TextAnalysis.tokens(text), t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, masks,
+        (c, m) => c + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(0L)))
+    val n = TextAnalysis.tokenCount(text)
+    aggregate(
+      zip_with(counts, masks, (c, m) => when(c * 2 >= n, m).otherwise(lit(0L))),
+      lit(0L),
+      (acc, v) => acc.bitwiseOR(v))
   }
 
   // ---- query wrappers ----------------------------------------------------
@@ -139,12 +164,16 @@ object TextDedup {
     "q25_ngram_jaccard",
     (s, dir) => {
       val d = Tables.documents(s, dir)
+      // Equi-join on the derived doc key (doc_a+20) AND source: Catalyst
+      // hash-joins on both keys, producing only the ~n candidate pairs —
+      // joining on source alone would build every within-source pair
+      // (O(n²/sources)) and filter afterwards.
+      def sh2 = TextExprs.tokenShingles(s, TextAnalysis.tokens(col("text")), 2)
       val a = d.select(col("doc_id").as("doc_a"), col("source"),
-        shingles(col("text"), 2).as("sh_a"))
+        (col("doc_id") + 20).as("pair_key"), sh2.as("sh_a"))
       val b = d.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
-        shingles(col("text"), 2).as("sh_b"))
-      a.join(b, col("source") === col("source_b") &&
-          col("doc_b") === col("doc_a") + 20)
+        sh2.as("sh_b"))
+      a.join(b, col("pair_key") === col("doc_b") && col("source") === col("source_b"))
         .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .orderBy(col("doc_a"))
     },
@@ -185,7 +214,8 @@ object TextDedup {
     "q27_simhash",
     (s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), simhash(col("text")).as("simhash64"))
+        .select(col("doc_id"),
+          TextExprs.simhash64(s, TextAnalysis.tokens(col("text"))).as("simhash64"))
         .orderBy(col("doc_id")),
     None)
 

@@ -1,0 +1,136 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot text-dedup kernels.
+  *
+  * The composable `transform`/`aggregate` higher-order-function forms are
+  * semantically right but evaluate their lambdas interpreted, per element —
+  * at corpus scale the per-element overhead dominates. Each expression here
+  * is one eval call per row running a tight Scala loop over the array data
+  * (CodegenFallback wraps the row call; the loop itself is JIT-compiled
+  * JVM code, not interpreted Catalyst).
+  *
+  * Hashing uses XxHash64Function (seed 42) — the same function behind the
+  * built-in `xxhash64()`, so results stay consistent with expression-level
+  * equivalents and are deterministic across partitionings.
+  */
+object TextExprs {
+
+  /** Distinct space-joined token n-grams from a token array. */
+  case class TokenShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(tokens: Any): Any = {
+      val arr = tokens.asInstanceOf[ArrayData]
+      val cnt = arr.numElements() - (n - 1)
+      if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      val space = UTF8String.fromString(" ")
+      var i = 0
+      while (i < cnt) {
+        val parts = new Array[UTF8String](n)
+        var k = 0
+        while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+        seen.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+    }
+    override protected def withNewChildInternal(c: Expression): TokenShingles = copy(child = c)
+  }
+
+  /** k-family MinHash signature over a string array: one string hash per
+    * element, k cheap long re-hashes folded into running minima.
+    */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(shingles: Any): Any = {
+      val arr = shingles.asInstanceOf[ArrayData]
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < arr.numElements()) {
+        val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var f = 0
+        while (f < k) {
+          val h = XxHash64Function.hash(base, LongType, f.toLong)
+          if (h < mins(f)) mins(f) = h
+          f += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  }
+
+  /** 64-bit SimHash over a token array: majority vote per bit of the
+    * per-token xxhash64.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(tokens: Any): Any = {
+      val arr = tokens.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) * 2 >= n) out |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  /** Register SQL-callable forms once per session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_shingles",
+      es => TokenShingles(es.head, es(1).eval(InternalRow.empty).asInstanceOf[Int]),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      es => MinHashSignature(es.head, es(1).eval(InternalRow.empty).asInstanceOf[Int]),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      es => SimHash64(es.head), "built-in")
+  }
+
+  /** Column-level wrappers (register + call_function keeps us independent
+    * of the Column↔Expression private bridge).
+    */
+  def tokenShingles(spark: SparkSession, tokens: Column, n: Int): Column = {
+    register(spark)
+    call_function("graft_shingles", tokens, org.apache.spark.sql.functions.lit(n))
+  }
+
+  def minhashSig(spark: SparkSession, shingles: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_minhash", shingles, org.apache.spark.sql.functions.lit(k))
+  }
+
+  def simhash64(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    call_function("graft_simhash", tokens)
+  }
+}

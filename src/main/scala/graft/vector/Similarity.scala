@@ -43,7 +43,7 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, query: DataFrame, k: Int): DataFrame =
     corpus.crossJoin(broadcast(query))
-      .withColumn("cos_sim", cosine(col("embedding"), col("qv")))
+      .withColumn("cos_sim", VectorExprs.cosineSim(col("embedding"), col("qv")))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -69,10 +69,10 @@ object Similarity {
     * Recall < 1 by construction; the baseline brute-force is the oracle.
     */
   def annLsh(corpus: DataFrame, query: DataFrame, k: Int, planes: Int = 6): DataFrame = {
-    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
-    val qb = query.withColumn("qbucket", lshBucket(col("qv"), planes))
+    val bucketed = corpus.withColumn("bucket", VectorExprs.lshBucket(col("embedding"), planes))
+    val qb = query.withColumn("qbucket", VectorExprs.lshBucket(col("qv"), planes))
     bucketed.join(broadcast(qb), col("bucket") === col("qbucket"))
-      .withColumn("cos_sim", cosine(col("embedding"), col("qv")))
+      .withColumn("cos_sim", VectorExprs.cosineSim(col("embedding"), col("qv")))
       .select(col("vec_id"), col("label"), col("bucket"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -84,14 +84,14 @@ object Similarity {
   def embeddingDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 6): DataFrame = {
     val bucketed = corpus
       .select(col("vec_id"), col("embedding"),
-        lshBucket(col("embedding"), planes).as("bucket"))
+        VectorExprs.lshBucket(col("embedding"), planes).as("bucket"))
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos_sim", VectorExprs.cosineSim(col("emb_a"), col("emb_b")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }

@@ -1,0 +1,91 @@
+package graft.vector
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector kernels.
+  *
+  * The zip_with/aggregate forms (kept in Similarity as the composable
+  * reference implementation) evaluate lambdas interpreted per element; for
+  * 64-float embeddings that overhead swamps the arithmetic. These run one
+  * tight JIT-compiled loop per row over the raw ArrayData.
+  */
+object VectorExprs {
+
+  private def toDouble(arr: ArrayData, i: Int, et: DataType): Double = et match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case _ => throw new IllegalArgumentException(s"unsupported element type $et")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Cosine similarity of two numeric arrays in double precision;
+    * 0.0 when either norm is zero (matches Similarity.cosine).
+    */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val tx = elemType(left)
+      val ty = elemType(right)
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = toDouble(x, i, tx)
+        val yi = toDouble(y, i, ty)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) java.lang.Double.valueOf(0.0)
+      else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  /** Random-hyperplane LSH bucket: bit p = sign of Σ x_i·coeff(p,i), with
+    * deterministic pseudo-random coefficients derived from xxhash64 — no
+    * RNG state, stable across partitionings and runs.
+    */
+  case class LshBucket(child: Expression, planes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val t = elemType(child)
+      val n = x.numElements()
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var score = 0.0
+        var i = 0
+        while (i < n) {
+          val h = XxHash64Function.hash(p.toLong * 65536L + i, LongType, 42L)
+          val coeff = (((h % 2000L) + 2000L) % 2000L - 1000L) / 1000.0
+          score += toDouble(x, i, t) * coeff
+          i += 1
+        }
+        if (score >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      java.lang.Long.valueOf(bucket)
+    }
+    override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+  }
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def lshBucket(emb: Column, planes: Int): Column =
+    ColumnBridge.column(LshBucket(ColumnBridge.expression(emb), planes))
+}

@@ -19,6 +19,18 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 0.9746318461970762) < 1e-12)
   }
 
+  test("native CosineSim expression matches the HOF reference bit-for-bit") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val diffs = e.crossJoin(q)
+      .select(
+        Similarity.cosine(col("embedding"), col("qv")).as("hof"),
+        VectorExprs.cosineSim(col("embedding"), col("qv")).as("native"))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("zero vector cosine is 0, not NaN") {
     val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
       .select(Similarity.cosine(col("a"), col("b")).as("c"))
