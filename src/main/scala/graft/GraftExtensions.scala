@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions at session build time, so
+  * `spark.sql("SELECT graft_simhash(...)")` works on any session built
+  * with `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions`) — the standard way a
+  * Spark library ships engine extensions to a cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression): Int =
+    e.eval(InternalRow.empty).asInstanceOf[Int]
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[text.TextExprs.TokenShingles].getName, "graft_shingles"),
+      (es: Seq[Expression]) => text.TextExprs.TokenShingles(es.head, intArg(es(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[text.TextExprs.MinHashSignature].getName, "graft_minhash"),
+      (es: Seq[Expression]) => text.TextExprs.MinHashSignature(es.head, intArg(es(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[text.TextExprs.SimHash64].getName, "graft_simhash"),
+      (es: Seq[Expression]) => text.TextExprs.SimHash64(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[vector.VectorExprs.CosineSim].getName, "graft_cosine"),
+      (es: Seq[Expression]) => vector.VectorExprs.CosineSim(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[vector.VectorExprs.LshBucket].getName, "graft_lsh_bucket"),
+      (es: Seq[Expression]) => vector.VectorExprs.LshBucket(es.head, intArg(es(1)))))
+  }
+}

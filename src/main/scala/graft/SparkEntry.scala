@@ -15,9 +15,12 @@ object SparkEntry {
   /** All registered capabilities, one GraftQuery per operator. */
   def registry: Seq[GraftQuery] =
     relational.RelationalQueries.all ++
+      relational.ExtendedQueries.all ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       vector.Similarity.queries ++
+      vector.IvfIndex.queries ++
+      sources.CsvFolderSource.queries ++
       wrm.WrmQueries.queries ++
       multimodal.Multimodal.queries ++
       streaming.EventsStream.queries

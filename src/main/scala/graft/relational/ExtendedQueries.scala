@@ -1,0 +1,203 @@
+package graft.relational
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Second wave of oracle-checked operators: analytic windows, percentiles,
+  * JSON extraction, regex tokenization, exact two-variable statistics.
+  */
+object ExtendedQueries {
+
+  private val dec = DecimalType(18, 2)
+  private def d2(c: Column): Column = c.cast(dec)
+
+  /** q16: scalar string function surface (F1-F6 analogs) over documents. */
+  val q16 = GraftQuery(
+    "q16_string_funcs",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        upper(col("lang")).as("lang_upper"),
+        substring(col("source"), 4, 10).as("source_num"),
+        element_at(split(col("text"), " "), 1).as("first_word"),
+        md5(col("text")).as("text_md5"),
+        col("text").like("the %").as("starts_the"),
+        length(regexp_extract(col("text"), "^[a-z]+", 0)).as("first_token_len"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             upper(lang) AS lang_upper,
+             substr(source, 4, 10) AS source_num,
+             split_part(text, ' ', 1) AS first_word,
+             md5(text) AS text_md5,
+             text LIKE 'the %' AS starts_the,
+             length(regexp_extract(text, '^[a-z]+', 0)) AS first_token_len
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** q19: analytic window suite — lag/lead/rank/dense_rank/cumulative sum
+    * per user over time (deterministic tiebreak event_id). Bounded to
+    * user_id < 20 to keep the dump small at any SF.
+    */
+  val q19 = GraftQuery(
+    "q19_window_suite",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .select(
+          col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          sum(d2(col("value"))).over(wRun).cast("double").as("running_value"),
+          count(lit(1)).over(wRun).as("running_n"))
+        .orderBy(col("user_id"), col("rnk"))
+    },
+    Some("""
+      SELECT user_id, event_id, value,
+             lag(value, 1) OVER w AS prev_value,
+             lead(value, 1) OVER w AS next_value,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+             count(*) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+      FROM events
+      WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      ORDER BY user_id, rnk"""))
+
+  /** q33: exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: both sort and linearly interpolate at p·(n−1)).
+    */
+  val q33 = GraftQuery(
+    "q33_percentiles",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"),
+          min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS p50,
+             quantile_cont(value, 0.9) AS p90,
+             quantile_cont(value, 0.99) AS p99,
+             min(value) AS vmin,
+             max(value) AS vmax
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** q34: JSON extraction from the events props column + grouped rollup of
+    * the extracted field.
+    */
+  val q34 = GraftQuery(
+    "q34_json_extract",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("k_sum"),
+          sum(d2(col("value"))).cast("double").as("value_sum"))
+        .orderBy(col("k_mod")),
+    Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+             count(*) AS n,
+             sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      FROM events
+      GROUP BY 1
+      ORDER BY k_mod"""))
+
+  /** q35: BPE-ish regex tokenization — letter runs, digit runs, and single
+    * other non-space chars as separate tokens (the shape of byte-pair
+    * pre-tokenizers), counted per document.
+    */
+  val q35 = GraftQuery(
+    "q35_bpe_tokens",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+          .as("n_bpe_tokens"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_number_runs"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS n_bpe_tokens,
+             len(regexp_extract_all(text, '[0-9]+', 0)) AS n_number_runs
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** q36: exact two-variable statistics (correlation/covariance) computed
+    * from DECIMAL-exact moments — order-independent, bit-identical across
+    * engines (built-in corr/covar use order-dependent streaming updates).
+    */
+  val q36 = GraftQuery(
+    "q36_corr_stats",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(d2(col("l_quantity"))).cast("double").as("sx"),
+        sum(d2(col("l_extendedprice"))).cast("double").as("sy"),
+        sum(d2(col("l_quantity")) * d2(col("l_quantity"))).cast("double").as("sxx"),
+        sum(d2(col("l_extendedprice")) * d2(col("l_extendedprice"))).cast("double").as("syy"),
+        sum(d2(col("l_quantity")) * d2(col("l_extendedprice"))).cast("double").as("sxy"))
+      m.select(
+        col("l_returnflag"), col("n"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)).as("covar_samp"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("syy") - col("sy") * col("sy") / col("n")))).as("corr"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag, n,
+             (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+             (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr
+      FROM (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag) t
+      ORDER BY l_returnflag"""))
+
+  /** q37: approximate distinct counting (HLL) — rows-only (approx values
+    * are engine-specific); the spec asserts error bounds vs exact counts.
+    */
+  val q37 = GraftQuery(
+    "q37_approx_distinct",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag")),
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q16, q19, q33, q34, q35, q36, q37)
+}

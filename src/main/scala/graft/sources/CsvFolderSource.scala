@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.GraftQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Secondary CSV sources (SURVEY §2.1 S12-S14): the reference's failures
+  * feed — a folder of headered CSVs on object storage — plus the
+  * "load most recent file" helper its IO manager exposes.
+  *
+  * Spark-first: one `spark.read.csv` over the folder glob (no per-file
+  * driver loop — the reference reads file-by-file, storage/wrm_data/
+  * failures/read.py:47-88); schema inference stays off in favor of
+  * explicit DDL when known, falling back to header-based strings.
+  */
+object CsvFolderSource {
+
+  /** Read every *.csv under a prefix as one frame with source lineage. */
+  def readFolder(spark: SparkSession, prefix: String,
+                 schemaDDL: Option[String] = None): DataFrame = {
+    val reader = spark.read.option("header", "true")
+    val withSchema = schemaDDL.map(reader.schema).getOrElse(
+      reader.option("inferSchema", "false"))
+    withSchema.csv(s"$prefix/*.csv")
+      .withColumn("_source_file", input_file_name())
+  }
+
+  /** S14 "load most recent": pick rows of the newest file by mtime —
+    * max_by over the file listing, no driver-side sort of data.
+    */
+  def mostRecentFile(spark: SparkSession, prefix: String): Option[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(s"$prefix/*.csv")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
+    if (files.isEmpty) None
+    else Some(files.maxBy(_.getModificationTime).getPath.toString)
+  }
+
+  /** Deterministic failures-style fixture (FIXTURES.md §5: any small
+    * headered CSV under a failures/ prefix).
+    */
+  def writeFailuresFixture(): String = {
+    val dir = java.nio.file.Paths.get("/tmp/graft_wrm_fixture/failures")
+    java.nio.file.Files.createDirectories(dir)
+    val rows = (1 to 40).map { i =>
+      val station = 1 + (i % 8)
+      val kind = Seq("brake", "tire", "chain", "lock")(i % 4)
+      f"2025-05-${1 + i % 2}%02d,$station%d,$kind%s,${i % 3}%d"
+    }
+    val csv = ("report_date,station_id,failure_type,severity" +: rows).mkString("\n")
+    java.nio.file.Files.write(dir.resolve("WRM_usterki_part1.csv"),
+      csv.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("WRM_usterki_part2.csv"),
+      csv.replace(",1,", ",9,").getBytes("UTF-8"))
+    dir.toString
+  }
+
+  /** Failures-by-type rollup over the CSV folder (rows-only; semantics
+    * pinned in the spec).
+    */
+  val qFailures = GraftQuery(
+    "wrm_failures_csv",
+    (s, _) => {
+      val prefix = writeFailuresFixture()
+      readFolder(s, prefix,
+        Some("report_date STRING, station_id INT, failure_type STRING, severity INT"))
+        .groupBy(col("failure_type"))
+        .agg(count(lit(1)).as("n"), sum(col("severity")).as("total_severity"),
+          countDistinct(col("station_id")).as("n_stations"))
+        .orderBy(col("failure_type"))
+    },
+    None)
+
+  val queries: Seq[GraftQuery] = Seq(qFailures)
+}

@@ -23,6 +23,33 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object WrmStreamPipeline {
 
+  final case class RawPayload(source: String, ts: java.sql.Timestamp, payload: String)
+
+  /** T5: streaming content-hash dedup with the reference's exact scope
+    * (raw_all.py:83-150, SURVEY §7.4.6): a payload is dropped only when it
+    * equals the MOST RECENT kept payload of its source — older duplicates
+    * pass. State per key = one SHA-256 hash (trivially bounded; the
+    * streaming dual of DedupGate.filterIngest).
+    */
+  def dedupConsecutive(payloads: org.apache.spark.sql.Dataset[RawPayload])
+      : org.apache.spark.sql.Dataset[RawPayload] = {
+    import payloads.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    payloads
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
+        (source: String, batch: Iterator[RawPayload], state: GroupState[String]) => {
+          val kept = Seq.newBuilder[RawPayload]
+          var last = state.getOption
+          batch.toSeq.sortBy(p => p.ts.getTime).foreach { p =>
+            val d = graft.wrm.DedupGate.check(p.payload, last)
+            if (!d.isDuplicate) { kept += p; last = Some(d.hash) }
+          }
+          last.foreach(state.update)
+          kept.result().iterator
+        })
+  }
+
   final case class Config(
       rawRoot: String,
       enhancedRoot: String,
