@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.eval(InternalRow.empty).asInstanceOf[Int]
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[text.TextExprs.TokenShingles].getName, "graft_shingles"),

@@ -23,7 +23,8 @@ object SparkEntry {
       sources.CsvFolderSource.queries ++
       wrm.WrmQueries.queries ++
       multimodal.Multimodal.queries ++
-      streaming.EventsStream.queries
+      streaming.EventsStream.queries ++
+      plans.AsOfQueries.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

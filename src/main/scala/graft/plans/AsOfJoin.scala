@@ -1,0 +1,149 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** AS-OF JOIN — a whole-operator Catalyst extension (SURVEY §7.3 /
+  * build-prompt option (c): LogicalPlan + Strategy + SparkPlan, registered
+  * through SparkSessionExtensions).
+  *
+  * Semantics (matching DuckDB's `ASOF LEFT JOIN ... ON l.k = r.k AND
+  * l.t >= r.t`): every left row joins the single right row sharing its key
+  * with the greatest right-time ≤ left-time; unmatched left rows keep
+  * nulls. Spark SQL has no native as-of join — composing it from window
+  * functions requires a union + double sort; this operator is a single
+  * co-partitioned merge.
+  *
+  * Scale design: both sides hash-cluster on the join key (one shuffle
+  * each — same layout as a sort-merge join) and sort within partitions by
+  * (key, time); the merge is a streaming two-pointer pass holding ONE
+  * candidate row of state, O(n+m) per partition with no buffering of
+  * either side. Null keys never match (SQL equality semantics); the merge
+  * skips them explicitly since sort order would otherwise group them.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression)
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, leftOutput)
+      val rKeyProj = UnsafeProjection.create(rKeys, rightOutput)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), leftOutput)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rightOutput)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        rightOutput.length)
+      val joined = new JoinedRow
+
+      val rBuf = rIter.buffered
+      var candidate: InternalRow = null
+      var candidateKey: InternalRow = null
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val keyHasNull = (0 until lKey.numFields).exists(lKey.isNullAt)
+        if (keyHasNull) {
+          joined(lRow, nullRight)
+        } else {
+          if (candidateKey != null && keyOrd.compare(candidateKey, lKey) != 0) {
+            candidate = null; candidateKey = null
+          }
+          val lTimeRow = lTimeProj(lRow).copy()
+          var done = false
+          while (!done && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) { rBuf.next() } // right side behind: discard
+            else if (c == 0 &&
+              !(0 until rKey.numFields).exists(rKey.isNullAt) &&
+              timeOrd.compare(rTimeProj(rBuf.head), lTimeRow) <= 0) {
+              candidate = rBuf.next().copy()
+              candidateKey = lKey.copy()
+            } else done = true
+          }
+          joined(lRow, if (candidate != null) candidate else nullRight)
+        }
+      }.map(resultProj)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping the logical node to the exec (injected via
+  * GraftExtensions).
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing API. */
+object AsOf {
+  /** As-of join `left` to `right` on equality keys + time: for each left
+    * row, the latest right row with rightTime ≤ leftTime. Right columns
+    * must not collide with left column names (alias beforehand — custom
+    * logical nodes bypass the self-join dedup the analyzer applies to
+    * `Join`).
+    */
+  def join(left: DataFrame, right: DataFrame,
+           leftKeys: Seq[String], rightKeys: Seq[String],
+           leftTime: String, rightTime: String): DataFrame = {
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found in ${p.output.map(_.name).mkString(",")}"))
+    val plan = AsOfJoinPlan(lp, rp,
+      leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
+      attr(lp, leftTime), attr(rp, rightTime))
+    org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(left.sparkSession, plan)
+  }
+}

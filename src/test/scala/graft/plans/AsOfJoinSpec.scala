@@ -1,0 +1,61 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join on a hand-computed fixture (inclusive time, left outer)") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 15L, "p3"), (3L, 5L, "p4"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, "a"), (1L, 18L, "b"), (1L, 20L, "c"), (2L, 99L, "z"))
+      .toDF("rk", "rt", "rtag")
+    val out = AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select("k", "t", "tag", "rt", "rtag").orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, "p1", 5L, "a"),    // 5 <= 10 < 18
+      (1L, 20L, "p2", 20L, "c"),   // inclusive: 20 <= 20
+      (2L, 15L, "p3", -1L, null),  // only right is at 99 > 15
+      (3L, 5L, "p4", -1L, null)))  // no right key 3
+  }
+
+  test("as-of join matches a window-based reference implementation on real data") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("event_id").as("view_event_id"),
+        col("ts").as("view_ts"))
+
+    val got = AsOf.join(purchases, views, Seq("user_id"), Seq("vu"), "ts", "view_ts")
+      .select(col("event_id"), col("view_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    // reference: plain join + filter + max_by (quadratic per key, fine at test size)
+    val expected = purchases.join(views,
+        col("user_id") === col("vu") && col("view_ts") <= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(max_by(col("view_event_id"), struct(col("view_ts"), col("view_event_id"))).as("w"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
+  test("as-of join plan shape: two shuffles, sorted merge, no cartesian") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("event_id").as("ve"), col("ts").as("vts"))
+    val plan = AsOf.join(l, r, Seq("user_id"), Seq("vu"), "ts", "vts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(plan.contains("Exchange hashpartitioning"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
