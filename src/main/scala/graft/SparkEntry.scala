@@ -16,6 +16,7 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     relational.RelationalQueries.all ++
       relational.ExtendedQueries.all ++
+      relational.SessionQueries.all ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       vector.Similarity.queries ++

@@ -61,6 +61,21 @@ object Density {
           .as("members"))
   }
 
+  /** Map viewport math (reference bike_density_map consumes these): center
+    * = bbox midpoint; zoom from the larger bbox span via log2 against a
+    * 360°-wide world tile (F7 log usage).
+    */
+  def zoomCenter(latMin: Double, latMax: Double,
+                 lonMin: Double, lonMax: Double): (Double, Double, Double) = {
+    val centerLat = (latMin + latMax) / 2
+    val centerLon = (lonMin + lonMax) / 2
+    val span = math.max(latMax - latMin, lonMax - lonMin)
+    val zoom =
+      if (span <= 0) 15.0
+      else math.max(1.0, math.min(15.0, math.log(360.0 / span) / math.log(2.0)))
+    (centerLat, centerLon, zoom)
+  }
+
   /** Full analysis: per-cell grid + global tallies + top-10 densest
     * (bike_spatial_density_analysis.py:93-102).
     */

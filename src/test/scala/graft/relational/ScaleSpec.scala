@@ -1,0 +1,68 @@
+package graft.relational
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique specs: salted aggregation equivalence and bucketed
+  * co-located joins (shuffle elimination).
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals plain aggregation on a skewed key set") {
+    // simulate skew: one key owns 90% of rows
+    val skewed = spark.range(0, 50000)
+      .select(when(col("id") % 10 =!= 0, lit(777L)).otherwise(col("id")).as("k"),
+        (col("id") % 100).cast("double").as("v"))
+    val salted = SkewTools.saltedSumCount(skewed, col("k"), col("v"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val plain = skewed.groupBy(col("k").as("k"))
+      .agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq) // integer-valued doubles: exact
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    // warehouse.dir is static conf — write external bucketed tables to /tmp
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh")
+    Tables.orders(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_bucketed").saveAsTable("orders_bucketed")
+    Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_bucketed").saveAsTable("lineitem_bucketed")
+    // disable broadcast so the join would otherwise shuffle both sides
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("lineitem_bucketed")
+        .join(spark.table("orders_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(physical.contains("SortMergeJoin"))
+      // the join itself must not introduce exchanges — bucket layout feeds
+      // both sides directly (only the final groupBy may exchange)
+      val joinPart = physical.split("SortMergeJoin")(1)
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey"),
+        s"unexpected shuffle on join keys:\n$physical")
+      assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+        s"unexpected shuffle on join keys:\n$physical")
+      // and it still computes the right answer
+      val n = joined.agg(sum(col("n"))).collect()(0).getLong(0)
+      assert(n == Tables.lineitem(spark, "/root/testdata/sf0.001").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+    }
+  }
+
+  test("density zoom/center math") {
+    val (clat, clon, zoom) = graft.wrm.Density.zoomCenter(51.0, 51.2, 17.0, 17.1)
+    assert(clat == 51.1 && math.abs(clon - 17.05) < 1e-9)
+    assert(zoom > 9 && zoom < 12) // ~0.2° span → ~10.8
+    val (_, _, z0) = graft.wrm.Density.zoomCenter(51.0, 51.0, 17.0, 17.0)
+    assert(z0 == 15.0) // degenerate bbox → max zoom
+  }
+}
