@@ -71,8 +71,9 @@ def main(sf_dir, out_dir):
                         neq = ~(np.isclose(col_a, col_b, rtol=0, atol=0, equal_nan=True))
                     else:
                         neq = ~((col_a == col_b) | (col_a.isna() & col_b.isna()))
+                    neq = np.asarray(neq)
                     if neq.any():
-                        i = int(np.argmax(neq.values))
+                        i = int(np.argmax(neq))
                         print(f"   col {c}: {int(neq.sum())} diffs; first at row {i}: spark={col_a.iloc[i]!r} duck={col_b.iloc[i]!r}")
             n_fail += 1
     print(f"\nSUMMARY: {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")

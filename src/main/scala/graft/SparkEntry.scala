@@ -17,6 +17,7 @@ object SparkEntry {
     relational.RelationalQueries.all ++
       relational.ExtendedQueries.all ++
       relational.SessionQueries.all ++
+      relational.SetOpQueries.all ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       vector.Similarity.queries ++

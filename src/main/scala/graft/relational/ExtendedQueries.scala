@@ -161,18 +161,22 @@ object ExtendedQueries {
         sum(d2(col("l_quantity")) * d2(col("l_quantity"))).cast("double").as("sxx"),
         sum(d2(col("l_extendedprice")) * d2(col("l_extendedprice"))).cast("double").as("syy"),
         sum(d2(col("l_quantity")) * d2(col("l_extendedprice"))).cast("double").as("sxy"))
+      // round the final statistics: the moment inputs are bit-identical
+      // across engines, but the last combining ops can differ by one ULP
+      // (FMA contraction in native builds vs strict JVM fp).
       m.select(
         col("l_returnflag"), col("n"),
-        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)).as("covar_samp"),
-        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6)
+          .as("covar_samp"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
           sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
-            (col("syy") - col("sy") * col("sy") / col("n")))).as("corr"))
+            (col("syy") - col("sy") * col("sy") / col("n"))), 12).as("corr"))
         .orderBy(col("l_returnflag"))
     },
     Some("""
       SELECT l_returnflag, n,
-             (sxy - sx * sy / n) / (n - 1) AS covar_samp,
-             (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr
+             round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+             round((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12) AS corr
       FROM (
         SELECT l_returnflag,
                count(*) AS n,
