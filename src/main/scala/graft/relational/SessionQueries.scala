@@ -108,5 +108,46 @@ object SessionQueries {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q40, q41, q42)
+  /** q45: Spark-native session windows (`session_window`) — same 30-min
+    * gap semantics as q40; window end = last event + gap, which the oracle
+    * reproduces as max(ts)+interval.
+    */
+  val q45 = GraftQuery(
+    "q45_session_window",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(d2(col("value"))).cast("double").as("session_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""
+      SELECT user_id,
+             min(ts_us) AS session_start,
+             max(ts_us) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM (
+        SELECT user_id, value, ts_us,
+               sum(boundary) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM (
+          SELECT user_id, event_id, value,
+                 CAST(ts AS TIMESTAMP) AS ts_us,
+                 CASE WHEN lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                       OR epoch(CAST(ts AS TIMESTAMP))::BIGINT -
+                          epoch(lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id))::BIGINT >= 1800
+                      THEN 1 ELSE 0 END AS boundary
+          FROM events) b) s
+      GROUP BY user_id, session_no
+      ORDER BY user_id, session_start"""))
+
+  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q45)
 }

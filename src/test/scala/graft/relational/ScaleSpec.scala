@@ -58,6 +58,46 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("dt=-partitioned writes give partition pruning on read") {
+    val root = java.nio.file.Files.createTempDirectory("prune").toString
+    val enhanced = graft.wrm.WrmQueries.enhancedAll(spark)
+    graft.wrm.Sinks.appendEnhanced(enhanced, root)
+    val filtered = spark.read.option("basePath", root).parquet(root)
+      .filter(col("dt") === "2025-05-01")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(dt"),
+      s"expected partition filter in:\n$scan")
+    assert(filtered.count() == 36) // only the one date read
+  }
+
+  test("as-of join survives AQE partition coalescing (zipPartitions co-partitioning)") {
+    // tiny data + 32 shuffle partitions → AQE coalesces aggressively; the
+    // custom exec's two shuffled children must stay co-partitioned.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val l = Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c")).toDF("k", "t", "tag")
+      val r = Seq((1L, 5L, "x"), (3L, 20L, "y")).toDF("rk", "rt", "rtag")
+      val out = graft.plans.AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt")
+        .select("k", "rtag").orderBy("k")
+        .collect().map(x => (x.getLong(0), x.getString(1)))
+      assert(out.toSeq == Seq((1L, "x"), (2L, null), (3L, null)))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("observe() exposes pipeline metrics without a second pass") {
+    val observed = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .observe("counts",
+        count(lit(1)).as("rows"),
+        sum(when(col("l_quantity") < 0, 1).otherwise(0)).as("bad_qty"))
+    // the action must run the dataset's OWN QueryExecution (a write/count
+    // builds a new one whose metrics land in a listener instead)
+    observed.collect()
+    val m = observed.queryExecution.observedMetrics("counts")
+    assert(m.getAs[Long]("rows") == 6000L)
+    assert(m.getAs[Long]("bad_qty") == 0L)
+  }
+
   test("density zoom/center math") {
     val (clat, clon, zoom) = graft.wrm.Density.zoomCenter(51.0, 51.2, 17.0, 17.1)
     assert(clat == 51.1 && math.abs(clon - 17.05) < 1e-9)
