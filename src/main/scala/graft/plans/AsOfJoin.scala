@@ -55,6 +55,13 @@ case class AsOfJoinExec(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
     (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
 
+  // the merge streams left rows through unchanged — expose the left
+  // child's partitioning/ordering so downstream grouping on the same keys
+  // skips a redundant exchange/sort
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOutput = left.output
     val rightOutput = right.output
