@@ -30,7 +30,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Seq[Expression] = Nil)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -42,7 +43,8 @@ case class AsOfJoinPlan(
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Seq[Expression] = Nil)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -51,9 +53,14 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  /** Right ordering includes the optional tiebreak columns: among right
+    * rows sharing (key, time) the merge keeps the LAST consumed, i.e. the
+    * tiebreak-maximum — making the matched row deterministic when the
+    * time column alone is not unique (SURVEY §7.4.2 convention).
+    */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+    ((rightKeys :+ rightTime) ++ rightTiebreak).map(SortOrder(_, Ascending)))
 
   // the merge streams left rows through unchanged — expose the left
   // child's partitioning/ordering so downstream grouping on the same keys
@@ -125,8 +132,8 @@ case class AsOfJoinExec(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
     case _ => Nil
   }
 }
@@ -141,7 +148,8 @@ object AsOf {
     */
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           rightTiebreak: Seq[String] = Nil): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -150,7 +158,8 @@ object AsOf {
           s"column $n not found in ${p.output.map(_.name).mkString(",")}"))
     val plan = AsOfJoinPlan(lp, rp,
       leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
-      attr(lp, leftTime), attr(rp, rightTime))
+      attr(lp, leftTime), attr(rp, rightTime),
+      rightTiebreak.map(attr(rp, _)))
     org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(left.sparkSession, plan)
   }
 }

@@ -19,7 +19,8 @@ object AsOfQueries {
         .select(col("user_id").as("v_user_id"), col("event_id").as("view_event_id"),
           col("ts").as("view_ts"), col("value").as("view_value"))
       AsOf.join(purchases, views,
-          Seq("user_id"), Seq("v_user_id"), "ts", "view_ts")
+          Seq("user_id"), Seq("v_user_id"), "ts", "view_ts",
+          rightTiebreak = Seq("view_event_id"))
         .select(col("user_id"), col("event_id"), col("ts").as("ts_us"),
           col("value"), col("view_event_id"), col("view_ts").as("view_ts_us"),
           col("view_value"))

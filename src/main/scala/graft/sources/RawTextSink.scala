@@ -26,11 +26,14 @@ object RawTextSink {
     */
   def mostRecent(root: Path): Option[Path] = {
     if (!Files.exists(root)) return None
-    val all = Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".txt"))
-      .toSeq
-    if (all.isEmpty) None
-    else Some(all.maxBy(p => Files.getLastModifiedTime(p).toMillis))
+    val stream = Files.walk(root)
+    try {
+      val all = stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".txt"))
+        .toSeq
+      if (all.isEmpty) None
+      else Some(all.maxBy(p => Files.getLastModifiedTime(p).toMillis))
+    } finally stream.close()
   }
 
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
@@ -44,11 +47,12 @@ object RawTextSink {
   def write(root: Path, payload: String,
             now: LocalDateTime = LocalDateTime.now()): WriteResult = {
     val fixed = TextFix.fixText(payload)
-    val lastHash = mostRecent(root).map(p =>
+    val recent = mostRecent(root) // one tree walk, reused for hash + key
+    val lastHash = recent.map(p =>
       DedupGate.sha256Hex(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
     val decision = DedupGate.check(fixed, lastHash)
     if (decision.isDuplicate)
-      return WriteResult(mostRecent(root).get.toString, skippedDuplicate = true)
+      return WriteResult(recent.get.toString, skippedDuplicate = true)
     val dir = root.resolve(s"dt=${now.format(DateFmt)}")
     Files.createDirectories(dir)
     val f = dir.resolve(s"wrm_stations_${now.format(TsFmt)}.txt")

@@ -105,6 +105,33 @@ object EventsStream {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * views within the preceding hour. Both sides watermarked so the join
+    * state is bounded — Spark retains only rows inside the watermark +
+    * interval window (the standard bounded-state stream join recipe).
+    */
+  def purchaseViewJoin(events: DataFrame, lookback: String = "1 hour"): DataFrame = {
+    // the watermark must cover the lookback interval, or the view-side
+    // state is evicted before qualifying matches arrive — derive both
+    // from the one parameter so they can't diverge
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", lookback)
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", lookback)
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"), col("purchase_value"))
+  }
+
   /** T7: live latest-per-user via mapGroupsWithState — state is one record
     * per key (bounded by key cardinality, like the reference's
     * latest-per-station view).

@@ -75,10 +75,19 @@ object WrmStreamPipeline {
       .select(Schemas.enhancedColumns.map(col): _*)
   }
 
-  /** Start the streaming query. Each micro-batch is parsed and written
-    * with dynamic partition overwrite per affected date (T4: a late file
-    * for an old date rewrites that date's partition deterministically
-    * because the write includes every row of the batch for that date).
+  /** Start the streaming query. Each micro-batch is parsed and APPENDED
+    * under its rows' dt= partitions (at-least-once on crash replay: a
+    * batch that wrote but didn't commit its checkpoint re-appends on
+    * restart — readers needing exactly-once dedup on (s3_source_key,
+    * station_id, timestamp) or use the W1 latest-per-key view, which
+    * tolerates duplicates by construction). The reference's late-data
+    * FULL-recompute path (T4) is the batch job: re-parse the date dir and
+    * `Sinks.overwriteDate` it idempotently.
+    *
+    * A batch failure PROPAGATES (no checkpoint commit) so the file source
+    * re-delivers the batch on restart — the streaming analog of the
+    * sensor's skip-and-retry (T8); swallowing the error would commit the
+    * offsets and silently drop those files' rows forever.
     */
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
     val reader = spark.readStream
@@ -87,7 +96,7 @@ object WrmStreamPipeline {
     val withLimit = cfg.maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
     val raw = withLimit
-      .csv(s"${cfg.rawRoot}/dt=*")
+      .csv(s"${cfg.rawRoot}/dt=*/*.txt") // only snapshot files, not strays
       .select(
         (Schemas.rawColumns.map(col) :+
           input_file_name().as("s3_source_key") :+
@@ -101,9 +110,9 @@ object WrmStreamPipeline {
           val enhanced = transformBatch(batch)
           if (!enhanced.isEmpty) Sinks.appendEnhanced(enhanced, cfg.enhancedRoot)
         } catch {
-          // T8: sensor-style resilience — log and keep polling
           case e: Exception =>
             System.err.println(s"[wrm-stream] batch $batchId failed: ${e.getMessage}")
+            throw e // fail the batch: offsets NOT committed, retried on restart
         }
         ()
       }

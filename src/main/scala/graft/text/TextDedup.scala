@@ -33,21 +33,6 @@ object TextDedup {
     array_distinct(grams)
   }
 
-  /** MinHash signature in ONE pass over the shingle set: each shingle
-    * string is hashed exactly once (the aggregate's input), then the k
-    * family values derive from cheap long re-hashes folded into a k-wide
-    * running-min accumulator. (k separate `array_min(transform(...))`
-    * expressions would re-hash every shingle string k times — projection
-    * collapse inlines repeated subtrees.)
-    */
-  def minhashSignature(shingleCol: Column, k: Int = 16): Column = {
-    val seeds = typedLit((0 until k).map(_.toLong))
-    aggregate(
-      transform(shingleCol, s => xxhash64(s)),
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => zip_with(acc, seeds, (m, i) => least(m, xxhash64(i, h))))
-  }
-
   /** LSH band keys: split the k-row signature into `bands` bands of
     * k/bands rows each; band key = hash of the band's slice.
     */

@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * LSH-bucketed approximate variant (the scale path), plus embedding-cosine
   * near-duplicate detection.
   *
-  * Vector math is pure codegen'd column expressions (`zip_with` +
-  * `aggregate` — sequential left fold, so results are bit-deterministic and
-  * match a sequential oracle). Elements are cast float→double BEFORE any
-  * arithmetic so both engines do the same double-precision fold.
+  * Vector math: hot paths use the native kernel expressions in
+  * VectorExprs (tight per-row loops); `dot`/`cosine` below are the
+  * composable zip_with/aggregate reference forms, bit-equal to the native
+  * CosineSim (pinned by SimilaritySpec). Elements are cast float→double
+  * BEFORE any arithmetic so results match a sequential double-fold oracle.
   *
   * Scale design: brute-force is a broadcast of the (tiny) query vector —
   * a narrow map + top-k (TakeOrdered), no shuffle of the corpus. The LSH
@@ -47,23 +48,6 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
-
-  /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
-    * xxhash64 folded into [-1, 1). No RNG state — reproducible anywhere.
-    */
-  private def coeff(plane: Int, i: Column): Column =
-    (pmod(xxhash64(lit(plane), i), lit(2000L)).cast("double") - 1000.0) / 1000.0
-
-  /** LSH bucket id from `planes` random-hyperplane sign bits. */
-  def lshBucket(emb: Column, planes: Int = 8): Column = {
-    val bits = (0 until planes).map { p =>
-      val score = aggregate(
-        transform(emb.cast("array<double>"), (x, i) => x * coeff(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(score >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
 
   /** ANN via LSH buckets: exact cosine ranking within the query's bucket.
     * Recall < 1 by construction; the baseline brute-force is the oracle.

@@ -47,7 +47,9 @@ object RawParser {
     spark.read
       .option("header", "true") // header skipped per file
       .schema(Schemas.rawSchema)
-      .csv(path)
+      // read exactly what the listing validated — a stray non-.txt file in
+      // the partition dir must not be ingested as snapshot data
+      .csv(new org.apache.hadoop.fs.Path(path, "*.txt").toString)
       .select(
         (Schemas.rawColumns.map(col) :+
           input_file_name().as("s3_source_key") :+

@@ -102,6 +102,18 @@ class RawParserSpec extends SparkSpec {
     }
   }
 
+  test("stray non-.txt files in the partition dir are not ingested") {
+    val dir = tmpDir()
+    write(dir, "wrm_stations_2025-05-01_10-00-00.txt", CanonicalFixture)
+    // a stray CSV whose rows would cast cleanly if read
+    write(dir, "stray.csv", CanonicalFixture)
+    write(dir, "_SUCCESS", "")
+    val out = RawParser.processPartition(spark, dir.toString)
+    assert(out.count() == 3) // only the snapshot file's rows
+    val sources = out.select("s3_source_key").distinct().collect().map(_.getString(0))
+    assert(sources.length == 1 && sources(0).endsWith(".txt"))
+  }
+
   test("boolean variants map like the reference (true/false/empty)") {
     val dir = tmpDir()
     write(dir, "wrm_stations_2025-05-01_10-00-00.txt",
