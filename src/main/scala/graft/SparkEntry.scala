@@ -20,6 +20,7 @@ object SparkEntry {
       relational.SetOpQueries.all ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
+      text.CorpusOps.queries ++
       vector.Similarity.queries ++
       vector.IvfIndex.queries ++
       sources.CsvFolderSource.queries ++

@@ -81,6 +81,24 @@ class TextSpec extends SparkSpec {
     assert(df.sameElements(Array("en", "de", "und")))
   }
 
+  test("stratified sample: deterministic and proportional per stratum") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val fractions = Map("en" -> 1.0, "de" -> 0.5, "zh" -> 0.0)
+    val sample = CorpusOps.stratifiedSample(docs, "lang", "doc_id", fractions)
+    val counts = sample.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts("en") == totals("en"))          // fraction 1.0 keeps all
+    assert(!counts.contains("zh"))                // fraction 0 keeps none
+    val deRatio = counts("de").toDouble / totals("de")
+    assert(deRatio > 0.3 && deRatio < 0.7, s"de ratio $deRatio")
+    // unset strata (es, fr) default to 0
+    assert(!counts.contains("es") && !counts.contains("fr"))
+    // deterministic: same sample on re-run
+    val again = CorpusOps.stratifiedSample(docs, "lang", "doc_id", fractions)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sample.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("fingerprint: deterministic, order-sensitive") {
     val out = Seq((1L, "abc"), (2L, "abc"), (3L, "acb"))
       .toDF("doc_id", "text")
