@@ -127,13 +127,109 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy mapping the logical node to the exec (injected via
-  * GraftExtensions).
+/** Broadcast as-of join: when the right side is small (the
+  * fact-to-dimension case — events against a slowly-changing dimension),
+  * collect it into a per-key time-sorted index and broadcast; the left
+  * side is probed with a binary search per row — NO shuffle or sort of
+  * the (100 TB) left side at all.
+  */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Seq[Expression] = Nil)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // left flows through untouched — no distribution/ordering requirements
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rightOutput = right.output
+    val rKeys = rightKeys
+    val rTime = rightTime
+    val rTie = rightTiebreak
+    val lKeys = leftKeys
+    val lTime = leftTime
+    val leftOutput = left.output
+    val outAttrs = output
+    val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
+    val tieOrd = RowOrdering.createNaturalAscendingOrdering(rTie.map(_.dataType))
+
+    // driver-side index build: keyRow -> time-sorted (timeRow, row) array
+    val rKeyProj = UnsafeProjection.create(rKeys, rightOutput)
+    val rTimeProj = UnsafeProjection.create(Seq(rTime), rightOutput)
+    val rTieProj = UnsafeProjection.create(rTie, rightOutput)
+    val index = new java.util.HashMap[InternalRow, Array[(InternalRow, InternalRow, InternalRow)]]()
+    val grouped = right.executeCollect().toSeq
+      .map(r => (rKeyProj(r).copy(), rTimeProj(r).copy(), rTieProj(r).copy(), r.copy()))
+      .filterNot { case (k, _, _, _) => (0 until k.numFields).exists(k.isNullAt) }
+      .groupBy(_._1)
+    grouped.foreach { case (k, rows) =>
+      val sorted: Array[(InternalRow, InternalRow, InternalRow)] = rows
+        .sortWith { (a, b) =>
+          val c = timeOrd.compare(a._2, b._2)
+          if (c != 0) c < 0 else tieOrd.compare(a._3, b._3) < 0
+        }
+        .map(t => (t._2: InternalRow, t._3: InternalRow, t._4: InternalRow))
+        .toArray
+      index.put(k, sorted)
+    }
+    val broadcastIndex = sparkContext.broadcast(index)
+
+    val lTimeType = lTime.dataType
+    left.execute().mapPartitions { lIter =>
+      val idx = broadcastIndex.value
+      // generated orderings are not serializable — build per partition
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeType))
+      val lKeyProj = UnsafeProjection.create(lKeys, leftOutput)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), leftOutput)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        rightOutput.length)
+      val joined = new JoinedRow
+      lIter.map { lRow =>
+        val arr = idx.get(lKeyProj(lRow))
+        val matched =
+          if (arr == null) nullRight
+          else {
+            val lt = lTimeProj(lRow)
+            // binary search: greatest position with time <= lt
+            var lo = 0; var hi = arr.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(arr(mid)._1, lt) <= 0) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (ans < 0) nullRight else arr(ans)._3
+          }
+        resultProj(joined(lRow, matched))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy (injected via GraftExtensions): size-based choice
+  * mirroring Spark's broadcast-join selection — a right side whose
+  * estimated size fits the autoBroadcastJoinThreshold gets the broadcast
+  * exec (no left shuffle); otherwise the co-partitioned merge.
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+      val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
     case _ => Nil
   }
 }

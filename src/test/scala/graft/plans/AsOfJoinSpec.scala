@@ -45,17 +45,47 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("as-of join plan shape: two shuffles, sorted merge, no cartesian") {
+  test("small right side takes the broadcast path; both paths agree") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val l = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"))
     val r = ev.filter(col("event_type") === "view")
       .select(col("user_id").as("vu"), col("event_id").as("ve"), col("ts").as("vts"))
-    val plan = AsOf.join(l, r, Seq("user_id"), Seq("vu"), "ts", "vts")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("AsOfJoin"))
-    assert(plan.contains("Exchange hashpartitioning"))
-    assert(!plan.contains("CartesianProduct"))
-    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    def run() = AsOf.join(l, r, Seq("user_id"), Seq("vu"), "ts", "vts",
+      rightTiebreak = Seq("ve"))
+
+    // default threshold (10m) → tiny right side broadcasts
+    val bPlan = run().queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastAsOfJoin"), s"expected broadcast path:\n$bPlan")
+    val bRes = run().select("event_id", "ve").as[(Long, Option[Long])].collect().toMap
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val mPlan = run().queryExecution.executedPlan.toString
+      assert(mPlan.contains("AsOfJoin") && !mPlan.contains("BroadcastAsOfJoin"),
+        s"expected merge path:\n$mPlan")
+      val mRes = run().select("event_id", "ve").as[(Long, Option[Long])].collect().toMap
+      assert(bRes == mRes)
+      assert(bRes.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("as-of join merge-path plan shape: two shuffles, sorted merge, no cartesian") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force merge path
+    try {
+      val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val r = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("event_id").as("ve"), col("ts").as("vts"))
+      val plan = AsOf.join(l, r, Seq("user_id"), Seq("vu"), "ts", "vts")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"))
+      assert(plan.contains("Exchange hashpartitioning"))
+      assert(!plan.contains("CartesianProduct"))
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
