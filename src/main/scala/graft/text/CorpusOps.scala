@@ -62,5 +62,66 @@ object CorpusOps {
         .orderBy(col("doc_id")),
     None)
 
-  val queries: Seq[GraftQuery] = Seq(qVocab, qStratified)
+  /** TF-IDF weights: per-doc term frequency × ln(N/df) over the full
+    * corpus. df/N come from broadcast aggregates; output restricted to a
+    * doc subset to bound the dump (the full table is the same plan).
+    * Rounded to 8 — ln() can differ in the last ULP between libm and the
+    * JVM.
+    */
+  val qTfIdf = GraftQuery(
+    "q48_tfidf",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tokens = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = tokens.filter(col("doc_id") < 20)
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfTable = tokens.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      tf.join(broadcast(dfTable), "token")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 8)
+            .as("tfidf"))
+        .orderBy(col("doc_id"), col("token"))
+    },
+    Some("""
+      WITH tokens AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tokens
+        WHERE doc_id < 20 GROUP BY doc_id, token),
+      dft AS (
+        SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tokens) GROUP BY token),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+      SELECT doc_id, token, tf, df,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 8) AS tfidf
+      FROM tf JOIN dft USING (token) CROSS JOIN n
+      ORDER BY doc_id, token"""))
+
+  /** arg_max/min aggregates (the A7 first/last primitive) — tie-free on
+    * this data ((user_id, ts) is unique at every SF).
+    */
+  val qArgMax = GraftQuery(
+    "q49_argmax",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("event_type"), col("ts")).as("last_event_type"),
+          min_by(col("event_type"), col("ts")).as("first_event_type"),
+          max_by(col("value"), col("ts")).as("last_value"))
+        .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id,
+             arg_max(event_type, CAST(ts AS TIMESTAMP)) AS last_event_type,
+             arg_min(event_type, CAST(ts AS TIMESTAMP)) AS first_event_type,
+             arg_max(value, CAST(ts AS TIMESTAMP)) AS last_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qVocab, qStratified, qTfIdf, qArgMax)
 }
