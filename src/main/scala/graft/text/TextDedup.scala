@@ -121,6 +121,50 @@ object TextDedup {
       (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** Scalable dedup output: instead of emitting every near-duplicate PAIR
+    * (O(cluster²) rows — a duplicate cluster of 1000 copies explodes into
+    * half a million pairs), assign each doc at most ONE canonical
+    * candidate: the minimum doc_id sharing any LSH band bucket, verified
+    * by Jaccard. Output is one row per document.
+    *
+    * Chained clusters (A~B~C with A,C not bucket-colliding) keep separate
+    * canonicals after one pass — full transitive closure is an iterated
+    * pass or a connected-components job; exact-duplicate clusters always
+    * collapse in one pass (identical docs share all buckets).
+    */
+  def minhashCanonical(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                       threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val sigs = docs
+      .select(col("doc_id"),
+        TextExprs.tokenShingles(spark, TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val banded = sigs
+      .select(col("doc_id"),
+        explode(bandKeys(TextExprs.minhashSig(spark, col("sh"), k), k, bands)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+    // min doc id per bucket, then min candidate per doc — rows stay O(docs)
+    val bucketMin = banded.groupBy(col("band_id"), col("band_hash"))
+      .agg(min(col("doc_id")).as("bucket_min"))
+    val candidate = banded.join(bucketMin, Seq("band_id", "band_hash"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("bucket_min")).as("cand"))
+      .filter(col("cand") < col("doc_id"))
+    // verify the single candidate pair per doc
+    val verified = candidate
+      .join(sigs.select(col("doc_id"), col("sh")), "doc_id")
+      .join(sigs.select(col("doc_id").as("cand"), col("sh").as("sh_c")), "cand")
+      .filter(jaccard(col("sh"), col("sh_c")) >= threshold)
+      .select(col("doc_id"), col("cand").as("canonical_id"))
+    docs.select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
+        col("canonical_id").isNull.as("is_canonical"))
+  }
+
   // ---- query wrappers ----------------------------------------------------
 
   /** Exact dedup by content hash (md5 matches DuckDB's md5 for the oracle;
@@ -204,5 +248,21 @@ object TextDedup {
         .orderBy(col("doc_id")),
     None)
 
-  val queries: Seq[GraftQuery] = Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash)
+  /** Canonical-assignment dedup over documents + planted duplicates:
+    * one output row per doc (the scale-safe dedup shape).
+    */
+  val qMinhashCanonical = GraftQuery(
+    "q50_minhash_canonical",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val planted = d.limit(20).select(
+        (col("doc_id") + 1000000).as("doc_id"), col("text"))
+      minhashCanonical(d.select(col("doc_id"), col("text")).unionByName(planted),
+        threshold = 0.5)
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  val queries: Seq[GraftQuery] =
+    Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qMinhashCanonical)
 }

@@ -56,6 +56,25 @@ class TextSpec extends SparkSpec {
     assert(r(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("minhash canonical assignment: one row per doc, clusters collapse to min id") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (7L, base),   // exact-dup cluster → canonical 1
+      (3L, other),                          // unique
+      (4L, (1 to 57).map(i => s"tok$i").mkString(" ") + " x y z")) // near-dup of 1
+      .toDF("doc_id", "text")
+    val out = TextDedup.minhashCanonical(docs, threshold = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.size == 5) // exactly one row per doc
+    val canon = out.map(t => t._1 -> t._2).toMap
+    assert(canon(1L) == 1L && canon(2L) == 1L && canon(7L) == 1L)
+    assert(canon(3L) == 3L)
+    assert(canon(4L) == 1L)
+    assert(out.count(_._3) == 2) // canonicals: 1 and 3
+  }
+
   test("simhash: identical texts collide, near texts are close, far texts far") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val base = (1 to 50).map(i => s"tok$i").mkString(" ")
