@@ -15,6 +15,9 @@ object Scaling {
       val tMinhash = time {
         text.TextDedup.minhashDupPairs(docs, threshold = 0.9).write.format("noop").mode("overwrite").save()
       }
+      val tCanonical = time {
+        text.TextDedup.minhashCanonical(docs, threshold = 0.9).write.format("noop").mode("overwrite").save()
+      }
       val tSimhash = time {
         docs.select(text.TextExprs.simhash64(spark, text.TextAnalysis.tokens(col("text")))).write.format("noop").mode("overwrite").save()
       }
@@ -25,7 +28,7 @@ object Scaling {
       val tAgg = time {
         ev.groupBy(col("event_type"), date_trunc("day", col("ts"))).agg(count(lit(1)), sum(col("value").cast("decimal(18,2)"))).write.format("noop").mode("overwrite").save()
       }
-      println(f"mult=$mult%2d docs=${5000*mult}%7d minhash=$tMinhash%6.2f simhash=$tSimhash%6.2f eventsAgg=$tAgg%6.2f")
+      println(f"mult=$mult%2d docs=${5000*mult}%7d minhashPairs=$tMinhash%6.2f minhashCanonical=$tCanonical%6.2f simhash=$tSimhash%6.2f eventsAgg=$tAgg%6.2f")
       docs.unpersist()
     }
     spark.stop()

@@ -165,6 +165,71 @@ object TextDedup {
         col("canonical_id").isNull.as("is_canonical"))
   }
 
+  /** Transitive-closure dedup clustering: connected components over the
+    * LSH bucket graph, by iterative min-label propagation.
+    *
+    * Edge set stays O(docs·bands): within each band bucket every doc gets
+    * ONE star edge to the bucket's minimum doc_id (never the O(bucket²)
+    * clique), Jaccard-verified so a hash collision can't weld two unrelated
+    * clusters. Propagation then runs label(v) ← min(label(v),
+    * min(label(neighbors))) until a fixpoint; every iteration
+    * localCheckpoints to truncate lineage (otherwise the plan doubles per
+    * loop and Catalyst planning time dominates). Convergence is bounded by
+    * the cluster graph's diameter — short for duplicate clusters (stars
+    * around exact copies); adversarially long chains would want the
+    * large-star/small-star variant, which keeps the same per-iteration
+    * plan shape.
+    */
+  def minhashClusters(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5, maxIter: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val sigs = docs
+      .select(col("doc_id"),
+        TextExprs.tokenShingles(spark, TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val banded = sigs
+      .select(col("doc_id"),
+        explode(bandKeys(TextExprs.minhashSig(spark, col("sh"), k), k, bands)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+    val bucketMin = banded.groupBy(col("band_id"), col("band_hash"))
+      .agg(min(col("doc_id")).as("dst"))
+    val starEdges = banded.join(bucketMin, Seq("band_id", "band_hash"))
+      .filter(col("doc_id") =!= col("dst"))
+      .select(col("doc_id").as("src"), col("dst"))
+      .distinct()
+    val verified = starEdges
+      .join(sigs.select(col("doc_id").as("src"), col("sh").as("sh_s")), "src")
+      .join(sigs.select(col("doc_id").as("dst"), col("sh").as("sh_d")), "dst")
+      .filter(jaccard(col("sh_s"), col("sh_d")) >= threshold)
+      .select(col("src"), col("dst"))
+    // propagation needs both directions (min ids must also flow "up" hubs)
+    val edges = verified
+      .union(verified.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val step = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(labels("doc_id"), labels("label").as("old_label"),
+          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"))
+        .localCheckpoint()
+      converged = step.filter(col("old_label") =!= col("label")).isEmpty
+      labels = step.select(col("doc_id"), col("label"))
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("is_canonical"))
+  }
+
   // ---- query wrappers ----------------------------------------------------
 
   /** Exact dedup by content hash (md5 matches DuckDB's md5 for the oracle;
@@ -263,6 +328,23 @@ object TextDedup {
     },
     None)
 
+  /** Transitive dedup clusters over documents + planted chained near-dups:
+    * exercises the connected-components path (rows-only; semantics pinned
+    * by TextSpec's chain-transitivity test).
+    */
+  val qDedupClusters = GraftQuery(
+    "q51_dedup_clusters",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val planted = d.limit(20).select(
+        (col("doc_id") + 1000000).as("doc_id"), col("text"))
+      minhashClusters(d.select(col("doc_id"), col("text")).unionByName(planted),
+        threshold = 0.5)
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   val queries: Seq[GraftQuery] =
-    Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qMinhashCanonical)
+    Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qMinhashCanonical,
+      qDedupClusters)
 }

@@ -75,6 +75,26 @@ class TextSpec extends SparkSpec {
     assert(out.count(_._3) == 2) // canonicals: 1 and 3
   }
 
+  test("dedup clusters: transitive chain collapses to one cluster") {
+    // A~B and B~C are ≥0.5 Jaccard; A~C is ~0.33 (< threshold) — only
+    // transitive closure puts all three in one cluster.
+    val a = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val c = (21 to 60).map(i => s"tok$i").mkString(" ")
+    val lone = (200 to 260).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, lone), (5L, a))
+      .toDF("doc_id", "text")
+    val out = TextDedup.minhashClusters(docs, k = 16, bands = 8, threshold = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.size == 5)
+    val cluster = out.map(t => t._1 -> t._2).toMap
+    assert(cluster(1L) == 1L && cluster(2L) == 1L && cluster(3L) == 1L)
+    assert(cluster(5L) == 1L)  // exact copy of A rides along
+    assert(cluster(4L) == 4L)  // unrelated doc is its own cluster
+    assert(out.count(_._3) == 2)
+  }
+
   test("simhash: identical texts collide, near texts are close, far texts far") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val base = (1 to 50).map(i => s"tok$i").mkString(" ")
