@@ -32,6 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[text.TextExprs.SimHash64].getName, "graft_simhash"),
       (es: Seq[Expression]) => text.TextExprs.SimHash64(es.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_token_set_count"),
+      new ExpressionInfo(classOf[text.TextExprs.TokenSetCount].getName, "graft_token_set_count"),
+      (es: Seq[Expression]) => text.TextExprs.TokenSetCount(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[text.TextExprs.FingerprintHash].getName, "graft_fingerprint"),
+      (es: Seq[Expression]) => text.TextExprs.FingerprintHash(es.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[vector.VectorExprs.CosineSim].getName, "graft_cosine"),
       (es: Seq[Expression]) => vector.VectorExprs.CosineSim(es.head, es(1))))

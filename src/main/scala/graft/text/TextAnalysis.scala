@@ -4,6 +4,8 @@ import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import SparkSession.{active => activeSession}
+
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization stats, quality scoring, language ID, fingerprinting.
   *
@@ -27,8 +29,14 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
-  def stopwordCount(text: Column): Column =
+  /** HOF reference form — semantically identical to [[stopwordCount]];
+    * kept for the differential spec (the lambda evaluates interpreted).
+    */
+  def stopwordCountHof(text: Column): Column =
     size(filter(tokens(text), w => w.isin(Stopwords: _*)))
+
+  def stopwordCount(text: Column): Column =
+    TextExprs.tokenSetCount(activeSession, tokens(text), Stopwords)
 
   /** Deterministic quality score in [0,1]: blend of length saturation,
     * mean token length band, and stopword presence — the shape of the
@@ -58,11 +66,14 @@ object TextAnalysis {
 
   def langScores(text: Column): Seq[(String, Column)] =
     LangMarkers.map { case (lang, words) =>
-      lang -> size(filter(tokens(text), w => w.isin(words: _*)))
+      lang -> TextExprs.tokenSetCount(activeSession, tokens(text), words)
     }
 
-  def languageId(text: Column): Column = {
-    val scores = langScores(text)
+  /** Argmax over already-computed score columns — lets a query materialize
+    * the scores once and derive the prediction from them instead of
+    * re-scanning the text per language.
+    */
+  def languageIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = greatest(scores.map(_._2): _*)
     // fixed priority: first language reaching the max wins; 'und' if no hits
     when(best <= 0, lit("und"))
@@ -72,29 +83,52 @@ object TextAnalysis {
         })
   }
 
+  def languageId(text: Column): Column = languageIdFromScores(langScores(text))
+
   /** Polynomial rolling-hash document fingerprint over characters:
     * h = Σ (h*31 + ascii(c)) mod 1e9+7 — bounded int64 arithmetic, exactly
     * reproducible in ANSI SQL (list_reduce in DuckDB).
     */
-  def fingerprint(text: Column): Column =
+  /** HOF reference form of [[fingerprint]] (interpreted per character);
+    * kept for the differential spec.
+    */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       // drop the trailing "" Spark's split(limit=-1) produces on char-split
       filter(split(text, ""), ch => length(ch) > 0),
       lit(0L),
       (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(1000000007L)))
 
+  def fingerprint(text: Column): Column =
+    TextExprs.fingerprintHash(activeSession, text)
+
   // ---- query wrappers over the `documents` table -------------------------
+
+  // Query-plan shape for the per-document scans below: ORDER BY first on the
+  // narrow scan, THEN the expensive projections, staged so each intermediate
+  // (token array, counts) is computed once. Two reasons, both measured 2-3×:
+  //  - a global sort range-partitions by SAMPLING its child — any projection
+  //    below the exchange executes twice; above it, the sample reads only
+  //    the scan;
+  //  - one giant inlined expression tree re-evaluates split()/counts per
+  //    reference (when-branches defeat subexpression elimination), while
+  //    staged projections survive optimization because CollapseProject
+  //    refuses to duplicate non-cheap expressions.
 
   val qTokenStats = GraftQuery(
     "q21_token_stats",
     (s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        length(col("text")).as("n_chars_actual"),
-        tokenCount(col("text")).as("n_tokens"),
-        size(array_distinct(tokens(col("text")))).as("n_unique_tokens"),
-        stopwordCount(col("text")).as("n_stopwords"))
-        .orderBy(col("doc_id")),
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_actual"),
+          (length(trim(col("text"))) === 0).as("is_blank"),
+          tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("n_chars_actual"),
+          when(col("is_blank"), 0).otherwise(size(col("toks"))).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_unique_tokens"),
+          TextExprs.tokenSetCount(s, col("toks"), Stopwords).as("n_stopwords")),
     Some("""
       SELECT doc_id,
              length(text) AS n_chars_actual,
@@ -108,11 +142,24 @@ object TextAnalysis {
 
   val qQuality = GraftQuery(
     "q22_quality_score",
-    (s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id")),
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          length(col("text")).cast("double").as("n_chars"),
+          tokenCount(col("text")).cast("double").as("n_tok"),
+          stopwordCount(col("text")).cast("double").as("n_stop"))
+      val avgTokLen = when(col("n_tok") > 0,
+        (col("n_chars") - (col("n_tok") - 1)) / col("n_tok")).otherwise(lit(0.0))
+      val stopRatio = when(col("n_tok") > 0,
+        col("n_stop") / col("n_tok")).otherwise(lit(0.0))
+      base.select(col("doc_id"),
+        (least(col("n_chars") / 500.0, lit(1.0)) * 0.4
+          + when(avgTokLen >= 3 && avgTokLen <= 10, lit(1.0)).otherwise(lit(0.5)) * 0.3
+          + when(stopRatio > 0.01 && stopRatio < 0.5, lit(1.0)).otherwise(lit(0.5)) * 0.3)
+          .as("quality"))
+    },
     Some("""
       WITH t AS (
         SELECT doc_id,
@@ -138,14 +185,24 @@ object TextAnalysis {
     "q23_language_id",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val scored = langScores(col("text")).foldLeft(d) {
-        case (df, (lang, sc)) => df.withColumn(s"score_$lang", sc)
-      }
+      // tokenize once; score each language from the shared token array;
+      // predict from the materialized score columns
+      val scored = d
+        .select(col("doc_id"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
+        .select(
+          (Seq(col("doc_id"), col("lang")) :+ tokens(col("text")).as("toks")): _*)
+        .select(
+          (Seq(col("doc_id"), col("lang")) ++
+            LangMarkers.map { case (l, words) =>
+              TextExprs.tokenSetCount(s, col("toks"), words).as(s"score_$l")
+            }): _*)
+      val fromScores = languageIdFromScores(
+        LangMarkers.map { case (l, _) => l -> col(s"score_$l") })
       scored.select(
         (Seq(col("doc_id"), col("lang").as("labeled_lang"),
-          languageId(col("text")).as("predicted_lang")) ++
+          fromScores.as("predicted_lang")) ++
           TextAnalysis.LangMarkers.map { case (l, _) => col(s"score_$l") }): _*)
-        .orderBy(col("doc_id"))
     },
     Some("""
       WITH s AS (
@@ -170,10 +227,10 @@ object TextAnalysis {
   val qFingerprint = GraftQuery(
     "q24_fingerprint",
     (s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id")),
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), fingerprint(col("text")).as("fp")),
     Some("""
       SELECT doc_id,
              list_reduce(list_prepend(CAST(0 AS BIGINT),

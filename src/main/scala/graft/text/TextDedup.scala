@@ -307,10 +307,13 @@ object TextDedup {
   val qSimhash = GraftQuery(
     "q27_simhash",
     (s, dir) =>
+      // sort before the hash projection: the range exchange samples only
+      // the scan, and the fingerprint is computed exactly once per doc
       Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
         .select(col("doc_id"),
-          TextExprs.simhash64(s, TextAnalysis.tokens(col("text"))).as("simhash64"))
-        .orderBy(col("doc_id")),
+          TextExprs.simhash64(s, TextAnalysis.tokens(col("text"))).as("simhash64")),
     None)
 
   /** Canonical-assignment dedup over documents + planted duplicates:

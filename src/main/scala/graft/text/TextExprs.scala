@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -103,6 +103,57 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
+  /** Count of array elements contained in a foldable string-set argument —
+    * the codegen-tight form of `size(filter(tokens, w => w.isin(words)))`,
+    * whose lambda evaluates interpreted per element. One HashSet probe per
+    * token instead of an interpreted |words|-way In expression.
+    */
+  case class TokenSetCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+      val arr = right.eval(InternalRow.empty).asInstanceOf[ArrayData]
+      val s = new java.util.HashSet[UTF8String]()
+      var i = 0
+      while (i < arr.numElements()) { s.add(arr.getUTF8String(i)); i += 1 }
+      s
+    }
+    override def nullSafeEval(tokens: Any, ignored: Any): Any = {
+      val arr = tokens.asInstanceOf[ArrayData]
+      var c = 0
+      var i = 0
+      while (i < arr.numElements()) {
+        if (wordSet.contains(arr.getUTF8String(i))) c += 1
+        i += 1
+      }
+      java.lang.Integer.valueOf(c)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): TokenSetCount =
+      copy(left = l, right = r)
+  }
+
+  /** Polynomial rolling hash h = Σ (h*31 + codepoint) mod 1e9+7, one tight
+    * loop per row — replaces the per-character `aggregate` HOF (interpreted
+    * lambda per char). Codepoint iteration matches `ascii()` on
+    * single-character splits for all BMP text.
+    */
+  case class FingerprintHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(text: Any): Any = {
+      val s = text.asInstanceOf[UTF8String].toString
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = Math.floorMod(h * 31L + cp, 1000000007L)
+        i += Character.charCount(cp)
+      }
+      java.lang.Long.valueOf(h)
+    }
+    override protected def withNewChildInternal(c: Expression): FingerprintHash = copy(child = c)
+  }
+
   /** Register SQL-callable forms once per session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -114,6 +165,10 @@ object TextExprs {
       "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_token_set_count",
+      es => TokenSetCount(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_fingerprint",
+      es => FingerprintHash(es.head), "built-in")
   }
 
   /** Column-level wrappers (register + call_function keeps us independent
@@ -132,5 +187,16 @@ object TextExprs {
   def simhash64(spark: SparkSession, tokens: Column): Column = {
     register(spark)
     call_function("graft_simhash", tokens)
+  }
+
+  def tokenSetCount(spark: SparkSession, tokens: Column, words: Seq[String]): Column = {
+    register(spark)
+    call_function("graft_token_set_count", tokens,
+      org.apache.spark.sql.functions.typedLit(words))
+  }
+
+  def fingerprintHash(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("graft_fingerprint", text)
   }
 }

@@ -18,6 +18,26 @@ class TextSpec extends SparkSpec {
     assert(df(2).getInt(1) == 1 && df(2).getInt(2) == 0)
   }
 
+  test("native expressions match HOF reference forms (stopwords, fingerprint)") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, ""), (3L, "   "), (4L, "naïve café — résumé"),
+      (5L, "a\tb\nthe  end"), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.stopwordCount(col("text")).as("sc"),
+        TextAnalysis.stopwordCountHof(col("text")).as("sc_hof"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.fingerprintHof(col("text")).as("fp_hof"))
+      .collect()
+    df.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2) && (r.isNullAt(1) || r.getInt(1) == r.getInt(2)),
+        s"stopword mismatch on doc ${r.getLong(0)}: $r")
+      assert(r.isNullAt(3) == r.isNullAt(4) && (r.isNullAt(3) || r.getLong(3) == r.getLong(4)),
+        s"fingerprint mismatch on doc ${r.getLong(0)}: $r")
+    }
+  }
+
   test("shingles: 3-gram count and short-text guard") {
     val out = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "a b c"))
       .toDF("doc_id", "text")
