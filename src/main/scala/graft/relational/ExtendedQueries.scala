@@ -120,7 +120,7 @@ object ExtendedQueries {
     Some("""
       SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
              count(*) AS n,
-             sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
       FROM events
       GROUP BY 1

@@ -45,9 +45,9 @@ object SessionQueries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       FROM (
         SELECT user_id, value, ts_us,
-               sum(boundary) OVER (PARTITION BY user_id
+               CAST(sum(boundary) OVER (PARTITION BY user_id
                  ORDER BY ts_us, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         FROM (
           SELECT user_id, event_id, value,
                  CAST(ts AS TIMESTAMP) AS ts_us,
@@ -99,11 +99,11 @@ object SessionQueries {
         .orderBy(col("user_id")),
     Some("""
       SELECT user_id,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
       FROM events
       GROUP BY user_id
       ORDER BY user_id"""))

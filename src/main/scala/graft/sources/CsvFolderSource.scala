@@ -55,8 +55,9 @@ object CsvFolderSource {
     dir.toString
   }
 
-  /** Failures-by-type rollup over the CSV folder (rows-only; semantics
-    * pinned in the spec).
+  /** Failures-by-type rollup over the CSV folder. Oracle reads the same
+    * fixture CSVs with DuckDB's read_csv (sum(INTEGER) is HUGEINT there,
+    * hence the BIGINT cast to match Spark's sum(int)→long).
     */
   val qFailures = GraftQuery(
     "wrm_failures_csv",
@@ -69,7 +70,16 @@ object CsvFolderSource {
           countDistinct(col("station_id")).as("n_stations"))
         .orderBy(col("failure_type"))
     },
-    None)
+    Some("""
+      SELECT failure_type,
+             count(*) AS n,
+             CAST(sum(severity) AS BIGINT) AS total_severity,
+             count(DISTINCT station_id) AS n_stations
+      FROM read_csv('/tmp/graft_wrm_fixture/failures/*.csv', header=true,
+             columns={'report_date': 'VARCHAR', 'station_id': 'INTEGER',
+                      'failure_type': 'VARCHAR', 'severity': 'INTEGER'})
+      GROUP BY failure_type
+      ORDER BY failure_type"""))
 
   val queries: Seq[GraftQuery] = Seq(qFailures)
 }

@@ -24,13 +24,28 @@ object Enhance {
 
   /** Attach record_type, partition date, processed_at; emit the 20-column
     * enhanced order (enhanced_all.py:73-84).
+    *
+    * `processed_at` is bound driver-side at plan construction — one
+    * wall-clock read per enhance() call, like the reference's single
+    * `pd.Timestamp.now()` stamp — so a cache eviction / partition
+    * recompute cannot produce rows with divergent processing times.
     */
   def enhance(processed: DataFrame, partitionDate: String): DataFrame =
     processed
       .withColumn("record_type", recordType(col("station_id"), col("name")))
       .withColumn("date", lit(partitionDate).cast("timestamp"))
-      .withColumn("processed_at", current_timestamp())
+      .withColumn("processed_at",
+        lit(new java.sql.Timestamp(System.currentTimeMillis())))
       .select(Schemas.enhancedColumns.map(col): _*)
+
+  /** J2 per-file record counts (enhanced_all.py:132:
+    * `groupby(['s3_source_key','file_timestamp']).size()`) — lineage
+    * metadata for monitoring ingest volume per source file.
+    */
+  def perFileCounts(enhanced: DataFrame): DataFrame =
+    enhanced
+      .groupBy(col("s3_source_key"), col("file_timestamp"))
+      .agg(count(lit(1)).as("n_records"))
 
   /** A8: classification tallies (enhanced_all.py:107-111). */
   def classificationCounts(enhanced: DataFrame): DataFrame =

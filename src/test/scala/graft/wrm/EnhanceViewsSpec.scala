@@ -54,6 +54,16 @@ class EnhanceViewsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM ${Views.Latest}").collect()(0).getLong(0) == 8)
   }
 
+  test("per-file counts: one row per source file, counts sum to total (J2)") {
+    val enhanced = WrmQueries.enhancedAll(spark)
+    val counts = Enhance.perFileCounts(enhanced).collect()
+    assert(counts.length == 6) // 2 dates × 3 files
+    assert(counts.forall(_.getLong(2) == 12)) // 8 stations + 4 bikes each
+    assert(counts.map(_.getLong(2)).sum == enhanced.count())
+    // key really is (file, ts): distinct source keys
+    assert(counts.map(_.getString(0)).distinct.length == 6)
+  }
+
   test("validation catches constraint violations with per-check counts") {
     val bad = Seq(
       ("001", "S1", java.sql.Timestamp.valueOf("2025-05-01 10:00:00"), -5L, 0L),
