@@ -38,9 +38,15 @@ object Bench {
     // Two timed runs per query, report the fastest: single-run numbers on a
     // 32-thread local JVM are dominated by JIT/GC noise (observed 3-10x
     // swings on identical plans); min-of-2 measures steady-state execution.
+    // The cache is cleared before every timed run so queries that build
+    // internal cached intermediates (LSH signatures, IVF lists, the WRM
+    // ingest) pay that build cost in EACH measurement — otherwise run 2
+    // reads run 1's cache and min-of-2 reports cached-read time — and so
+    // cached frames don't accumulate across the ~60-query session.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try {
         val runs = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
           time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         }
         runs.min

@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -14,19 +13,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intArg(e: Expression): Int =
-    e.eval(InternalRow.empty).asInstanceOf[Int]
+  // analysis-time literal check with a per-function error message —
+  // a column argument here would otherwise surface as an opaque NPE/CCE
+  private def intArg(fn: String, e: Expression): Int =
+    text.TextExprs.intLiteral(fn, e)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[text.TextExprs.TokenShingles].getName, "graft_shingles"),
-      (es: Seq[Expression]) => text.TextExprs.TokenShingles(es.head, intArg(es(1)))))
+      (es: Seq[Expression]) => text.TextExprs.TokenShingles(es.head, intArg("graft_shingles", es(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[text.TextExprs.MinHashSignature].getName, "graft_minhash"),
-      (es: Seq[Expression]) => text.TextExprs.MinHashSignature(es.head, intArg(es(1)))))
+      (es: Seq[Expression]) => text.TextExprs.MinHashSignature(es.head, intArg("graft_minhash", es(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[text.TextExprs.SimHash64].getName, "graft_simhash"),
@@ -46,6 +47,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[vector.VectorExprs.LshBucket].getName, "graft_lsh_bucket"),
-      (es: Seq[Expression]) => vector.VectorExprs.LshBucket(es.head, intArg(es(1)))))
+      (es: Seq[Expression]) => vector.VectorExprs.LshBucket(es.head, intArg("graft_lsh_bucket", es(1)))))
   }
 }

@@ -104,19 +104,30 @@ case class AsOfJoinExec(
             candidate = null; candidateKey = null
           }
           val lTimeRow = lTimeProj(lRow).copy()
-          var done = false
-          while (!done && rBuf.hasNext) {
-            val rKey = rKeyProj(rBuf.head)
-            val c = keyOrd.compare(rKey, lKey)
-            if (c < 0) { rBuf.next() } // right side behind: discard
-            else if (c == 0 &&
-              !(0 until rKey.numFields).exists(rKey.isNullAt) &&
-              timeOrd.compare(rTimeProj(rBuf.head), lTimeRow) <= 0) {
-              candidate = rBuf.next().copy()
-              candidateKey = lKey.copy()
-            } else done = true
+          if (lTimeRow.isNullAt(0)) {
+            // SQL ASOF semantics: NULL left time satisfies no `l.t >= r.t`
+            // predicate — never matches (natural ordering would otherwise
+            // pair NULL with NULL-time right rows).
+            joined(lRow, nullRight)
+          } else {
+            var done = false
+            while (!done && rBuf.hasNext) {
+              val rKey = rKeyProj(rBuf.head)
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) { rBuf.next() } // right side behind: discard
+              else if (c == 0) {
+                val rTimeRow = rTimeProj(rBuf.head)
+                // NULL right time never matches; it sorts first within the
+                // key group, so discard and keep scanning.
+                if (rTimeRow.isNullAt(0)) { rBuf.next() }
+                else if (timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
+                  candidate = rBuf.next().copy()
+                  candidateKey = lKey.copy()
+                } else done = true
+              } else done = true
+            }
+            joined(lRow, if (candidate != null) candidate else nullRight)
           }
-          joined(lRow, if (candidate != null) candidate else nullRight)
         }
       }.map(resultProj)
     }
@@ -167,7 +178,9 @@ case class BroadcastAsOfJoinExec(
     val index = new java.util.HashMap[InternalRow, Array[(InternalRow, InternalRow, InternalRow)]]()
     val grouped = right.executeCollect().toSeq
       .map(r => (rKeyProj(r).copy(), rTimeProj(r).copy(), rTieProj(r).copy(), r.copy()))
-      .filterNot { case (k, _, _, _) => (0 until k.numFields).exists(k.isNullAt) }
+      // null keys never equality-match; null times never satisfy l.t >= r.t
+      .filterNot { case (k, t, _, _) =>
+        (0 until k.numFields).exists(k.isNullAt) || t.isNullAt(0) }
       .groupBy(_._1)
     grouped.foreach { case (k, rows) =>
       val sorted: Array[(InternalRow, InternalRow, InternalRow)] = rows
@@ -198,14 +211,17 @@ case class BroadcastAsOfJoinExec(
           if (arr == null) nullRight
           else {
             val lt = lTimeProj(lRow)
-            // binary search: greatest position with time <= lt
-            var lo = 0; var hi = arr.length - 1; var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (timeOrd.compare(arr(mid)._1, lt) <= 0) { ans = mid; lo = mid + 1 }
-              else hi = mid - 1
+            if (lt.isNullAt(0)) nullRight // NULL left time never matches
+            else {
+              // binary search: greatest position with time <= lt
+              var lo = 0; var hi = arr.length - 1; var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (timeOrd.compare(arr(mid)._1, lt) <= 0) { ans = mid; lo = mid + 1 }
+                else hi = mid - 1
+              }
+              if (ans < 0) nullRight else arr(ans)._3
             }
-            if (ans < 0) nullRight else arr(ans)._3
           }
         resultProj(joined(lRow, matched))
       }

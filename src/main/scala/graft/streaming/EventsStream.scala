@@ -142,9 +142,12 @@ object EventsStream {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[LatestEvent]) =>
+          // order by FULL timestamp precision: getTime alone is ms-truncated,
+          // and two events in the same millisecond but different microseconds
+          // would keep the wrong record vs the µs-ordered batch dual (q06)
           val newest = (state.getOption.iterator ++ batch.map(e =>
             LatestEvent(e.user_id, e.event_id, e.ts, e.event_type, e.value)))
-            .maxBy(e => (e.ts.getTime, e.event_id))
+            .maxBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           state.update(newest)
           newest
       }

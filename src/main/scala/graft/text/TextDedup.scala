@@ -296,7 +296,7 @@ object TextDedup {
       // Plant near-duplicates so the operator has work to do at any SF:
       // each source's lexicographically-first doc gets a 95%-prefix twin.
       val d = Tables.documents(s, dir)
-      val planted = d.limit(20).select(
+      val planted = d.orderBy(col("doc_id")).limit(20).select(
         (col("doc_id") + 1000000).as("doc_id"),
         concat(substring(col("text"), 1, 10000), lit(" planted tail")).as("text"))
       val corpus = d.select(col("doc_id"), col("text")).unionByName(planted)
@@ -323,7 +323,7 @@ object TextDedup {
     "q50_minhash_canonical",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val planted = d.limit(20).select(
+      val planted = d.orderBy(col("doc_id")).limit(20).select(
         (col("doc_id") + 1000000).as("doc_id"), col("text"))
       minhashCanonical(d.select(col("doc_id"), col("text")).unionByName(planted),
         threshold = 0.5)
@@ -339,7 +339,7 @@ object TextDedup {
     "q51_dedup_clusters",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val planted = d.limit(20).select(
+      val planted = d.orderBy(col("doc_id")).limit(20).select(
         (col("doc_id") + 1000000).as("doc_id"), col("text"))
       minhashClusters(d.select(col("doc_id"), col("text")).unionByName(planted),
         threshold = 0.5)

@@ -111,6 +111,12 @@ object TextExprs {
   case class TokenSetCount(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (!right.foldable)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_token_set_count requires a literal (foldable) word array " +
+            "as its second argument")
+      else super.checkInputDataTypes()
     @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
       val arr = right.eval(InternalRow.empty).asInstanceOf[ArrayData]
       val s = new java.util.HashSet[UTF8String]()
@@ -154,14 +160,30 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): FingerprintHash = copy(child = c)
   }
 
+  /** Evaluate a function argument that must be a literal int (shingle
+    * width, hash count, plane count). Builders run at analysis time, so a
+    * non-foldable argument fails analysis with a named error instead of an
+    * opaque ClassCastException/NPE at execution.
+    */
+  private[graft] def intLiteral(fn: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn requires a literal integer argument, got non-foldable: ${e.sql}")
+    e.eval(InternalRow.empty) match {
+      case i: java.lang.Integer => i.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn requires a literal INT argument, got: $other")
+    }
+  }
+
   /** Register SQL-callable forms once per session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_shingles",
-      es => TokenShingles(es.head, es(1).eval(InternalRow.empty).asInstanceOf[Int]),
+      es => TokenShingles(es.head, intLiteral("graft_shingles", es(1))),
       "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
-      es => MinHashSignature(es.head, es(1).eval(InternalRow.empty).asInstanceOf[Int]),
+      es => MinHashSignature(es.head, intLiteral("graft_minhash", es(1))),
       "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       es => SimHash64(es.head), "built-in")

@@ -8,23 +8,60 @@ import org.apache.spark.sql.functions.udf
 /** Encoding repair (S2/F11; reference `ftfy.fix_text`, raw_all.py:80) — the
   * one genuine UDF in the pipeline (everything else is column expressions).
   *
-  * Covers the tested surface (test_raw.py:100-123): UTF-8-decoded-as-latin1
-  * mojibake ("KrzyÅ¼owa" → "Krzyżowa") plus NFC normalization. Strategy:
-  * if re-encoding latin1→UTF-8 yields a strictly more plausible string
-  * (decodes cleanly and shrinks), use it.
+  * Covers the tested surface (test_raw.py:100-123) plus ftfy's most common
+  * real-world case: UTF-8 bytes mis-decoded as windows-1252 (smart quotes,
+  * "â€œquotedâ€<9d>") or as latin1 ("KrzyÅ¼owa" → "Krzyżowa"), then NFC
+  * normalization.
+  *
+  * Like ftfy's "sloppy-windows-1252", the inverse decode maps every char
+  * ≤ 0xFF to its own byte (latin1 identity — this covers the five cp1252
+  * positions 0x81/8D/8F/90/9D that lenient decoders pass through as C1
+  * controls) and the 27 cp1252 punctuation chars (€ " – ™ œ …) back to
+  * their 0x80-0x9F bytes. If the resulting bytes decode as clean,
+  * strictly-shorter UTF-8, the string was mojibake — return the repair.
   */
 object TextFix {
 
+  /** cp1252 0x80-0x9F → Unicode, inverted: the punctuation a cp1252
+    * mis-decode injects, mapped back to the original byte.
+    */
+  private val Cp1252Inverse: Map[Char, Byte] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F
+  ).map { case (k, v) => k -> v.toByte }
+
   def fixText(s: String): String = {
     if (s == null) return null
-    val repaired =
-      if (s.forall(_ <= 0xFF) && s.exists(c => c >= 0xC2 && c <= 0xF4)) {
-        // candidate mojibake: bytes of a UTF-8 string mis-decoded as latin1
-        val decoded = new String(s.map(_.toByte).toArray, StandardCharsets.UTF_8)
-        // replacement char means it wasn't really UTF-8 — keep original
-        if (decoded.contains('�') || decoded.length >= s.length) s else decoded
-      } else s
-    nfc(repaired)
+    nfc(repairMojibake(s).getOrElse(s))
+  }
+
+  /** The 0xC2-0xF4 precondition is the UTF-8 lead-byte range (as seen
+    * after either mis-decode, bytes ≥ 0xA0 map to themselves): without
+    * one, no multi-byte sequence exists to repair.
+    */
+  private def repairMojibake(s: String): Option[String] = {
+    if (!s.exists(c => c >= 0xC2 && c <= 0xF4)) return None
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c <= 0xFF) bytes(i) = c.toByte
+      else Cp1252Inverse.get(c) match {
+        case Some(b) => bytes(i) = b
+        case None => return None // not representable: was never mis-decoded
+      }
+      i += 1
+    }
+    val decoded = new String(bytes, StandardCharsets.UTF_8)
+    // replacement char means it wasn't really UTF-8; a repair strictly
+    // shrinks (multi-byte sequences collapse) — otherwise keep original
+    if (decoded.contains('�') || decoded.length >= s.length) None
+    else Some(decoded)
   }
 
   private def nfc(s: String): String = Normalizer.normalize(s, Normalizer.Form.NFC)

@@ -22,6 +22,29 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 5L, "p4", -1L, null)))  // no right key 3
   }
 
+  test("NULL times never match, on both merge and broadcast paths (ASOF semantics)") {
+    // DuckDB ASOF `l.t >= r.t` is never true when either side is NULL;
+    // natural ascending ordering would otherwise sort NULL first and make
+    // a NULL-time right row a candidate for every left row.
+    val left = Seq((1L, Some(10L), "p1"), (1L, None, "pNull"), (2L, Some(5L), "p2"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, None, "rNull"), (1L, Some(8L), "r8"), (2L, None, "rNull2"))
+      .toDF("rk", "rt", "rtag")
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val out = df.select("k", "tag", "rtag").orderBy("k", "tag")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(out.toSeq == Seq(
+        (1L, "p1", "r8"),      // 8 <= 10; the NULL-time right row is skipped
+        (1L, "pNull", null),   // NULL left time matches nothing
+        (2L, "p2", null)))     // key 2's only right row has NULL time
+    }
+    check(AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt")) // broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try check(AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt")) // merge
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("as-of join matches a window-based reference implementation on real data") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val purchases = ev.filter(col("event_type") === "purchase")

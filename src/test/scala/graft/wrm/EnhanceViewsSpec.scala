@@ -89,4 +89,16 @@ class EnhanceViewsSpec extends SparkSpec {
     assert(TextFix.fixText("plain ascii") == "plain ascii")
     assert(TextFix.fixText(null) == null)
   }
+
+  test("fix_text repairs cp1252-decoded UTF-8 mojibake (smart quotes)") {
+    // \u201cquoted\u201d -> UTF-8 E2 80 9C ... E2 80 9D mis-decoded as cp1252;
+    // 0x9D is an unmapped position lenient decoders keep as a C1 control
+    assert(TextFix.fixText("\u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d") == "\u201cquoted\u201d")
+    // en-dash: E2 80 93 where 0x93 is cp1252 left-double-quote
+    assert(TextFix.fixText("a \u00e2\u20ac\u201c b") == "a \u2013 b")
+    // latin1 mis-decode leaves a raw C1 control (0x99 from \u0119) - still repairs
+    assert(TextFix.fixText("D\u00c4\u0099bie") == "D\u0119bie")
+    // genuine cp1252-range text with no UTF-8 lead bytes is untouched
+    assert(TextFix.fixText("caf\u00e9 \u2013 open") == "caf\u00e9 \u2013 open")
+  }
 }
