@@ -26,7 +26,29 @@ object EventsStream {
     (s, dir) => runLatestPerUserStream(s, dir),
     graft.relational.RelationalQueries.q06.oracle)
 
-  def queries: Seq[GraftQuery] = Seq(qStreamHourly, qStreamLatest)
+  /** T-join: the stream-stream interval join, run as a real streaming
+    * query and checked against the equivalent batch interval join in
+    * DuckDB (inner joins emit every match regardless of watermark, so the
+    * streaming result equals the batch join).
+    */
+  val qStreamJoin = GraftQuery(
+    "stream_purchase_view_join",
+    (s, dir) => runPurchaseViewJoinStream(s, dir),
+    Some("""
+      SELECT p.user_id, p.purchase_id, v.view_id, p.p_ts, v.v_ts,
+             p.purchase_value
+      FROM (SELECT user_id, event_id AS purchase_id,
+                   CAST(ts AS TIMESTAMP) AS p_ts, value AS purchase_value
+            FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id AS v_user, event_id AS view_id,
+                   CAST(ts AS TIMESTAMP) AS v_ts
+            FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.v_user
+       AND v.v_ts <= p.p_ts
+       AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+      ORDER BY purchase_id, view_id"""))
+
+  def queries: Seq[GraftQuery] = Seq(qStreamHourly, qStreamLatest, qStreamJoin)
 
   final case class Event(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -130,6 +152,20 @@ object EventsStream {
         col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
         col("p_ts"), col("v_ts"), col("purchase_value"))
+  }
+
+  /** Run the purchase↔view interval join as a real streaming query
+    * (append mode — the only mode stream-stream joins support) and return
+    * every emitted match, ordered for a stable dump.
+    */
+  def runPurchaseViewJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = purchaseViewJoin(stagedEventStream(spark, sfDir))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("purchase_id"), col("view_id"))
   }
 
   /** T7: live latest-per-user via mapGroupsWithState — state is one record

@@ -53,12 +53,37 @@ object TextDedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Drop LSH buckets holding more than `cap` members before a bucket
+    * self-join, logging what was dropped. The pair join is O(bucket²): one
+    * hot bucket (boilerplate text, near-constant embeddings) turns a
+    * linear candidate pass into a quadratic blow-up at corpus scale. A
+    * bucket with >cap members is, at any sane cap, a single massive
+    * duplicate cluster — the canonical/cluster APIs (one row per doc)
+    * are the right tool for those; the PAIR api caps them.
+    */
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
+                                cap: Int, what: String): DataFrame = {
+    val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_n"))
+    val hot = sizes.filter(col("bucket_n") > cap)
+    val dropped = hot.agg(count(lit(1)), sum(col("bucket_n"))).collect()(0)
+    if (!dropped.isNullAt(1) && dropped.getLong(0) > 0)
+      log.warn(s"$what: dropping ${dropped.getLong(0)} bucket(s) over " +
+        s"cap=$cap (${dropped.getLong(1)} member rows) from pair emission; " +
+        "use the canonical/cluster dedup APIs for massive duplicate clusters")
+    banded.join(hot.select(keys.map(col): _*), keys, "left_anti")
+  }
+
   /** MinHash-LSH near-duplicate pairs over `documents`:
     * shingle → signature → band-bucket join → Jaccard verify ≥ threshold.
     * Returns (doc_a, doc_b, est_jaccard, jaccard).
+    *
+    * `maxBucketSize` bounds the O(bucket²) candidate join (see capBuckets).
     */
   def minhashDupPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBucketSize: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     // Shingle + sign ONCE (native kernel expressions) and cache: the table
     // is reused for band explode and twice for candidate verification. At
@@ -74,10 +99,12 @@ object TextDedup {
       .cache()
 
     // LSH candidate generation: shuffle only (band_id, band_hash, doc_id).
-    val banded = sigs
+    val bandedAll = sigs
       .select(col("doc_id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
         col("band.band_hash").as("band_hash"))
+    val banded = capBuckets(bandedAll, Seq("band_id", "band_hash"),
+      maxBucketSize, "minhashDupPairs")
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band_id", "band_hash"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

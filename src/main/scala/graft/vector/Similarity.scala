@@ -49,13 +49,23 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
 
-  /** ANN via LSH buckets: exact cosine ranking within the query's bucket.
-    * Recall < 1 by construction; the baseline brute-force is the oracle.
+  /** ANN via LSH buckets with multi-probe: exact cosine ranking within the
+    * query's bucket PLUS every Hamming-distance-1 neighbor bucket
+    * (planes+1 probes). Single-bucket probing collapses in recall as
+    * planes grow (the nearest neighbors differ from the query in one
+    * hyperplane sign with probability ≈ θ/π per plane); probing the
+    * 1-flip neighborhood recovers exactly those, at O(planes) extra
+    * bucket lookups — still a broadcast hash join against the streamed
+    * corpus, no corpus shuffle, ~(planes+1)/2^planes of the data scanned.
     */
   def annLsh(corpus: DataFrame, query: DataFrame, k: Int, planes: Int = 6): DataFrame = {
     val bucketed = corpus.withColumn("bucket", VectorExprs.lshBucket(col("embedding"), planes))
     val qb = query.withColumn("qbucket", VectorExprs.lshBucket(col("qv"), planes))
-    bucketed.join(broadcast(qb), col("bucket") === col("qbucket"))
+    val probeCols: Seq[Column] = col("qbucket") +:
+      (0 until planes).map(p => col("qbucket").bitwiseXOR(lit(1L << p)))
+    // distinct probe buckets → each corpus row matches at most one probe
+    val probes = qb.select(col("qv"), explode(array(probeCols: _*)).as("probe"))
+    bucketed.join(broadcast(probes), col("bucket") === col("probe"))
       .withColumn("cos_sim", VectorExprs.cosineSim(col("embedding"), col("qv")))
       .select(col("vec_id"), col("label"), col("bucket"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -64,11 +74,17 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs, blocked by LSH bucket so the
     * pair space is bucket-local (standard dedup blocking at scale).
+    * `maxBucketSize` bounds the O(bucket²) self-join: a hot bucket
+    * (near-constant embeddings) is dropped with a logged warning — massive
+    * duplicate clusters belong to the canonical-assignment APIs, not pair
+    * emission.
     */
-  def embeddingDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 6): DataFrame = {
-    val bucketed = corpus
-      .select(col("vec_id"), col("embedding"),
-        VectorExprs.lshBucket(col("embedding"), planes).as("bucket"))
+  def embeddingDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 6,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val bucketed = graft.text.TextDedup.capBuckets(
+      corpus.select(col("vec_id"), col("embedding"),
+        VectorExprs.lshBucket(col("embedding"), planes).as("bucket")),
+      Seq("bucket"), maxBucketSize, "embeddingDupPairs")
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),

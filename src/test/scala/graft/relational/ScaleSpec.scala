@@ -1,6 +1,7 @@
 package graft.relational
 
 import graft.{SparkSpec, Tables}
+import graft.vector.Similarity
 import org.apache.spark.sql.functions._
 
 /** Scale-technique specs: salted aggregation equivalence and bucketed
@@ -83,6 +84,49 @@ class ScaleSpec extends SparkSpec {
         .collect().map(x => (x.getLong(0), x.getString(1)))
       assert(out.toSeq == Seq((1L, "x"), (2L, null), (3L, null)))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("hot-bucket cap bounds the pair-emitting dedup APIs on a mega-cluster") {
+    // 1000 identical docs would emit ~500k pairs through the band
+    // self-join; with a cap the hot buckets are dropped (logged) while
+    // ordinary near-dup pairs elsewhere are still found.
+    val mega = spark.range(0, 1000)
+      .select((col("id") + 5000000).as("doc_id"),
+        lit("the same boilerplate text repeated everywhere forever and ever").as("text"))
+    val pairDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+      .toDF("doc_id", "text")
+    val corpus = pairDocs.unionByName(mega)
+    val pairs = graft.text.TextDedup
+      .minhashDupPairs(corpus, threshold = 0.3, maxBucketSize = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"ordinary near-dup pair lost: $pairs")
+    assert(!pairs.exists { case (a, b) => a >= 5000000 || b >= 5000000 },
+      "mega-cluster pairs should have been capped away")
+    // the canonical API (one row per doc) still collapses the mega-cluster
+    val canon = graft.text.TextDedup.minhashCanonical(corpus, threshold = 0.3)
+    val megaCanon = canon.filter(col("doc_id") >= 5000000)
+      .select("canonical_id").distinct().collect()
+    assert(megaCanon.length == 1 && megaCanon(0).getLong(0) == 5000000L)
+  }
+
+  test("embedding pair dedup caps hot buckets, keeps planted small pairs") {
+    val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    // 500 copies of vector 7 → one hot LSH bucket
+    val hot = base.filter(col("vec_id") === 7)
+      .crossJoin(spark.range(0, 500).select((col("id") + 8000000).as("hot_id")))
+      .select(col("hot_id").as("vec_id"), col("embedding"))
+    // one planted twin of vector 3
+    val twin = base.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val pairs = Similarity.embeddingDupPairs(
+      base.unionByName(hot).unionByName(twin), 0.999, maxBucketSize = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 1003L)), s"planted twin lost: $pairs")
+    assert(!pairs.exists { case (a, b) => a >= 8000000 || b >= 8000000 },
+      "hot-bucket pairs should have been capped away")
   }
 
   test("observe() exposes pipeline metrics without a second pass") {

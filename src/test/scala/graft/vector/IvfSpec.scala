@@ -28,6 +28,36 @@ class IvfSpec extends SparkSpec {
       s"recall too low: ${(got intersect exact).size}/10")
   }
 
+  test("k-means|| init spreads centers on an id-sorted clustered corpus") {
+    // Adversarial for prefix seeding: 8 well-separated clusters laid out
+    // so ids 0..49 are ALL in cluster 0 — first-nlist-by-id init would put
+    // every centroid in one region and Lloyd can't fully recover.
+    val dims = 16; val groups = 8; val perGroup = 50
+    val rows = for (g <- 0 until groups; i <- 0 until perGroup) yield {
+      val id = g * perGroup + i
+      val emb = (0 until dims).map { d =>
+        val base = if (d == g * 2) 1.0f else 0.0f
+        base + 0.01f * ((id * 31 + d) % 7 - 3)
+      }
+      (id.toLong, emb)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val idx = IvfIndex.build(df, nlist = 8, iters = 2)
+    // most planted clusters should own a real cell, not collapse into one
+    val sizes = idx.lists.groupBy("cell").count().as[(Int, Long)].collect()
+    assert(sizes.count(_._2 >= perGroup / 2) >= 6,
+      s"centers collapsed: ${sizes.sortBy(_._1).mkString(",")}")
+    // a query in the LAST group (farthest from the id prefix) has recall
+    val q = df.filter(col("vec_id") === (groups * perGroup - 1))
+      .select(col("embedding").as("qv"))
+    val got = IvfIndex.search(idx, q, k = 10, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.cosineTopK(df.withColumn("label", lit("")), q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert((got intersect exact).size >= 5,
+      s"recall@10 too low on the far cluster: $got vs $exact")
+  }
+
   test("CSV folder source reads all files with lineage; most-recent helper works") {
     val prefix = graft.sources.CsvFolderSource.writeFailuresFixture()
     val df = graft.sources.CsvFolderSource.readFolder(spark, prefix,
