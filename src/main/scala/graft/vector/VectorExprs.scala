@@ -82,9 +82,56 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
   }
 
+  /** Argmax-cosine against a small driver-collected centroid matrix,
+    * evaluated as a narrow per-row map — the broadcast-argmin shape that
+    * keeps k-means assignment shuffle-free (the alternative, crossJoin +
+    * groupBy(vec_id) argmax, shuffles every corpus vector per iteration).
+    * Ties break toward the lower cell id. Returns struct(cell, sim).
+    */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("sim", DoubleType, nullable = false)))
+    @transient private lazy val norms: Array[Double] =
+      centroids.map { ce =>
+        var s = 0.0; var i = 0
+        while (i < ce.length) { s += ce(i).toDouble * ce(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val t = elemType(child)
+      val nx = {
+        var s = 0.0; var i = 0
+        while (i < x.numElements()) { val xi = toDouble(x, i, t); s += xi * xi; i += 1 }
+        math.sqrt(s)
+      }
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val ce = centroids(c)
+        var dot = 0.0
+        val n = math.min(x.numElements(), ce.length)
+        var i = 0
+        while (i < n) { dot += toDouble(x, i, t) * ce(i); i += 1 }
+        val sim = if (nx == 0.0 || norms(c) == 0.0) 0.0 else dot / (nx * norms(c))
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](best, bestSim))
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroid =
+      copy(child = c)
+  }
+
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def nearestCentroid(emb: Column, centroids: Array[Array[Float]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(emb), centroids))
 
   def lshBucket(emb: Column, planes: Int): Column =
     ColumnBridge.column(LshBucket(ColumnBridge.expression(emb), planes))
