@@ -37,13 +37,22 @@ object HttpSource {
     resp.body()
   }
 
-  /** Exponential backoff: delay = min(base · 2^attempt, cap). */
+  /** Exponential backoff: delay = min(base · 2^attempt, cap). When a
+    * breaker is supplied, every attempt runs under it and an OPEN circuit
+    * fails fast (no retry — rejecting immediately is the breaker's point;
+    * reference retry/circuit_breaker.py state machine).
+    */
   def fetchWithRetry(url: String, cfg: RetryConfig = RetryConfig(),
-                     fetch: String => String = fetchOnce(_)): String = {
+                     fetch: String => String = fetchOnce(_),
+                     breaker: Option[CircuitBreaker] = None): String = {
     var last: Throwable = null
     (0 until cfg.attempts).foreach { attempt =>
-      try return fetch(url)
+      try return breaker match {
+        case Some(b) => b.call(fetch(url))
+        case None => fetch(url)
+      }
       catch {
+        case e: CircuitBreaker.CircuitOpenException => throw e
         case e: Exception =>
           last = e
           if (attempt < cfg.attempts - 1) {

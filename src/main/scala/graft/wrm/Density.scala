@@ -61,6 +61,22 @@ object Density {
           .as("members"))
   }
 
+  /** Plotly marker contract (bike_spatial_density_analysis.py:272-274):
+    * per-cell marker size = max(5, ln(bike_count + 1) · 15) — log scale so
+    * dense cells don't drown the map. Presentation-only column, kept out
+    * of the oracle-checked grid output (ln() is not correctly-rounded, so
+    * cross-engine bit-equality isn't guaranteed).
+    */
+  def withMarkerSize(cells: DataFrame): DataFrame =
+    cells.withColumn("marker_size",
+      greatest(lit(5.0), log(coalesce(col("bike_count"), lit(0L)) + 1) * 15.0))
+
+  /** Map zoom from the bbox spans (bike_spatial_density_analysis.py:364):
+    * max(8, min(15, 12 − log10(max(lat_range, lon_range)))).
+    */
+  def mapZoom(latRange: Double, lonRange: Double): Double =
+    math.max(8.0, math.min(15.0, 12.0 - math.log10(math.max(latRange, lonRange))))
+
   /** Map viewport math (reference bike_density_map consumes these): center
     * = bbox midpoint; zoom from the larger bbox span via log2 against a
     * 360°-wide world tile (F7 log usage).

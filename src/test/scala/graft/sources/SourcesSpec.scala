@@ -40,6 +40,63 @@ class SourcesSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("circuit breaker: full state machine with a fake clock (§2.11)") {
+    var now = 0L
+    val cb = new CircuitBreaker("api", failureThreshold = 3,
+      successThreshold = 2, recoveryTimeoutMs = 1000, halfOpenMaxCalls = 1,
+      clock = () => now)
+    def boom(): String = cb.call { throw new RuntimeException("down") }
+    def ok(): String = cb.call { "up" }
+
+    assert(cb.currentState == "closed")
+    // two failures: still closed; a success resets the count
+    intercept[RuntimeException](boom()); intercept[RuntimeException](boom())
+    assert(cb.currentState == "closed")
+    assert(ok() == "up")
+    // threshold consecutive failures → open
+    (1 to 3).foreach(_ => intercept[RuntimeException](boom()))
+    assert(cb.currentState == "open")
+    // open rejects WITHOUT invoking the call
+    var invoked = false
+    intercept[CircuitBreaker.CircuitOpenException] {
+      cb.call { invoked = true; "x" }
+    }
+    assert(!invoked)
+    // recovery timeout elapses → half-open; probe failure re-opens
+    now += 1000
+    assert(cb.currentState == "half_open")
+    intercept[RuntimeException](boom())
+    assert(cb.currentState == "open")
+    // recover again; successThreshold probe successes close the circuit
+    now += 1000
+    assert(ok() == "up")
+    assert(cb.currentState == "half_open")
+    assert(ok() == "up")
+    assert(cb.currentState == "closed")
+  }
+
+  test("open circuit makes fetchWithRetry fail fast (no backoff attempts)") {
+    var now = 0L
+    val cb = new CircuitBreaker("api", failureThreshold = 1,
+      recoveryTimeoutMs = 60000, clock = () => now)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    def failingFetch(url: String): String = {
+      calls.incrementAndGet(); throw new RuntimeException("503")
+    }
+    val cfg = HttpSource.RetryConfig(attempts = 3, baseDelayMs = 1, capDelayMs = 2)
+    // first call trips the breaker on attempt 1, then open-rejects — so
+    // the fetch itself runs exactly once, not `attempts` times
+    intercept[CircuitBreaker.CircuitOpenException] {
+      HttpSource.fetchWithRetry("http://x", cfg, failingFetch, Some(cb))
+    }
+    assert(calls.get() == 1)
+    // and a later call while still open never touches the network
+    intercept[CircuitBreaker.CircuitOpenException] {
+      HttpSource.fetchWithRetry("http://x", cfg, failingFetch, Some(cb))
+    }
+    assert(calls.get() == 1)
+  }
+
   test("raw text sink: dt= layout, mojibake fix, dedup-vs-most-recent (S2-S4)") {
     val root = Files.createTempDirectory("rawsink")
     val now = java.time.LocalDateTime.of(2025, 5, 1, 10, 0, 0)

@@ -66,6 +66,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(bikeCell.isDefined)
   }
 
+  test("marker sizes and map zoom follow the reference's log-scale contract") {
+    val cells = Seq((0, 0, 0L), (0, 1, 5L), (1, 0, 1000L))
+      .toDF("cell_row", "cell_col", "bike_count")
+    val sized = Density.withMarkerSize(cells)
+      .select("bike_count", "marker_size")
+      .as[(Long, Double)].collect().toMap
+    assert(sized(0L) == 5.0)                        // max(5, ln(1)*15) floor
+    assert(math.abs(sized(5L) - math.log(6.0) * 15) < 1e-12)
+    assert(math.abs(sized(1000L) - math.log(1001.0) * 15) < 1e-12)
+    // zoom: max(8, min(15, 12 - log10(max span)))
+    assert(Density.mapZoom(0.1, 0.05) == 13.0)      // 12 - (-1) = 13
+    assert(Density.mapZoom(100.0, 1.0) == 10.0)     // 12 - 2 = 10
+    assert(Density.mapZoom(1e-9, 1e-9) == 15.0)     // clamped high
+    assert(Density.mapZoom(1e9, 1e9) == 8.0)        // clamped low
+  }
+
   test("density analyze: totals + top10 ordering") {
     val latest = Views.latestPerStation(WrmQueries.enhancedAll(spark))
     val res = Density.analyze(latest)
