@@ -198,14 +198,10 @@ object TextDedup {
     * Edge set stays O(docs·bands): within each band bucket every doc gets
     * ONE star edge to the bucket's minimum doc_id (never the O(bucket²)
     * clique), Jaccard-verified so a hash collision can't weld two unrelated
-    * clusters. Propagation then runs label(v) ← min(label(v),
-    * min(label(neighbors))) until a fixpoint; every iteration
-    * localCheckpoints to truncate lineage (otherwise the plan doubles per
-    * loop and Catalyst planning time dominates). Convergence is bounded by
-    * the cluster graph's diameter — short for duplicate clusters (stars
-    * around exact copies); adversarially long chains would want the
-    * large-star/small-star variant, which keeps the same per-iteration
-    * plan shape.
+    * clusters. Components are then solved by alternating
+    * large-star/small-star rounds (see connectedComponents) — O(log n)
+    * rounds on any graph, so even adversarial near-dup chains longer than
+    * the iteration budget cluster correctly.
     */
   def minhashClusters(docs: DataFrame, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5, maxIter: Int = 20): DataFrame = {
@@ -231,30 +227,79 @@ object TextDedup {
       .join(sigs.select(col("doc_id").as("dst"), col("sh").as("sh_d")), "dst")
       .filter(jaccard(col("sh_s"), col("sh_d")) >= threshold)
       .select(col("src"), col("dst"))
-    // propagation needs both directions (min ids must also flow "up" hubs)
-    val edges = verified
-      .union(verified.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    connectedComponents(docs.select(col("doc_id")), verified, maxIter)
+  }
 
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * converges in O(log n) rounds on ANY graph — plain min-label
+    * propagation needs O(diameter) iterations, so an adversarial
+    * near-dup CHAIN longer than maxIter would silently mis-cluster.
+    * Every step is a groupBy + join over (long, long) edge pairs; rounds
+    * localCheckpoint to truncate lineage, and convergence is detected by
+    * an (edge-count, xxhash-sum) signature — one tiny scalar aggregate
+    * per round instead of a full except().
+    *
+    * Returns (doc_id, cluster_id = component minimum, is_canonical);
+    * `nodes` supplies isolated vertices, which self-label.
+    */
+  private[graft] def connectedComponents(nodes: DataFrame, edgesIn: DataFrame,
+                                         maxIter: Int = 25): DataFrame = {
+    // large-star: for every neighbor v > u, link v to m = min(Γ(u) ∪ {u});
+    // output edges are oriented large→small
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: on large→small edges, link every neighbor AND u itself
+    // to the minimum neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val or2 = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val mins = or2.groupBy(col("u")).agg(min(col("v")).as("m"))
+      or2.join(mins, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: ANSI mode throws on long-sum overflow and hash
+      // sums overflow immediately; xor is order-independent and wrap-free
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var edges = edgesIn
+      .select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
+    var sig = signature(edges)
     var iter = 0
-    var converged = false
+    var converged = sig._1 == 0
     while (iter < maxIter && !converged) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
-        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      val step = labels
-        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(labels("doc_id"), labels("label").as("old_label"),
-          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"))
-        .localCheckpoint()
-      converged = step.filter(col("old_label") =!= col("label")).isEmpty
-      labels = step.select(col("doc_id"), col("label"))
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val next = signature(edges)
+      converged = next == sig
+      sig = next
       iter += 1
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"),
-      (col("doc_id") === col("label")).as("is_canonical"))
+    // converged star graph: every non-root points at its component min
+    val labels = edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("label"))
+    nodes.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
   // ---- query wrappers ----------------------------------------------------
@@ -374,7 +419,56 @@ object TextDedup {
     },
     None)
 
+  /** SimHash near-duplicate pairs: band the 64-bit fingerprint into
+    * `bands` equal slices — by pigeonhole, two fingerprints within
+    * Hamming distance `bands − 1` share at least one identical band — and
+    * bucket-join on (band_id, band_value), then verify the true bit
+    * distance. Same LSH-blocking shape (and hot-bucket cap) as MinHash,
+    * but candidate generation is pure integer arithmetic on an 8-byte
+    * fingerprint: the shuffle carries (band_id, int16, doc_id, int64).
+    */
+  def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    val bands = 4 // 16 bits each; guarantees recall for hamming <= 3
+    val fp = docs
+      .select(col("doc_id"),
+        TextExprs.simhash64(spark, TextAnalysis.tokens(col("text"))).as("fp"))
+    val bandedAll = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("fp"),
+        col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+    val banded = capBuckets(bandedAll, Seq("band_id", "band_val"),
+      maxBucketSize, "simhashDupPairs")
+    banded.as("a").join(banded.as("b"), Seq("band_id", "band_val"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** SimHash dedup pairs over documents + planted exact twins (hamming 0);
+    * rows-only (xxhash64-based fingerprint isn't ANSI-expressible) with
+    * semantics pinned in TextSpec.
+    */
+  val qSimhashDedup = GraftQuery(
+    "q52_simhash_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val planted = d.orderBy(col("doc_id")).limit(20).select(
+        (col("doc_id") + 1000000).as("doc_id"), col("text"))
+      simhashDupPairs(d.select(col("doc_id"), col("text")).unionByName(planted))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    None)
+
   val queries: Seq[GraftQuery] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qMinhashCanonical,
-      qDedupClusters)
+      qDedupClusters, qSimhashDedup)
 }

@@ -129,6 +129,44 @@ class TextSpec extends SparkSpec {
     assert(hamming(out(0), out(3)) > 16)
   }
 
+  test("connected components: 400-node path collapses in O(log n) rounds") {
+    // a path graph is the adversarial diameter case — plain min-label
+    // propagation would need 400 iterations; large-star/small-star must
+    // finish inside the default 25-round budget
+    val n = 400
+    val nodes = spark.range(1, n + 1).select(col("id").as("doc_id"))
+    val edges = spark.range(1, n.toLong)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val out = TextDedup.connectedComponents(nodes, edges)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    assert(out.length == n)
+    assert(out.forall(_._2 == 1L), s"not one component: ${out.filter(_._2 != 1L).take(5).mkString(",")}")
+    // two separate components + an isolated node stay separate
+    val nodes2 = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val edges2 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = TextDedup.connectedComponents(nodes2, edges2)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("simhash dedup pairs: exact twins at hamming 0, unrelated text absent") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                   // exact twin → hamming 0
+      (3L, base + " extra"),                        // near twin → small hamming
+      (4L, "completely unrelated corpus talking about databases and compilers"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.simhashDupPairs(docs, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"exact twin not found: $keys")
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 0)
+    assert(pairs.forall(_._3 <= 3))
+    assert(!keys.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated doc paired: $keys")
+  }
+
   test("language id: marker words dominate prediction; no markers → und") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
