@@ -48,10 +48,17 @@ object CsvFolderSource {
       f"2025-05-${1 + i % 2}%02d,$station%d,$kind%s,${i % 3}%d"
     }
     val csv = ("report_date,station_id,failure_type,severity" +: rows).mkString("\n")
-    java.nio.file.Files.write(dir.resolve("WRM_usterki_part1.csv"),
-      csv.getBytes("UTF-8"))
-    java.nio.file.Files.write(dir.resolve("WRM_usterki_part2.csv"),
-      csv.replace(",1,", ",9,").getBytes("UTF-8"))
+    // idempotent write (see WrmFixture.writeRawFiles): never truncate a
+    // file a concurrent reader may be listing
+    def writeIfChanged(name: String, content: String): Unit = {
+      val f = dir.resolve(name)
+      val bytes = content.getBytes("UTF-8")
+      if (!java.nio.file.Files.exists(f) ||
+          !java.util.Arrays.equals(java.nio.file.Files.readAllBytes(f), bytes))
+        java.nio.file.Files.write(f, bytes)
+    }
+    writeIfChanged("WRM_usterki_part1.csv", csv)
+    writeIfChanged("WRM_usterki_part2.csv", csv.replace(",1,", ",9,"))
     dir.toString
   }
 

@@ -39,7 +39,13 @@ object WrmFixture {
       (0 until ticksPerDate).foreach { t =>
         val hh = 10 + t
         val f = dir.resolve(f"wrm_stations_${date}_$hh%02d-00-00.txt")
-        Files.write(f, payload(d * 10 + t).getBytes(StandardCharsets.UTF_8))
+        val bytes = payload(d * 10 + t).getBytes(StandardCharsets.UTF_8)
+        // skip the rewrite when content already matches: Files.write
+        // truncates first, and a concurrent reader (another JVM's Spark
+        // listing) must never observe a half-written fixture
+        if (!Files.exists(f) ||
+            !java.util.Arrays.equals(Files.readAllBytes(f), bytes))
+          Files.write(f, bytes)
       }
     }
     root
