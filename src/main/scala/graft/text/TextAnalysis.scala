@@ -239,5 +239,96 @@ object TextAnalysis {
       FROM documents
       ORDER BY doc_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qTokenStats, qQuality, qLangId, qFingerprint)
+  /** q53: the composed training-data curation pipeline — the realistic
+    * end-to-end shape these operators exist for: predict language, score
+    * quality, keep English docs above threshold, exact-dedup (keep the
+    * minimum doc_id per content hash), and emit the curated set with its
+    * token budget. Every stage is oracle-expressible (md5 dedup rather
+    * than MinHash), so the WHOLE pipeline is hash-checked end-to-end.
+    * Tokenizes once (staged projection), filters before the dedup window
+    * so the shuffle carries only surviving docs.
+    */
+  val qCuration = GraftQuery(
+    "q53_corpus_curation",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val staged = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("double").as("n_chars"),
+          (length(trim(col("text"))) === 0).as("is_blank"),
+          tokens(col("text")).as("toks"),
+          md5(col("text")).as("text_hash"))
+        .select(
+          Seq(col("doc_id"), col("source"), col("n_chars"), col("text_hash"),
+            when(col("is_blank"), 0).otherwise(size(col("toks")))
+              .cast("double").as("n_tok"),
+            TextExprs.tokenSetCount(s, col("toks"), Stopwords)
+              .cast("double").as("n_stop")) ++
+            LangMarkers.map { case (l, words) =>
+              TextExprs.tokenSetCount(s, col("toks"), words).as(s"score_$l")
+            }: _*)
+      val avgTokLen = when(col("n_tok") > 0,
+        (col("n_chars") - (col("n_tok") - 1)) / col("n_tok")).otherwise(lit(0.0))
+      val stopRatio = when(col("n_tok") > 0,
+        col("n_stop") / col("n_tok")).otherwise(lit(0.0))
+      val quality =
+        least(col("n_chars") / 500.0, lit(1.0)) * 0.4 +
+          when(avgTokLen >= 3 && avgTokLen <= 10, lit(1.0)).otherwise(lit(0.5)) * 0.3 +
+          when(stopRatio > 0.01 && stopRatio < 0.5, lit(1.0)).otherwise(lit(0.5)) * 0.3
+      val predLang = languageIdFromScores(
+        LangMarkers.map { case (l, _) => l -> col(s"score_$l") })
+      val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+      staged
+        .select(col("doc_id"), col("source"), col("text_hash"),
+          col("n_tok"), quality.as("quality"), predLang.as("pred_lang"))
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.7)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("n_tok").cast("int").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source, md5(text) AS text_hash,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) AS n_stop,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('the','and','of','to','is'))) AS score_en,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('der','die','das','und','ist'))) AS score_de,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('el','la','los','que','es'))) AS score_es,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('le','la','les','et','est'))) AS score_fr,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('de','shi','bu','le','wo'))) AS score_zh
+        FROM documents),
+      m AS (
+        SELECT *,
+               CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok ELSE 0.0 END AS avg_tok_len,
+               CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio
+        FROM t),
+      q AS (
+        SELECT doc_id, source, text_hash, n_tok,
+               least(n_chars / 500.0, 1.0) * 0.4
+             + (CASE WHEN avg_tok_len >= 3 AND avg_tok_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.3
+             + (CASE WHEN stop_ratio > 0.01 AND stop_ratio < 0.5 THEN 1.0 ELSE 0.5 END) * 0.3 AS quality,
+               CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) <= 0 THEN 'und'
+                    WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+                    WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+                    WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+                    WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+                    ELSE 'zh' END AS pred_lang
+        FROM m),
+      f AS (
+        SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        FROM q
+        WHERE pred_lang = 'en' AND quality >= 0.7)
+      SELECT doc_id, source, quality, CAST(n_tok AS INTEGER) AS n_tokens
+      FROM f
+      WHERE rn = 1
+      ORDER BY doc_id"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qTokenStats, qQuality, qLangId, qFingerprint, qCuration)
 }
