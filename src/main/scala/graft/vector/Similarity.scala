@@ -49,6 +49,25 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
 
+  /** Batched brute-force top-k: one pass over the corpus scores EVERY
+    * query vector (a broadcast batch, e.g. a probe set or dedup frontier)
+    * — the realistic retrieval shape. Per-query top-k comes from
+    * row_number over (query_id), which plans as WindowGroupLimit: each
+    * map task keeps only k rows per query BEFORE the shuffle, so the
+    * exchange carries ≤ partitions·queries·k rows regardless of corpus
+    * size.
+    */
+  def cosineTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("cos_sim", VectorExprs.cosineSim(col("embedding"), col("qv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("cos_sim"))
+  }
+
   /** ANN via LSH buckets with multi-probe: exact cosine ranking within the
     * query's bucket PLUS every Hamming-distance-1 neighbor bucket
     * (planes+1 probes). Single-bucket probing collapses in recall as
@@ -132,6 +151,51 @@ object Similarity {
       ORDER BY cos_sim DESC, vec_id
       LIMIT 20"""))
 
+  /** Batched top-10 for three query vectors — oracle computes the same
+    * sequential double-fold cosine and row_number in DuckDB.
+    */
+  val qBatchTopK = GraftQuery(
+    "q54_ann_batch",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      cosineTopKBatch(e, queries, 10)
+        .orderBy(col("query_id"), col("rn"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2)),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, len(e.embedding)),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
+            (acc, v) -> acc + v) AS dot,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, len(e.embedding)),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+            (acc, v) -> acc + v)) AS n_e,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, len(q.qv)),
+              i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
+            (acc, v) -> acc + v)) AS n_q
+        FROM embeddings e CROSS JOIN q),
+      ranked AS (
+        SELECT query_id, vec_id,
+          CASE WHEN n_e = 0 OR n_q = 0 THEN 0.0 ELSE dot / (n_e * n_q) END AS cos_sim
+        FROM scored),
+      topk AS (
+        SELECT query_id, vec_id, cos_sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM ranked)
+      SELECT query_id, rn, vec_id, cos_sim
+      FROM topk
+      WHERE rn <= 10
+      ORDER BY query_id, rn"""))
+
   /** LSH-bucketed ANN — xxhash64-based, rows-only check (ScalaTest compares
     * recall vs brute force).
     */
@@ -158,5 +222,6 @@ object Similarity {
     },
     None)
 
-  val queries: Seq[GraftQuery] = Seq(qBruteForce, qAnnLsh, qEmbeddingDedup)
+  val queries: Seq[GraftQuery] =
+    Seq(qBruteForce, qBatchTopK, qAnnLsh, qEmbeddingDedup)
 }

@@ -53,6 +53,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall below 0.5: $approx vs $exact")
   }
 
+  test("batched top-k equals per-query brute force; top-k pushed below shuffle") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = e.filter(col("vec_id").isin(0L, 3L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = Similarity.cosineTopKBatch(e, queries, 10)
+    // WindowGroupLimit: each map task keeps only k rows per query before
+    // the exchange — the property that makes this corpus-size-independent
+    assert(batch.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val got = batch.select("query_id", "vec_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    Seq(0L, 3L).foreach { qid =>
+      val q = e.filter(col("vec_id") === qid).select(col("embedding").as("qv"))
+      val single = Similarity.cosineTopK(e, q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got(qid) == single, s"batch != single for query $qid")
+    }
+  }
+
   test("embedding dedup finds planted duplicates with cosine ~1") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val planted = e.filter(col("vec_id") < 5)

@@ -67,6 +67,22 @@ class PropertySpec extends SparkSpec {
     assert(fps.forall(fp => fp >= 0 && fp < 1000000007L))
   }
 
+  test("simhash banding is pigeonhole-complete: hamming <= 3 shares a band") {
+    // candidate generation bands the 64-bit fingerprint into 4×16 bits; any
+    // two fingerprints within hamming distance 3 MUST collide in >= 1 band
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val fp = rnd.nextLong()
+      val flips = rnd.nextInt(4) // 0..3 bit flips
+      val positions = Seq.fill(flips)(rnd.nextInt(64)).distinct
+      val fp2 = positions.foldLeft(fp)((acc, b) => acc ^ (1L << b))
+      val bandsA = (0 until 4).map(b => (fp >>> (b * 16)) & 0xFFFFL)
+      val bandsB = (0 until 4).map(b => (fp2 >>> (b * 16)) & 0xFFFFL)
+      assert(bandsA.zip(bandsB).exists { case (x, y) => x == y },
+        s"no shared band for $fp vs $fp2 (${positions.length} flips)")
+    }
+  }
+
   test("minhash est_jaccard is within [0,1] and 1 for identical docs (random corpora)") {
     val textGen = Gen.listOfN(30, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
       .map(_.mkString(" "))
