@@ -248,11 +248,15 @@ object TextAnalysis {
     * Tokenizes once (staged projection), filters before the dedup window
     * so the shuffle carries only surviving docs.
     */
-  val qCuration = GraftQuery(
-    "q53_corpus_curation",
-    (s, dir) => {
+  /** The curation pipeline over any (doc_id, source, text) frame —
+    * qCuration is this applied to the documents table; the spec applies
+    * it to a hand-computed fixture, so both exercise the SAME plan.
+    */
+  def curate(docs: DataFrame, minQuality: Double = 0.7,
+             keepLang: String = "en"): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val staged = Tables.documents(s, dir)
+      val s = docs.sparkSession
+      val staged = docs
         .select(col("doc_id"), col("source"), col("text"))
         .select(col("doc_id"), col("source"),
           length(col("text")).cast("double").as("n_chars"),
@@ -282,13 +286,17 @@ object TextAnalysis {
       staged
         .select(col("doc_id"), col("source"), col("text_hash"),
           col("n_tok"), quality.as("quality"), predLang.as("pred_lang"))
-        .filter(col("pred_lang") === "en" && col("quality") >= 0.7)
+        .filter(col("pred_lang") === keepLang && col("quality") >= minQuality)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("source"), col("quality"),
           col("n_tok").cast("int").as("n_tokens"))
         .orderBy(col("doc_id"))
-    },
+  }
+
+  val qCuration = GraftQuery(
+    "q53_corpus_curation",
+    (s, dir) => curate(Tables.documents(s, dir)),
     Some("""
       WITH t AS (
         SELECT doc_id, source, md5(text) AS text_hash,

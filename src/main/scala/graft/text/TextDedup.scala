@@ -63,8 +63,12 @@ object TextDedup {
     * duplicate cluster — the canonical/cluster APIs (one row per doc)
     * are the right tool for those; the PAIR api caps them.
     */
-  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
+  private[graft] def capBuckets(bandedIn: DataFrame, keys: Seq[String],
                                 cap: Int, what: String): DataFrame = {
+    // cache the banded input: the size count below is an eager job, and the
+    // returned plan reads it again on BOTH sides of the caller's self-join
+    // — uncached, the whole fingerprint/banding scan would run ~4×
+    val banded = bandedIn.cache()
     val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_n"))
     val hot = sizes.filter(col("bucket_n") > cap)
     val dropped = hot.agg(count(lit(1)), sum(col("bucket_n"))).collect()(0)
@@ -72,7 +76,9 @@ object TextDedup {
       log.warn(s"$what: dropping ${dropped.getLong(0)} bucket(s) over " +
         s"cap=$cap (${dropped.getLong(1)} member rows) from pair emission; " +
         "use the canonical/cluster dedup APIs for massive duplicate clusters")
-    banded.join(hot.select(keys.map(col): _*), keys, "left_anti")
+    // the hot-bucket list is at most rows/cap entries — broadcast the anti
+    // join so the banded side is filtered in place, not shuffled
+    banded.join(broadcast(hot.select(keys.map(col): _*)), keys, "left_anti")
   }
 
   /** MinHash-LSH near-duplicate pairs over `documents`:
@@ -430,14 +436,24 @@ object TextDedup {
   def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3,
                       maxBucketSize: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
-    val bands = 4 // 16 bits each; guarantees recall for hamming <= 3
+    // pigeonhole completeness needs MORE bands than differing bits: with
+    // maxHamming flipped bits and maxHamming+1 bands, at least one band is
+    // untouched — a hard-coded band count would silently lose recall for
+    // any larger maxHamming
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val bands = maxHamming + 1
+    val width = (64 + bands - 1) / bands
+    def mask(bits: Int): Long = if (bits >= 64) -1L else (1L << bits) - 1
     val fp = docs
       .select(col("doc_id"),
         TextExprs.simhash64(spark, TextAnalysis.tokens(col("text"))).as("fp"))
     val bandedAll = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until bands).map { b =>
+        val lo = b * width
         struct(lit(b).as("band_id"),
-          shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+          shiftright(col("fp"), lo)
+            .bitwiseAND(lit(mask(math.min(width, 64 - lo)))).as("band_val"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("fp"),
         col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))

@@ -74,23 +74,31 @@ object IvfIndex {
     * driver-side via weighted farthest-point selection. Replaces
     * first-nlist-by-id init, which degenerates on sorted corpora (the id
     * prefix is one region of the space → all seeds in one cluster).
-    * Runs on a deterministic ~20% hash-sample (floored so tiny corpora
-    * keep everything): the init needs representative geometry, not every
-    * row — the Lloyd iterations that follow see the full corpus.
+    * Runs on a deterministic ~20% hash-sample (seed and candidate padding
+    * fall back to the full corpus, so tiny corpora still initialize):
+    * the init needs representative geometry, not every row — the Lloyd
+    * iterations that follow see the full corpus.
     */
   private[vector] def initCentroids(corpus: DataFrame, nlist: Int,
                                     rounds: Int = 2): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val l = 2 * nlist // oversampling factor per round
-    val vecs = corpus.select(col("vec_id"), col("embedding"))
-      .filter(pmod(xxhash64(col("vec_id"), lit("ivf-init")), lit(100)) < 20 ||
-        col("vec_id") < (8L * nlist))
+    val full = corpus.select(col("vec_id"), col("embedding"))
+    // Init rounds run on a deterministic ~20% hash-sample: k-means|| needs
+    // representative geometry, not every row — the Lloyd iterations that
+    // follow see the full corpus. Sampling is by id HASH only (never by id
+    // magnitude — offset id ranges would otherwise empty the sample); the
+    // seed and the too-few-candidates pad draw from the FULL corpus, so a
+    // tiny or unluckily-hashed corpus still initializes correctly.
+    val vecs = full
+      .filter(pmod(xxhash64(col("vec_id"), lit("ivf-init")), lit(100)) < 20)
       .cache()
 
-    // deterministic seed: the vector with minimum id hash
+    // deterministic seed: the vector with minimum id hash (full corpus —
+    // the sample may be empty on tiny inputs)
     var candidates: Vector[(Long, Seq[Float])] = Vector(
-      vecs.withColumn("h", xxhash64(col("vec_id")))
+      full.withColumn("h", xxhash64(col("vec_id")))
         .orderBy(col("h"), col("vec_id")).limit(1)
         .as[(Long, Seq[Float], Long)].collect().map(t => (t._1, t._2)).head)
 
@@ -102,7 +110,8 @@ object IvfIndex {
         .select(col("vec_id"), col("embedding"),
           pow(lit(1.0) - col("nc.sim"), 2).as("d2"))
         .cache()
-      val total = scored.agg(sum(col("d2"))).as[Double].collect().head
+      val totalRow = scored.agg(sum(col("d2"))).collect()(0)
+      val total = if (totalRow.isNullAt(0)) 0.0 else totalRow.getDouble(0)
       if (total > 0) {
         // Bernoulli(min(1, l·d²/Σd²)) with a deterministic hash as the coin
         val u = pmod(xxhash64(col("vec_id"), lit(r)), lit(1000000000L))
@@ -117,9 +126,10 @@ object IvfIndex {
       scored.unpersist()
     }
     // too few candidates (tiny/degenerate corpora): pad by id-hash order
+    // from the FULL corpus, not the sample
     if (candidates.length < nlist) {
       val known = candidates.map(_._1).toSet
-      val pad = vecs.withColumn("h", xxhash64(col("vec_id")))
+      val pad = full.withColumn("h", xxhash64(col("vec_id")))
         .orderBy(col("h"), col("vec_id")).limit(nlist + candidates.length)
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Seq[Float])].collect()

@@ -29,10 +29,17 @@ object Density {
     val pts = latest.filter(col("lat").isNotNull && col("lon").isNotNull)
 
     // A3 bounds — tiny 1-row aggregate, broadcast to every partition.
+    // lat_center accumulates in DECIMAL: a double avg() depends on
+    // partition summation order, and lat_center feeds cos() and therefore
+    // every cell_col — the decimal sum is order-independent and
+    // bit-identical across engines. (Residual cross-engine risk: libm vs
+    // JVM cos can differ by 1 ULP on the SAME input, which could flip a
+    // floor() only for a point within ~1 ULP of a cell edge.)
     val bounds = pts.agg(
       min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"),
       min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"),
-      avg(col("lat")).as("lat_center"))
+      (sum(col("lat").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("lat_center"))
 
     val sideM = math.sqrt(cellAreaM2) // F7: e.g. 31.6 m for 1000 m²
     val latDelta = lit(sideM / 111320.0) // F9 meters→degrees lat
@@ -54,8 +61,12 @@ object Density {
         sum(col("bikes")).as("bike_count"),
         count(when(col("record_type") === "station", 1)).as("station_count"),
         count(when(col("record_type") === "bike", 1)).as("mobile_bike_count"),
-        avg(col("lat")).as("center_lat"),
-        avg(col("lon")).as("center_lon"),
+        // decimal-exact cell centers: order-independent under any
+        // partitioning, bit-identical to the oracle's decimal sum
+        (sum(col("lat").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("center_lat"),
+        (sum(col("lon").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("center_lon"),
         sort_array(collect_list(struct(
           col("station_id"), col("name"), col("bikes"), col("record_type"))))
           .as("members"))

@@ -29,13 +29,16 @@ object Enhance {
     * wall-clock read per enhance() call, like the reference's single
     * `pd.Timestamp.now()` stamp — so a cache eviction / partition
     * recompute cannot produce rows with divergent processing times.
+    * Callers that need the WHOLE output reproducible across JVM sessions
+    * (the oracle-dump fixture) pin `processedAt` explicitly.
     */
-  def enhance(processed: DataFrame, partitionDate: String): DataFrame =
+  def enhance(processed: DataFrame, partitionDate: String,
+              processedAt: Option[java.sql.Timestamp] = None): DataFrame =
     processed
       .withColumn("record_type", recordType(col("station_id"), col("name")))
       .withColumn("date", lit(partitionDate).cast("timestamp"))
       .withColumn("processed_at",
-        lit(new java.sql.Timestamp(System.currentTimeMillis())))
+        lit(processedAt.getOrElse(new java.sql.Timestamp(System.currentTimeMillis()))))
       .select(Schemas.enhancedColumns.map(col): _*)
 
   /** J2 per-file record counts (enhanced_all.py:132:

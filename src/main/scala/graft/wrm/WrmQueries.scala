@@ -58,12 +58,23 @@ object WrmQueries {
     */
   private val cache = new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
-  def enhancedAll(spark: SparkSession): DataFrame =
+  /** Pinned processing time: the fixture surface must be byte-identical
+    * across JVM sessions — the DuckDB oracle may read a dump written by a
+    * different session than the Spark result it compares against (e.g.
+    * Verify dumps, then a test session re-dumps, then compare runs), and
+    * with a pinned stamp every session's dump carries the same values, so
+    * any rewrite is content-idempotent.
+    */
+  private val FixtureProcessedAt =
+    java.sql.Timestamp.valueOf("2025-05-03 00:00:00")
+
+  def enhancedAll(spark: SparkSession): DataFrame = {
+    cache.keySet.removeIf(s => s.sparkContext.isStopped) // don't pin dead sessions
     cache.computeIfAbsent(spark, { s =>
       val root = WrmFixture.defaultRoot
       val df = Dates.map { date =>
         val processed = RawParser.processPartition(s, s"$root/dt=$date")
-        val enhanced = Enhance.enhance(processed, date)
+        val enhanced = Enhance.enhance(processed, date, Some(FixtureProcessedAt))
         Validation.assertColumnOrder(enhanced, Schemas.enhancedColumns)
         Validation.validate(enhanced, Validation.enhancedChecks)
       }.reduce(_ unionByName _)
@@ -71,6 +82,7 @@ object WrmQueries {
       cached.coalesce(1).write.mode("overwrite").parquet(DumpPath)
       cached
     })
+  }
 
   /** Dump-identity check: the oracle reads the dumped enhanced table back,
     * proving the parquet round-trip (schema + values, incl. µs timestamps)
@@ -138,8 +150,11 @@ object WrmQueries {
 
   /** Grid-density oracle transliterates Density.gridDensity's exact
     * arithmetic (same bounds, same sqrt(1000)/111320 deltas, same
-    * half-open cells with top-edge clamp) — IEEE sqrt/÷ are correctly
-    * rounded, so both engines compute identical cell keys.
+    * half-open cells with top-edge clamp). lat_center and the cell
+    * centers accumulate in DECIMAL on both sides, so they are summation-
+    * order-independent and bit-identical; IEEE sqrt/÷ are correctly
+    * rounded. Residual risk is a 1-ULP libm-vs-JVM cos() divergence,
+    * which can only matter for a point within ~1 ULP of a cell edge.
     */
   val qDensity = GraftQuery(
     "wrm_density_grid",
@@ -153,7 +168,7 @@ object WrmQueries {
       bounds AS (
         SELECT min(lat) AS lat_min, max(lat) AS lat_max,
                min(lon) AS lon_min, max(lon) AS lon_max,
-               avg(lat) AS lat_center
+               CAST(sum(CAST(lat AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS lat_center
         FROM pts),
       keyed AS (
         SELECT CAST(least(floor((lat - lat_min) / (sqrt(1000.0) / 111320.0)),
@@ -168,8 +183,8 @@ object WrmQueries {
              CAST(sum(bikes) AS BIGINT) AS bike_count,
              count(CASE WHEN record_type = 'station' THEN 1 END) AS station_count,
              count(CASE WHEN record_type = 'bike' THEN 1 END) AS mobile_bike_count,
-             avg(lat) AS center_lat,
-             avg(lon) AS center_lon
+             CAST(sum(CAST(lat AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS center_lat,
+             CAST(sum(CAST(lon AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS center_lon
       FROM keyed
       GROUP BY cell_row, cell_col
       ORDER BY cell_row, cell_col"""))

@@ -206,24 +206,15 @@ class TextSpec extends SparkSpec {
       (3L, "web", "x y z"),              // too short → quality < 0.7 → dropped
       (4L, "news", good + "extra tail")) // kept (distinct hash)
       .toDF("doc_id", "source", "text")
-    docs.createOrReplaceTempView("curation_in")
-    val out = TextAnalysis.qCuration.run(spark, "/root/testdata/sf0.001")
-    // run against real table for plan sanity; semantics pinned via direct call:
-    val kept = {
-      // reuse the same pipeline on the fixture by substituting the table
-      import org.apache.spark.sql.expressions.Window
-      val staged = docs
-        .select(col("doc_id"), col("source"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.languageId(col("text")).as("pred_lang"),
-          md5(col("text")).as("text_hash"))
-      val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
-      staged.filter(col("pred_lang") === "en" && col("quality") >= 0.7)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("doc_id").as[Long].collect().toSet
-    }
-    assert(kept == Set(1L, 4L), s"curation kept $kept")
-    assert(out.columns.toSeq == Seq("doc_id", "source", "quality", "n_tokens"))
+    // the EXACT pipeline the q53 registry entry runs, on a fixture with
+    // hand-computed outcomes
+    val out = TextAnalysis.curate(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 4L),
+      s"curation kept ${out.map(_.getLong(0)).mkString(",")}")
+    assert(out.forall(_.getDouble(2) >= 0.7))
+    assert(out.forall(_.getInt(3) > 0))
+    val schema = TextAnalysis.qCuration.run(spark, "/root/testdata/sf0.001").columns
+    assert(schema.toSeq == Seq("doc_id", "source", "quality", "n_tokens"))
   }
 
   test("fingerprint: deterministic, order-sensitive") {
