@@ -484,7 +484,37 @@ object TextDedup {
     },
     None)
 
+  /** Inter-GROUP similarity via the custom MinHashSketch aggregate: one
+    * k-long sketch per source (partial aggregation merges buffers, the
+    * shuffle carries one sketch per group per partition — never documents
+    * or shingles), then pairwise sketch agreement estimates the Jaccard
+    * similarity between each pair of sources' shingle-set UNIONS.
+    * Rows-only (xxhash64-based); semantics pinned by the differential
+    * spec against the posexplode/groupBy reference form.
+    */
+  val qSourceSketch = GraftQuery(
+    "q55_source_sketch",
+    (s, dir) => {
+      val k = 64
+      val sigs = Tables.documents(s, dir).select(col("source"),
+        TextExprs.minhashSig(s,
+          TextExprs.tokenShingles(s, TextAnalysis.tokens(col("text")), 3), k)
+          .as("sig"))
+      val sketches = sigs.groupBy(col("source"))
+        .agg(TextExprs.minhashSketchAgg(col("sig"), k).as("sketch"))
+      val a = sketches.select(col("source").as("source_a"), col("sketch").as("sk_a"))
+      val b = sketches.select(col("source").as("source_b"), col("sketch").as("sk_b"))
+      a.join(b, col("source_a") < col("source_b"))
+        .withColumn("est_jaccard",
+          aggregate(zip_with(col("sk_a"), col("sk_b"),
+            (x, y) => when(x === y, 1.0).otherwise(0.0)),
+            lit(0.0), (acc, v) => acc + v) / lit(k.toDouble))
+        .select(col("source_a"), col("source_b"), col("est_jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    None)
+
   val queries: Seq[GraftQuery] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qMinhashCanonical,
-      qDedupClusters, qSimhashDedup)
+      qDedupClusters, qSimhashDedup, qSourceSketch)
 }

@@ -138,6 +138,66 @@ object TextExprs {
       copy(left = l, right = r)
   }
 
+  /** Group-level MinHash sketch: a custom TypedImperativeAggregate whose
+    * buffer is the element-wise MIN of the group's per-document signature
+    * arrays — i.e. the MinHash signature of the UNION of the group's
+    * shingle sets, so two group sketches estimate the Jaccard similarity
+    * BETWEEN groups (sources, partitions, days) the same way per-doc
+    * signatures do between documents.
+    *
+    * The composable form — posexplode(sig) → groupBy(key, pos) → min →
+    * collect/sort — computes the identical result (differential spec) but
+    * inflates the map side k× with (key, pos, value) rows; this aggregate
+    * keeps ONE k-long buffer per group per partition and merges buffers,
+    * the classic sketch-aggregation shape (partial aggregation works —
+    * min is associative/commutative — so the shuffle carries one sketch
+    * per group per partition).
+    */
+  case class MinHashSketch(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val sig = child.eval(input)
+      if (sig != null) {
+        val arr = sig.asInstanceOf[ArrayData]
+        val n = math.min(k, arr.numElements())
+        var i = 0
+        while (i < n) {
+          val v = arr.getLong(i)
+          if (v < buf(i)) buf(i) = v
+          i += 1
+        }
+      }
+      buf
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+      b1
+    }
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 * k)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Array.fill(k)(bb.getLong())
+    }
+    override def withNewMutableAggBufferOffset(o: Int): MinHashSketch =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MinHashSketch =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): MinHashSketch =
+      copy(child = c)
+  }
+
   /** Polynomial rolling hash h = Σ (h*31 + codepoint) mod 1e9+7, one tight
     * loop per row — replaces the per-character `aggregate` HOF (interpreted
     * lambda per char). Codepoint iteration matches `ascii()` on
@@ -191,6 +251,15 @@ object TextExprs {
       es => TokenSetCount(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint",
       es => FingerprintHash(es.head), "built-in")
+  }
+
+  /** Group-level sketch aggregate as a Column (aggregate functions can't
+    * go through the temp-function registry the scalar wrappers use).
+    */
+  def minhashSketchAgg(sig: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      MinHashSketch(ColumnBridge.expression(sig), k).toAggregateExpression())
   }
 
   /** Column-level wrappers (register + call_function keeps us independent

@@ -196,6 +196,39 @@ class TextSpec extends SparkSpec {
     assert(again == sample.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("minhash sketch aggregate: equals posexplode reference, union semantics") {
+    val k = 16
+    val d = Seq(
+      (1L, "a", "alpha beta gamma delta epsilon zeta"),
+      (2L, "a", "beta gamma delta epsilon zeta eta"),
+      (3L, "b", "alpha beta gamma delta epsilon zeta"),   // == doc 1
+      (4L, "c", "totally different words over here now"))
+      .toDF("doc_id", "source", "text")
+    val sigs = d.select(col("source"),
+      TextExprs.minhashSig(spark,
+        TextExprs.tokenShingles(spark, TextAnalysis.tokens(col("text")), 3), k)
+        .as("sig"))
+    val native = sigs.groupBy(col("source"))
+      .agg(TextExprs.minhashSketchAgg(col("sig"), k).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // reference form: explode positions, per-position min, reassemble
+    val ref = sigs
+      .select(col("source"), posexplode(col("sig")).as(Seq("pos", "v")))
+      .groupBy(col("source"), col("pos")).agg(min(col("v")).as("m"))
+      .groupBy(col("source"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("source"),
+        transform(col("pm"), e => e.getField("m")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(native == ref)
+    // a single-doc group's sketch IS the doc's signature: sources a and b
+    // share doc-1's text, so b's sketch must be the element-wise >= of a's
+    assert(native("a").zip(native("b")).forall { case (ua, sb) => ua <= sb })
+    // disjoint text → sketches disagree nearly everywhere
+    val agree = native("a").zip(native("c")).count { case (x, y) => x == y }
+    assert(agree <= 2, s"disjoint sources agree on $agree/$k positions")
+  }
+
   test("corpus curation pipeline: lang filter, quality gate, dedup keep-min") {
     val good = ("the quick brown fox is happy to run and jump in the park " +
       "because it is a fine day and the sun is out shining over the hills ") * 4
