@@ -115,6 +115,43 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Scalable embedding dedup output: one row per vector with at most
+    * `tables` canonical candidates — each independent hyperplane family
+    * contributes its bucket's minimum vec_id, candidates are
+    * cosine-verified, and the minimum verified id wins. One hash table
+    * alone is fragile (a non-duplicate lower-id bucketmate fails
+    * verification and blocks the collapse); OR-amplification across
+    * tables makes a true duplicate share SOME bucket with its canonical
+    * with probability 1 − (1 − p^planes)^tables. O(corpus·tables) rows
+    * end-to-end, never pairs — mirrors TextDedup.minhashCanonical (whose
+    * bands play the same role).
+    */
+  def embeddingCanonical(corpus: DataFrame, threshold: Double,
+                         planes: Int = 6, tables: Int = 3): DataFrame = {
+    val vecs = corpus.select(col("vec_id"), col("embedding")).cache()
+    val candidates = (0 until tables).map { t =>
+      val bucketed = vecs.select(col("vec_id"), col("embedding"),
+        VectorExprs.lshBucket(col("embedding"), planes, t * planes).as("bucket"))
+      val bucketMin = bucketed.groupBy(col("bucket"))
+        .agg(min(col("vec_id")).as("bucket_min"))
+      bucketed.join(bucketMin, "bucket")
+        .filter(col("bucket_min") < col("vec_id"))
+        .select(col("vec_id"), col("bucket_min").as("cand"))
+    }.reduce(_ unionByName _).distinct()
+    val verified = candidates
+      .join(vecs, "vec_id")
+      .join(vecs.select(col("vec_id").as("cand"),
+        col("embedding").as("emb_c")), "cand")
+      .filter(VectorExprs.cosineSim(col("embedding"), col("emb_c")) >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("canonical_id"))
+    vecs.select(col("vec_id"))
+      .join(verified, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("canonical_id"), col("vec_id")).as("canonical_id"))
+      .withColumn("is_canonical", col("vec_id") === col("canonical_id"))
+  }
+
   // ---- query wrappers ----------------------------------------------------
 
   private def queryVec(s: SparkSession, dir: String): DataFrame =
@@ -222,6 +259,22 @@ object Similarity {
     },
     None)
 
+  /** Canonical embedding dedup over embeddings + planted exact copies —
+    * O(corpus) output rows regardless of cluster sizes.
+    */
+  val qEmbeddingCanonical = GraftQuery(
+    "q56_embedding_canonical",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val planted = e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      embeddingCanonical(
+        e.select(col("vec_id"), col("embedding")).unionByName(planted),
+        threshold = 0.999)
+        .orderBy(col("vec_id"))
+    },
+    None)
+
   val queries: Seq[GraftQuery] =
-    Seq(qBruteForce, qBatchTopK, qAnnLsh, qEmbeddingDedup)
+    Seq(qBruteForce, qBatchTopK, qAnnLsh, qEmbeddingDedup, qEmbeddingCanonical)
 }

@@ -54,9 +54,11 @@ object VectorExprs {
 
   /** Random-hyperplane LSH bucket: bit p = sign of Σ x_i·coeff(p,i), with
     * deterministic pseudo-random coefficients derived from xxhash64 — no
-    * RNG state, stable across partitionings and runs.
+    * RNG state, stable across partitionings and runs. `planeOffset` selects
+    * an independent hyperplane family, giving multiple hash TABLES
+    * (OR-amplification) from the same expression.
     */
-  case class LshBucket(child: Expression, planes: Int)
+  case class LshBucket(child: Expression, planes: Int, planeOffset: Int = 0)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any = {
@@ -69,7 +71,8 @@ object VectorExprs {
         var score = 0.0
         var i = 0
         while (i < n) {
-          val h = XxHash64Function.hash(p.toLong * 65536L + i, LongType, 42L)
+          val h = XxHash64Function.hash(
+            (planeOffset + p).toLong * 65536L + i, LongType, 42L)
           val coeff = (((h % 2000L) + 2000L) % 2000L - 1000L) / 1000.0
           score += toDouble(x, i, t) * coeff
           i += 1
@@ -133,6 +136,6 @@ object VectorExprs {
   def nearestCentroid(emb: Column, centroids: Array[Array[Float]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(emb), centroids))
 
-  def lshBucket(emb: Column, planes: Int): Column =
-    ColumnBridge.column(LshBucket(ColumnBridge.expression(emb), planes))
+  def lshBucket(emb: Column, planes: Int, planeOffset: Int = 0): Column =
+    ColumnBridge.column(LshBucket(ColumnBridge.expression(emb), planes, planeOffset))
 }

@@ -71,6 +71,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding canonical: one row per vector, mega-cluster collapses") {
+    val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    // 300 copies of vector 7 — the pair API would need ~45k pairs; the
+    // canonical path stays one row per vector
+    val copies = base.filter(col("vec_id") === 7)
+      .crossJoin(spark.range(0, 300).select((col("id") + 7000000).as("cid")))
+      .select(col("cid").as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(copies)
+    val out = Similarity.embeddingCanonical(corpus, 0.999)
+    assert(out.count() == corpus.count()) // exactly one row per vector
+    // every copy maps to vec 7 (the minimum id in the duplicate cluster)
+    val copyCanon = out.filter(col("vec_id") >= 7000000)
+      .select("canonical_id").distinct().as[Long].collect()
+    assert(copyCanon.toSeq == Seq(7L), s"copies mapped to ${copyCanon.mkString(",")}")
+    // non-duplicate vectors stay their own canonical
+    val selfCanon = out.filter(col("vec_id") < 7000000 && col("vec_id") =!= 7)
+      .filter(!col("is_canonical")).count()
+    assert(selfCanon == 0)
+  }
+
   test("embedding dedup finds planted duplicates with cosine ~1") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val planted = e.filter(col("vec_id") < 5)
