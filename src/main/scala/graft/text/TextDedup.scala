@@ -53,6 +53,14 @@ object TextDedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
+  /** Estimated Jaccard from two k-row MinHash signatures: fraction of
+    * agreeing positions.
+    */
+  def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(zip_with(sigA, sigB,
+      (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, v) => acc + v) / lit(k.toDouble)
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Drop LSH buckets holding more than `cap` members before a bucket
@@ -65,9 +73,12 @@ object TextDedup {
     */
   private[graft] def capBuckets(bandedIn: DataFrame, keys: Seq[String],
                                 cap: Int, what: String): DataFrame = {
-    // cache the banded input: the size count below is an eager job, and the
+    // Cache the banded input: the size count below is an eager job, and the
     // returned plan reads it again on BOTH sides of the caller's self-join
-    // — uncached, the whole fingerprint/banding scan would run ~4×
+    // — uncached, the whole fingerprint/banding scan would run ~4×. The
+    // cached blocks are evictable/recomputable (MEMORY_AND_DISK), so this
+    // is pressure-safe; long-lived sessions running many dedup jobs should
+    // clearCache between them (the bench does).
     val banded = bandedIn.cache()
     val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_n"))
     val hot = sizes.filter(col("bucket_n") > cap)
@@ -76,9 +87,10 @@ object TextDedup {
       log.warn(s"$what: dropping ${dropped.getLong(0)} bucket(s) over " +
         s"cap=$cap (${dropped.getLong(1)} member rows) from pair emission; " +
         "use the canonical/cluster dedup APIs for massive duplicate clusters")
-    // the hot-bucket list is at most rows/cap entries — broadcast the anti
-    // join so the banded side is filtered in place, not shuffled
-    banded.join(broadcast(hot.select(keys.map(col): _*)), keys, "left_anti")
+    // no broadcast hint: the hot list is usually tiny (≤ rows/cap), but on
+    // boilerplate-heavy corpora it can be large — let the optimizer pick
+    // broadcast vs shuffle from its size estimate
+    banded.join(hot.select(keys.map(col): _*), keys, "left_anti")
   }
 
   /** MinHash-LSH near-duplicate pairs over `documents`:
@@ -123,10 +135,7 @@ object TextDedup {
         col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
         col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, v) => acc + v) / lit(k.toDouble))
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), k))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
@@ -439,21 +448,25 @@ object TextDedup {
     // pigeonhole completeness needs MORE bands than differing bits: with
     // maxHamming flipped bits and maxHamming+1 bands, at least one band is
     // untouched — a hard-coded band count would silently lose recall for
-    // any larger maxHamming
+    // any larger maxHamming. Band b covers bits [b·64/bands, (b+1)·64/bands)
+    // — integer-divided boundaries distribute the 64 bits exactly, so
+    // every band is non-empty and in range for bands ≤ 64 (a fixed width
+    // of ceil(64/bands) would push the last band past bit 63 for many
+    // band counts, producing a degenerate constant-zero band).
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val bands = maxHamming + 1
-    val width = (64 + bands - 1) / bands
     def mask(bits: Int): Long = if (bits >= 64) -1L else (1L << bits) - 1
     val fp = docs
       .select(col("doc_id"),
         TextExprs.simhash64(spark, TextAnalysis.tokens(col("text"))).as("fp"))
     val bandedAll = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until bands).map { b =>
-        val lo = b * width
+        val lo = b * 64 / bands
+        val hi = (b + 1) * 64 / bands
         struct(lit(b).as("band_id"),
           shiftright(col("fp"), lo)
-            .bitwiseAND(lit(mask(math.min(width, 64 - lo)))).as("band_val"))
+            .bitwiseAND(lit(mask(hi - lo))).as("band_val"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("fp"),
         col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
@@ -496,19 +509,21 @@ object TextDedup {
     "q55_source_sketch",
     (s, dir) => {
       val k = 64
-      val sigs = Tables.documents(s, dir).select(col("source"),
-        TextExprs.minhashSig(s,
-          TextExprs.tokenShingles(s, TextAnalysis.tokens(col("text")), 3), k)
-          .as("sig"))
+      // filter empty-shingle docs BEFORE signing (as every dedup path
+      // does): an empty set's signature is all Long.MaxValue sentinels,
+      // and two all-sentinel sketches would report est_jaccard = 1.0 for
+      // completely disjoint (empty) sources
+      val sigs = Tables.documents(s, dir)
+        .select(col("source"),
+          TextExprs.tokenShingles(s, TextAnalysis.tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("source"), TextExprs.minhashSig(s, col("sh"), k).as("sig"))
       val sketches = sigs.groupBy(col("source"))
         .agg(TextExprs.minhashSketchAgg(col("sig"), k).as("sketch"))
       val a = sketches.select(col("source").as("source_a"), col("sketch").as("sk_a"))
       val b = sketches.select(col("source").as("source_b"), col("sketch").as("sk_b"))
       a.join(b, col("source_a") < col("source_b"))
-        .withColumn("est_jaccard",
-          aggregate(zip_with(col("sk_a"), col("sk_b"),
-            (x, y) => when(x === y, 1.0).otherwise(0.0)),
-            lit(0.0), (acc, v) => acc + v) / lit(k.toDouble))
+        .withColumn("est_jaccard", estJaccard(col("sk_a"), col("sk_b"), k))
         .select(col("source_a"), col("source_b"), col("est_jaccard"))
         .orderBy(col("source_a"), col("source_b"))
     },

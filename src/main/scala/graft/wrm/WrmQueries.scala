@@ -66,7 +66,10 @@ object WrmQueries {
     * any rewrite is content-idempotent.
     */
   private val FixtureProcessedAt =
-    java.sql.Timestamp.valueOf("2025-05-03 00:00:00")
+    // from an Instant, NOT Timestamp.valueOf(string) — valueOf interprets
+    // the string in the JVM default timezone, which would break the
+    // byte-identical-across-sessions invariant under a different TZ
+    java.sql.Timestamp.from(java.time.Instant.parse("2025-05-03T00:00:00Z"))
 
   def enhancedAll(spark: SparkSession): DataFrame = {
     cache.keySet.removeIf(s => s.sparkContext.isStopped) // don't pin dead sessions

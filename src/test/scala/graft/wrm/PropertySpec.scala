@@ -67,6 +67,21 @@ class PropertySpec extends SparkSpec {
     assert(fps.forall(fp => fp >= 0 && fp < 1000000007L))
   }
 
+  test("simhash band boundaries partition all 64 bits for every band count") {
+    // the integer-division layout simhashDupPairs relies on: bands b cover
+    // [b*64/bands, (b+1)*64/bands) — non-empty, in range, disjoint, total
+    (1 to 64).foreach { bands =>
+      val spans = (0 until bands).map(b => (b * 64 / bands, (b + 1) * 64 / bands))
+      assert(spans.forall { case (lo, hi) => lo >= 0 && hi <= 64 && hi > lo },
+        s"bad span for bands=$bands: $spans")
+      assert(spans.map { case (lo, hi) => hi - lo }.sum == 64)
+      assert(spans.sliding(2).forall {
+        case Seq((_, h1), (l2, _)) => h1 == l2
+        case _ => true
+      })
+    }
+  }
+
   test("simhash banding is pigeonhole-complete: hamming <= 3 shares a band") {
     // candidate generation bands the 64-bit fingerprint into 4×16 bits; any
     // two fingerprints within hamming distance 3 MUST collide in >= 1 band
