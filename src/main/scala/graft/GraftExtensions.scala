@@ -27,11 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[text.TextExprs.MinHashSignature].getName, "graft_minhash"),
-      (es: Seq[Expression]) => text.TextExprs.MinHashSignature(es.head, intArg("graft_minhash", es(1)))))
+      (es: Seq[Expression]) => text.TextExprs.MinHashSignature(es.head,
+        intArg("graft_minhash", es(1)),
+        text.TextExprs.strLiteral("graft_minhash", es.lift(2).orNull, "xx"))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[text.TextExprs.SimHash64].getName, "graft_simhash"),
-      (es: Seq[Expression]) => text.TextExprs.SimHash64(es.head)))
+      (es: Seq[Expression]) => text.TextExprs.SimHash64(es.head,
+        text.TextExprs.strLiteral("graft_simhash", es.lift(1).orNull, "xx"))))
     ext.injectFunction((
       FunctionIdentifier("graft_token_set_count"),
       new ExpressionInfo(classOf[text.TextExprs.TokenSetCount].getName, "graft_token_set_count"),

@@ -189,8 +189,13 @@ object ExtendedQueries {
         GROUP BY l_returnflag) t
       ORDER BY l_returnflag"""))
 
-  /** q37: approximate distinct counting (HLL) — rows-only (approx values
-    * are engine-specific); the spec asserts error bounds vs exact counts.
+  /** q37: approximate distinct counting (HLL). The sketch estimate itself
+    * is engine-specific, so the dumped row set carries the EXACT distinct
+    * counts (hash-comparable against DuckDB) plus booleans asserting the
+    * HLL estimate landed within 5% relative error — the oracle pins them
+    * TRUE, so an out-of-bound sketch fails the hash check. rsd=0.02 keeps
+    * the (deterministic, data-dependent) estimate comfortably inside the
+    * 5% gate at every SF; the spec asserts the error bound directly too.
     */
   val q37 = GraftQuery(
     "q37_approx_distinct",
@@ -198,10 +203,24 @@ object ExtendedQueries {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.05).as("parts_ok"),
+          (abs(col("ao") - col("exact_orders")).cast("double")
+            / col("exact_orders") <= 0.05).as("orders_ok"))
         .orderBy(col("l_returnflag")),
-    None)
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS exact_parts,
+             count(DISTINCT l_orderkey) AS exact_orders,
+             TRUE AS parts_ok, TRUE AS orders_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
 
   val all: Seq[GraftQuery] = Seq(q16, q19, q33, q34, q35, q36, q37)
 }

@@ -25,11 +25,19 @@ object CorpusOps {
     * a uniform hash of its id lands under the stratum's fraction.
     * Hash-based (not RNG-based) so the sample is reproducible across
     * partitionings, retries, and engines — a requirement for auditable
-    * training-data pipelines.
+    * training-data pipelines. hashMode "md5" derives the uniform from the
+    * [[TextExprs]] md5-prefix hash (built-ins only: conv∘substr∘md5) so a
+    * DuckDB oracle reproduces the exact sample; "xx" (default) keeps the
+    * cheaper xxhash64.
     */
   def stratifiedSample(df: DataFrame, label: String, idCol: String,
-                       fractions: Map[String, Double]): DataFrame = {
-    val u = (pmod(xxhash64(col(idCol)), lit(1000000L)).cast("double") / 1000000.0)
+                       fractions: Map[String, Double],
+                       hashMode: String = "xx"): DataFrame = {
+    val h =
+      if (hashMode == "md5")
+        conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+      else xxhash64(col(idCol))
+    val u = (pmod(h, lit(1000000L)).cast("double") / 1000000.0)
     val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
       when(col(label) === k, lit(f)).otherwise(acc)
     }
@@ -49,18 +57,28 @@ object CorpusOps {
       ORDER BY tf DESC, token
       LIMIT 100"""))
 
-  /** Deterministic hash-based stratified sample — expressible in DuckDB
-    * with the same hash? No (xxhash64 is Spark-specific) → rows-only;
-    * proportions pinned in the spec.
+  /** Deterministic hash-based stratified sample in md5 mode — DuckDB
+    * reproduces the identical uniform (md5-prefix mod 1e6), so the exact
+    * sampled row set is hash-checked; proportions also pinned in the spec.
     */
   val qStratified = GraftQuery(
     "q47_stratified_sample",
     (s, dir) =>
       stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
-        Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.1))
+        Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.1),
+        hashMode = "md5")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id")),
-    None)
+    Some(s"""
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+          CAST(${Md5P61.duckBase("CAST(doc_id AS VARCHAR)")} % 1000000
+               AS DOUBLE) / 1000000.0 AS u,
+          CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.25
+                    WHEN 'fr' THEN 0.25 WHEN 'zh' THEN 0.1 ELSE 0.0 END AS frac
+        FROM documents) t
+      WHERE u < frac
+      ORDER BY doc_id"""))
 
   /** TF-IDF weights: per-doc term frequency × ln(N/df) over the full
     * corpus. df/N come from broadcast aggregates; output restricted to a

@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * Scale design (the point of these operators is the 100 TB corpus case):
   *  - exact dedup is a single hash-shuffle on a 128-bit digest (never on the
   *    raw text — the shuffle carries 16 bytes + ids, not documents);
-  *  - MinHash/LSH candidate generation shuffles (band_id, band_hash) keys
+  *  - MinHash/LSH candidate generation shuffles (band_id, band_key) keys
   *    only; pair verification joins shingle SETS for candidates only, never
   *    the full cross product;
-  *  - signatures are computed with codegen'd higher-order functions
-  *    (transform/aggregate over token arrays) — no UDF, no RDD;
-  *  - all hashing is xxhash64 (deterministic, seedable via an extra column),
-  *    so results are stable across partitionings and re-runs.
+  *  - signatures are computed with native kernel expressions (tight loops
+  *    per row) — no UDF, no RDD;
+  *  - hashing defaults to xxhash64 (deterministic, stable across
+  *    partitionings and re-runs); the registry queries run the kernels in
+  *    "md5" mode ([[Md5P61]]) — same algorithms, ANSI-expressible hash —
+  *    so the driver's DuckDB oracle hash-checks the full pipelines.
   */
 object TextDedup {
 
@@ -34,15 +36,21 @@ object TextDedup {
   }
 
   /** LSH band keys: split the k-row signature into `bands` bands of
-    * k/bands rows each; band key = hash of the band's slice.
+    * k/bands rows each. `hashed=true` (the scale default) keys each band
+    * by an 8-byte xxhash64 of its slice; `hashed=false` keys by the slice
+    * ARRAY itself — slightly wider shuffle keys, but expressible in ANSI
+    * SQL (DuckDB groups/joins on lists), which is what the md5-mode
+    * oracle queries need.
     */
-  def bandKeys(sig: Column, k: Int = 16, bands: Int = 4): Column = {
+  def bandKeys(sig: Column, k: Int = 16, bands: Int = 4,
+               hashed: Boolean = true): Column = {
     val rows = k / bands
     array((0 until bands).map { b =>
+      val sl = slice(sig, b * rows + 1, rows)
       struct(
         lit(b).as("band_id"),
-        xxhash64(slice(sig, b * rows + 1, rows).cast("array<string>").cast("string"))
-          .as("band_hash"))
+        (if (hashed) xxhash64(sl.cast("array<string>").cast("string")) else sl)
+          .as("band_key"))
     }: _*)
   }
 
@@ -61,36 +69,30 @@ object TextDedup {
       (x, y) => when(x === y, 1.0).otherwise(0.0)),
       lit(0.0), (acc, v) => acc + v) / lit(k.toDouble)
 
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
   /** Drop LSH buckets holding more than `cap` members before a bucket
-    * self-join, logging what was dropped. The pair join is O(bucket²): one
-    * hot bucket (boilerplate text, near-constant embeddings) turns a
-    * linear candidate pass into a quadratic blow-up at corpus scale. A
-    * bucket with >cap members is, at any sane cap, a single massive
-    * duplicate cluster — the canonical/cluster APIs (one row per doc)
-    * are the right tool for those; the PAIR api caps them.
+    * self-join. The pair join is O(bucket²): one hot bucket (boilerplate
+    * text, near-constant embeddings) turns a linear candidate pass into a
+    * quadratic blow-up at corpus scale. A bucket with >cap members is, at
+    * any sane cap, a single massive duplicate cluster — the
+    * canonical/cluster APIs (one row per doc) are the right tool for
+    * those; the PAIR api caps them.
+    *
+    * Lazy by construction: a window count over the banding keys, then a
+    * filter — NO job runs at plan-build time (an earlier version ran an
+    * eager count + cache here, which doubled q26 and made the pair APIs
+    * do work during query construction). The window's hash partitioning
+    * on `keys` is exactly the layout the caller's self-join needs, so the
+    * exchange is planned once and reused for both join sides. Callers
+    * wanting drop diagnostics can run the inverse filter
+    * (`bucket_n > cap`) as a separate cheap aggregate.
     */
   private[graft] def capBuckets(bandedIn: DataFrame, keys: Seq[String],
                                 cap: Int, what: String): DataFrame = {
-    // Cache the banded input: the size count below is an eager job, and the
-    // returned plan reads it again on BOTH sides of the caller's self-join
-    // — uncached, the whole fingerprint/banding scan would run ~4×. The
-    // cached blocks are evictable/recomputable (MEMORY_AND_DISK), so this
-    // is pressure-safe; long-lived sessions running many dedup jobs should
-    // clearCache between them (the bench does).
-    val banded = bandedIn.cache()
-    val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_n"))
-    val hot = sizes.filter(col("bucket_n") > cap)
-    val dropped = hot.agg(count(lit(1)), sum(col("bucket_n"))).collect()(0)
-    if (!dropped.isNullAt(1) && dropped.getLong(0) > 0)
-      log.warn(s"$what: dropping ${dropped.getLong(0)} bucket(s) over " +
-        s"cap=$cap (${dropped.getLong(1)} member rows) from pair emission; " +
-        "use the canonical/cluster dedup APIs for massive duplicate clusters")
-    // no broadcast hint: the hot list is usually tiny (≤ rows/cap), but on
-    // boilerplate-heavy corpora it can be large — let the optimizer pick
-    // broadcast vs shuffle from its size estimate
-    banded.join(hot.select(keys.map(col): _*), keys, "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    bandedIn
+      .withColumn("__bucket_n", count(lit(1)).over(w))
+      .filter(col("__bucket_n") <= cap)
+      .drop("__bucket_n")
   }
 
   /** MinHash-LSH near-duplicate pairs over `documents`:
@@ -101,7 +103,8 @@ object TextDedup {
     */
   def minhashDupPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5,
-                      maxBucketSize: Int = 1000): DataFrame = {
+                      maxBucketSize: Int = 1000,
+                      hashMode: String = "xx"): DataFrame = {
     val spark = docs.sparkSession
     // Shingle + sign ONCE (native kernel expressions) and cache: the table
     // is reused for band explode and twice for candidate verification. At
@@ -113,18 +116,19 @@ object TextDedup {
       .select(col("doc_id"),
         TextExprs.tokenShingles(spark, TextAnalysis.tokens(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", TextExprs.minhashSig(spark, col("sh"), k))
+      .withColumn("sig", TextExprs.minhashSig(spark, col("sh"), k, hashMode))
       .cache()
 
-    // LSH candidate generation: shuffle only (band_id, band_hash, doc_id).
+    // LSH candidate generation: shuffle only (band_id, band_key, doc_id).
     val bandedAll = sigs
-      .select(col("doc_id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
+      .select(col("doc_id"),
+        explode(bandKeys(col("sig"), k, bands, hashed = hashMode != "md5")).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
-        col("band.band_hash").as("band_hash"))
-    val banded = capBuckets(bandedAll, Seq("band_id", "band_hash"),
+        col("band.band_key").as("band_key"))
+    val banded = capBuckets(bandedAll, Seq("band_id", "band_key"),
       maxBucketSize, "minhashDupPairs")
     val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("band_id", "band_hash"))
+      .join(banded.as("b"), Seq("band_id", "band_key"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
@@ -175,7 +179,8 @@ object TextDedup {
     * collapse in one pass (identical docs share all buckets).
     */
   def minhashCanonical(docs: DataFrame, k: Int = 16, bands: Int = 4,
-                       threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5,
+                       hashMode: String = "xx"): DataFrame = {
     val spark = docs.sparkSession
     val sigs = docs
       .select(col("doc_id"),
@@ -184,13 +189,14 @@ object TextDedup {
       .cache()
     val banded = sigs
       .select(col("doc_id"),
-        explode(bandKeys(TextExprs.minhashSig(spark, col("sh"), k), k, bands)).as("band"))
+        explode(bandKeys(TextExprs.minhashSig(spark, col("sh"), k, hashMode), k, bands,
+          hashed = hashMode != "md5")).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
-        col("band.band_hash").as("band_hash"))
+        col("band.band_key").as("band_key"))
     // min doc id per bucket, then min candidate per doc — rows stay O(docs)
-    val bucketMin = banded.groupBy(col("band_id"), col("band_hash"))
+    val bucketMin = banded.groupBy(col("band_id"), col("band_key"))
       .agg(min(col("doc_id")).as("bucket_min"))
-    val candidate = banded.join(bucketMin, Seq("band_id", "band_hash"))
+    val candidate = banded.join(bucketMin, Seq("band_id", "band_key"))
       .groupBy(col("doc_id"))
       .agg(min(col("bucket_min")).as("cand"))
       .filter(col("cand") < col("doc_id"))
@@ -219,7 +225,8 @@ object TextDedup {
     * the iteration budget cluster correctly.
     */
   def minhashClusters(docs: DataFrame, k: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.5, maxIter: Int = 20): DataFrame = {
+                      threshold: Double = 0.5, maxIter: Int = 20,
+                      hashMode: String = "xx"): DataFrame = {
     val spark = docs.sparkSession
     val sigs = docs
       .select(col("doc_id"),
@@ -228,12 +235,13 @@ object TextDedup {
       .cache()
     val banded = sigs
       .select(col("doc_id"),
-        explode(bandKeys(TextExprs.minhashSig(spark, col("sh"), k), k, bands)).as("band"))
+        explode(bandKeys(TextExprs.minhashSig(spark, col("sh"), k, hashMode), k, bands,
+          hashed = hashMode != "md5")).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
-        col("band.band_hash").as("band_hash"))
-    val bucketMin = banded.groupBy(col("band_id"), col("band_hash"))
+        col("band.band_key").as("band_key"))
+    val bucketMin = banded.groupBy(col("band_id"), col("band_key"))
       .agg(min(col("doc_id")).as("dst"))
-    val starEdges = banded.join(bucketMin, Seq("band_id", "band_hash"))
+    val starEdges = banded.join(bucketMin, Seq("band_id", "band_key"))
       .filter(col("doc_id") =!= col("dst"))
       .select(col("doc_id").as("src"), col("dst"))
       .distinct()
@@ -317,6 +325,76 @@ object TextDedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  // ---- DuckDB oracle fragments for the md5-mode queries ------------------
+  //
+  // The registry's dedup queries run the kernels in "md5" hash mode
+  // ([[Md5P61]]) precisely so these transliterations are possible: every
+  // stage (shingling, base hash, family rehash, banding, jaccard verify)
+  // is written once here and composed per query. xxhash64 remains the
+  // default for the library APIs — the hash is a parameter of the
+  // algorithm, not its semantics, so the oracle proves the ALGORITHM.
+
+  /** corpus := documents plus the 20 lowest-doc_id docs re-planted at
+    * +1000000 (exact copies, or 95%-prefix twins when `tail`).
+    */
+  private def duckCorpus(tail: Boolean): String = {
+    val text = if (tail) "substr(text, 1, 10000) || ' planted tail'" else "text"
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, $text AS text
+       |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20))""".stripMargin
+  }
+
+  /** corpus(doc_id, text) → ne(doc_id, sh): distinct 3-gram shingles of
+    * whitespace tokens, empty-shingle docs dropped — the mirror of
+    * `tokenShingles(tokens(text), 3)` + `filter(size > 0)`.
+    */
+  private val duckShingles: String =
+    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
+      |grams AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(tk) - 2, 0)),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks),
+      |ne AS (SELECT doc_id, sh FROM grams WHERE len(sh) > 0),
+      |shingle AS (SELECT doc_id, unnest(sh) AS g FROM ne),
+      |hbase AS (SELECT doc_id, """.stripMargin + Md5P61.duckBase("g") + " AS h FROM shingle)"
+
+  /** hbase(doc_id, h) → sigs(doc_id, sig) → bands(doc_id, band_id,
+    * band_key): the k-family signature and its band slices.
+    */
+  private def duckSigBands(k: Int, bands: Int): String = {
+    val rows = k / bands
+    s"""${Md5P61.duckFams(k)},
+       |mins AS (SELECT b.doc_id, fm.f, min(${Md5P61.duckRehash("b.h")}) AS mn
+       |  FROM hbase b CROSS JOIN fams fm GROUP BY b.doc_id, fm.f),
+       |sigs AS (SELECT doc_id, list(mn ORDER BY f) AS sig FROM mins GROUP BY doc_id),
+       |bands AS (SELECT doc_id, band_id,
+       |    list_slice(sig, band_id * $rows + 1, band_id * $rows + $rows) AS band_key
+       |  FROM sigs CROSS JOIN range($bands) r(band_id))""".stripMargin
+  }
+
+  /** Exact Jaccard of two shingle-list SQL expressions (mirror of
+    * [[jaccard]]; same form as the q25 oracle).
+    */
+  private def duckJaccard(a: String, b: String): String =
+    s"CASE WHEN len(list_distinct($a || $b)) = 0 THEN 0.0 " +
+      s"ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct($a || $b)) END"
+
+  /** corpus(doc_id, text) → sfp(doc_id, simhash64): the 60-bit md5-mode
+    * SimHash (majority vote per bit over per-token base hashes).
+    */
+  private val duckSimhash: String =
+    s"""stoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus),
+       |stok AS (SELECT doc_id, unnest(tk) AS t FROM stoks),
+       |stn AS (SELECT doc_id, len(tk) AS n FROM stoks),
+       |sth AS (SELECT doc_id, ${Md5P61.duckBase("t")} AS h FROM stok),
+       |svotes AS (SELECT doc_id, b, sum(CAST((h >> b) & 1 AS BIGINT)) AS v
+       |  FROM sth CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+       |sfp AS (SELECT v.doc_id,
+       |    CAST(sum(CASE WHEN 2 * v.v >= t.n THEN CAST(1 AS BIGINT) << v.b
+       |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash64
+       |  FROM svotes v JOIN stn t ON t.doc_id = v.doc_id GROUP BY v.doc_id)""".stripMargin
+
   // ---- query wrappers ----------------------------------------------------
 
   /** Exact dedup by content hash (md5 matches DuckDB's md5 for the oracle;
@@ -374,22 +452,48 @@ object TextDedup {
         ON a.source = b.source AND b.doc_id = a.doc_id + 20
       ORDER BY doc_a"""))
 
-  /** MinHash+LSH near-dup pairs — not ANSI-expressible (xxhash64), driver
-    * does a rows-only check; ScalaTest asserts semantics on planted dups.
+  /** MinHash+LSH near-dup pairs in md5 hash mode — the full pipeline
+    * (shingle → sign → band → bucket-join → verify) is transliterated to
+    * DuckDB, so the driver hash-checks the ALGORITHM end to end.
     */
   val qMinhash = GraftQuery(
     "q26_minhash_lsh_dedup",
     (s, dir) => {
       // Plant near-duplicates so the operator has work to do at any SF:
-      // each source's lexicographically-first doc gets a 95%-prefix twin.
+      // the 20 lowest-doc_id docs get a 95%-prefix twin.
       val d = Tables.documents(s, dir)
       val planted = d.orderBy(col("doc_id")).limit(20).select(
         (col("doc_id") + 1000000).as("doc_id"),
         concat(substring(col("text"), 1, 10000), lit(" planted tail")).as("text"))
       val corpus = d.select(col("doc_id"), col("text")).unionByName(planted)
-      minhashDupPairs(corpus, threshold = 0.3).orderBy(col("doc_a"), col("doc_b"))
+      minhashDupPairs(corpus, threshold = 0.3, hashMode = "md5")
+        .orderBy(col("doc_a"), col("doc_b"))
     },
-    None)
+    Some(s"""
+      WITH ${duckCorpus(tail = true)},
+      $duckShingles,
+      ${duckSigBands(16, 4)},
+      capped AS (SELECT * FROM bands
+        QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= 1000),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      scored AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(len(list_filter(generate_series(1, 16),
+            i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16.0 AS est_jaccard,
+          ${duckJaccard("na.sh", "nb.sh")} AS jaccard
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b
+        JOIN ne na ON na.doc_id = c.doc_a
+        JOIN ne nb ON nb.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, est_jaccard, jaccard
+      FROM scored
+      WHERE jaccard >= 0.3
+      ORDER BY doc_a, doc_b"""))
 
   val qSimhash = GraftQuery(
     "q27_simhash",
@@ -400,11 +504,16 @@ object TextDedup {
         .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
         .select(col("doc_id"),
-          TextExprs.simhash64(s, TextAnalysis.tokens(col("text"))).as("simhash64")),
-    None)
+          TextExprs.simhash64(s, TextAnalysis.tokens(col("text")), "md5")
+            .as("simhash64")),
+    Some(s"""
+      WITH corpus AS (SELECT doc_id, text FROM documents),
+      $duckSimhash
+      SELECT doc_id, simhash64 FROM sfp ORDER BY doc_id"""))
 
   /** Canonical-assignment dedup over documents + planted duplicates:
-    * one output row per doc (the scale-safe dedup shape).
+    * one output row per doc (the scale-safe dedup shape). md5 hash mode →
+    * the bucket-min / candidate-min / verify pipeline has a real oracle.
     */
   val qMinhashCanonical = GraftQuery(
     "q50_minhash_canonical",
@@ -413,14 +522,39 @@ object TextDedup {
       val planted = d.orderBy(col("doc_id")).limit(20).select(
         (col("doc_id") + 1000000).as("doc_id"), col("text"))
       minhashCanonical(d.select(col("doc_id"), col("text")).unionByName(planted),
-        threshold = 0.5)
+        threshold = 0.5, hashMode = "md5")
         .orderBy(col("doc_id"))
     },
-    None)
+    Some(s"""
+      WITH ${duckCorpus(tail = false)},
+      $duckShingles,
+      ${duckSigBands(16, 4)},
+      bmin AS (SELECT band_id, band_key, min(doc_id) AS bucket_min
+        FROM bands GROUP BY band_id, band_key),
+      cand AS (
+        SELECT b.doc_id, min(m.bucket_min) AS cand
+        FROM bands b JOIN bmin m
+          ON b.band_id = m.band_id AND b.band_key = m.band_key
+        GROUP BY b.doc_id
+        HAVING min(m.bucket_min) < b.doc_id),
+      ver AS (
+        SELECT c.doc_id, c.cand
+        FROM cand c
+        JOIN ne da ON da.doc_id = c.doc_id
+        JOIN ne db ON db.doc_id = c.cand
+        WHERE ${duckJaccard("da.sh", "db.sh")} >= 0.5)
+      SELECT c.doc_id,
+             coalesce(v.cand, c.doc_id) AS canonical_id,
+             v.cand IS NULL AS is_canonical
+      FROM corpus c LEFT JOIN ver v ON v.doc_id = c.doc_id
+      ORDER BY c.doc_id"""))
 
-  /** Transitive dedup clusters over documents + planted chained near-dups:
-    * exercises the connected-components path (rows-only; semantics pinned
-    * by TextSpec's chain-transitivity test).
+  /** Transitive dedup clusters over documents + planted duplicates:
+    * exercises the connected-components path. The oracle computes true
+    * components via a recursive transitive closure over the same verified
+    * star-edge graph — feasible at oracle scale, and it independently
+    * proves the alternating-star algorithm labels every node with its
+    * component minimum.
     */
   val qDedupClusters = GraftQuery(
     "q51_dedup_clusters",
@@ -429,10 +563,38 @@ object TextDedup {
       val planted = d.orderBy(col("doc_id")).limit(20).select(
         (col("doc_id") + 1000000).as("doc_id"), col("text"))
       minhashClusters(d.select(col("doc_id"), col("text")).unionByName(planted),
-        threshold = 0.5)
+        threshold = 0.5, hashMode = "md5")
         .orderBy(col("doc_id"))
     },
-    None)
+    Some(s"""
+      WITH RECURSIVE ${duckCorpus(tail = false)},
+      $duckShingles,
+      ${duckSigBands(16, 4)},
+      bmin AS (SELECT band_id, band_key, min(doc_id) AS dst
+        FROM bands GROUP BY band_id, band_key),
+      star AS (
+        SELECT DISTINCT b.doc_id AS src, m.dst
+        FROM bands b JOIN bmin m
+          ON b.band_id = m.band_id AND b.band_key = m.band_key
+        WHERE b.doc_id <> m.dst),
+      ver AS (
+        SELECT s.src, s.dst FROM star s
+        JOIN ne na ON na.doc_id = s.src
+        JOIN ne nb ON nb.doc_id = s.dst
+        WHERE ${duckJaccard("na.sh", "nb.sh")} >= 0.5),
+      sym AS (SELECT src AS u, dst AS v FROM ver
+              UNION SELECT dst AS u, src AS v FROM ver),
+      reach AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+      labels AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+      SELECT c.doc_id,
+             CASE WHEN l.mn IS NULL OR l.mn > c.doc_id THEN c.doc_id
+                  ELSE l.mn END AS cluster_id,
+             (l.mn IS NULL OR l.mn > c.doc_id) AS is_canonical
+      FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id
+      ORDER BY c.doc_id"""))
 
   /** SimHash near-duplicate pairs: band the 64-bit fingerprint into
     * `bands` equal slices — by pigeonhole, two fingerprints within
@@ -443,27 +605,30 @@ object TextDedup {
     * fingerprint: the shuffle carries (band_id, int16, doc_id, int64).
     */
   def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3,
-                      maxBucketSize: Int = 1000): DataFrame = {
+                      maxBucketSize: Int = 1000,
+                      hashMode: String = "xx"): DataFrame = {
     val spark = docs.sparkSession
     // pigeonhole completeness needs MORE bands than differing bits: with
     // maxHamming flipped bits and maxHamming+1 bands, at least one band is
     // untouched — a hard-coded band count would silently lose recall for
-    // any larger maxHamming. Band b covers bits [b·64/bands, (b+1)·64/bands)
-    // — integer-divided boundaries distribute the 64 bits exactly, so
-    // every band is non-empty and in range for bands ≤ 64 (a fixed width
-    // of ceil(64/bands) would push the last band past bit 63 for many
-    // band counts, producing a degenerate constant-zero band).
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 64), got $maxHamming")
+    // any larger maxHamming. Band b covers bits [b·W/bands, (b+1)·W/bands)
+    // (W = fingerprint width: 64 for xx, 60 for md5) — integer-divided
+    // boundaries distribute the W bits exactly, so every band is non-empty
+    // and in range for bands ≤ W (a fixed width of ceil(W/bands) would
+    // push the last band past bit W-1 for many band counts, producing a
+    // degenerate constant-zero band).
+    val fpBits = if (hashMode == "md5") 60 else 64
+    require(maxHamming >= 0 && maxHamming < fpBits,
+      s"maxHamming must be in [0, $fpBits), got $maxHamming")
     val bands = maxHamming + 1
     def mask(bits: Int): Long = if (bits >= 64) -1L else (1L << bits) - 1
     val fp = docs
       .select(col("doc_id"),
-        TextExprs.simhash64(spark, TextAnalysis.tokens(col("text"))).as("fp"))
+        TextExprs.simhash64(spark, TextAnalysis.tokens(col("text")), hashMode).as("fp"))
     val bandedAll = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until bands).map { b =>
-        val lo = b * 64 / bands
-        val hi = (b + 1) * 64 / bands
+        val lo = b * fpBits / bands
+        val hi = (b + 1) * fpBits / bands
         struct(lit(b).as("band_id"),
           shiftright(col("fp"), lo)
             .bitwiseAND(lit(mask(hi - lo))).as("band_val"))
@@ -482,9 +647,10 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** SimHash dedup pairs over documents + planted exact twins (hamming 0);
-    * rows-only (xxhash64-based fingerprint isn't ANSI-expressible) with
-    * semantics pinned in TextSpec.
+  /** SimHash dedup pairs over documents + planted exact twins (hamming 0).
+    * The oracle brute-forces all pairs with hamming ≤ 3 — by pigeonhole
+    * the banded Spark plan finds exactly that set (bands = maxHamming+1),
+    * so the hash match doubles as a completeness proof for the banding.
     */
   val qSimhashDedup = GraftQuery(
     "q52_simhash_dedup",
@@ -492,10 +658,18 @@ object TextDedup {
       val d = Tables.documents(s, dir)
       val planted = d.orderBy(col("doc_id")).limit(20).select(
         (col("doc_id") + 1000000).as("doc_id"), col("text"))
-      simhashDupPairs(d.select(col("doc_id"), col("text")).unionByName(planted))
+      simhashDupPairs(d.select(col("doc_id"), col("text")).unionByName(planted),
+        hashMode = "md5")
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    None)
+    Some(s"""
+      WITH ${duckCorpus(tail = false)},
+      $duckSimhash
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INTEGER) AS hamming
+      FROM sfp a JOIN sfp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+      ORDER BY doc_a, doc_b"""))
 
   /** Inter-GROUP similarity via the custom MinHashSketch aggregate: one
     * k-long sketch per source (partial aggregation merges buffers, the
@@ -517,7 +691,7 @@ object TextDedup {
         .select(col("source"),
           TextExprs.tokenShingles(s, TextAnalysis.tokens(col("text")), 3).as("sh"))
         .filter(size(col("sh")) > 0)
-        .select(col("source"), TextExprs.minhashSig(s, col("sh"), k).as("sig"))
+        .select(col("source"), TextExprs.minhashSig(s, col("sh"), k, "md5").as("sig"))
       val sketches = sigs.groupBy(col("source"))
         .agg(TextExprs.minhashSketchAgg(col("sig"), k).as("sketch"))
       val a = sketches.select(col("source").as("source_a"), col("sketch").as("sk_a"))
@@ -527,7 +701,27 @@ object TextDedup {
         .select(col("source_a"), col("source_b"), col("est_jaccard"))
         .orderBy(col("source_a"), col("source_b"))
     },
-    None)
+    // The sketch aggregate's position-wise min over per-doc signatures
+    // equals, per (source, family), the min over every shingle of every
+    // doc in the source — so the oracle skips the per-doc stage entirely
+    // and min-aggregates the rehash by (source, family) directly.
+    Some(s"""
+      WITH stoks AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tk
+                     FROM documents),
+      sgrams AS (SELECT source, list_distinct(list_transform(
+          generate_series(1, greatest(len(tk) - 2, 0)),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM stoks),
+      sne AS (SELECT source, unnest(sh) AS g FROM sgrams WHERE len(sh) > 0),
+      sbase AS (SELECT source, ${Md5P61.duckBase("g")} AS h FROM sne),
+      ${Md5P61.duckFams(64)},
+      smins AS (SELECT b.source, fm.f, min(${Md5P61.duckRehash("b.h")}) AS mn
+        FROM sbase b CROSS JOIN fams fm GROUP BY b.source, fm.f)
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS DOUBLE) / 64.0
+               AS est_jaccard
+      FROM smins a JOIN smins b ON a.f = b.f AND a.source < b.source
+      GROUP BY a.source, b.source
+      ORDER BY source_a, source_b"""))
 
   val queries: Seq[GraftQuery] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qMinhashCanonical,

@@ -49,21 +49,38 @@ object TextExprs {
 
   /** k-family MinHash signature over a string array: one string hash per
     * element, k cheap long re-hashes folded into running minima.
+    *
+    * `hashMode` "xx" (default): xxhash64 base + xxhash64 rehash — the
+    * scale path. "md5": [[Md5P61]] base + Mersenne-mod rehash, bit-equal
+    * to a DuckDB transliteration so md5-mode queries get real oracle rows.
     */
-  case class MinHashSignature(child: Expression, k: Int)
+  case class MinHashSignature(child: Expression, k: Int, hashMode: String = "xx")
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val useMd5 = hashMode == "md5"
+    @transient private lazy val famA: Array[Long] = Array.tabulate(k)(Md5P61.familyA)
+    @transient private lazy val famB: Array[Long] = Array.tabulate(k)(Md5P61.familyB)
     override def nullSafeEval(shingles: Any): Any = {
       val arr = shingles.asInstanceOf[ArrayData]
       val mins = Array.fill(k)(Long.MaxValue)
       var i = 0
       while (i < arr.numElements()) {
-        val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-        var f = 0
-        while (f < k) {
-          val h = XxHash64Function.hash(base, LongType, f.toLong)
-          if (h < mins(f)) mins(f) = h
-          f += 1
+        if (useMd5) {
+          val base = Md5P61.base(arr.getUTF8String(i))
+          var f = 0
+          while (f < k) {
+            val h = Md5P61.mulAddMod(base, famA(f), famB(f))
+            if (h < mins(f)) mins(f) = h
+            f += 1
+          }
+        } else {
+          val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+          var f = 0
+          while (f < k) {
+            val h = XxHash64Function.hash(base, LongType, f.toLong)
+            if (h < mins(f)) mins(f) = h
+            f += 1
+          }
         }
         i += 1
       }
@@ -72,21 +89,29 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
   }
 
-  /** 64-bit SimHash over a token array: majority vote per bit of the
-    * per-token xxhash64.
+  /** SimHash over a token array: majority vote per bit of the per-token
+    * hash. "xx" mode: 64-bit xxhash64 fingerprint (scale default);
+    * "md5" mode: 60-bit [[Md5P61]] fingerprint (DuckDB-expressible —
+    * 15 hex chars carry exactly 60 bits).
     */
-  case class SimHash64(child: Expression)
+  case class SimHash64(child: Expression, hashMode: String = "xx")
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    private val useMd5 = hashMode == "md5"
+    /** Fingerprint width: 60 in md5 mode, 64 in xx mode. */
+    val bits: Int = if (useMd5) 60 else 64
     override def nullSafeEval(tokens: Any): Any = {
       val arr = tokens.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      val votes = new Array[Int](64)
+      val nBits = bits
+      val votes = new Array[Int](nBits)
       var i = 0
       while (i < n) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val h =
+          if (useMd5) Md5P61.base(arr.getUTF8String(i))
+          else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
         var b = 0
-        while (b < 64) {
+        while (b < nBits) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1
           b += 1
         }
@@ -94,7 +119,7 @@ object TextExprs {
       }
       var out = 0L
       var b = 0
-      while (b < 64) {
+      while (b < nBits) {
         if (votes(b) * 2 >= n) out |= (1L << b)
         b += 1
       }
@@ -236,6 +261,22 @@ object TextExprs {
     }
   }
 
+  /** Evaluate a function argument that must be a literal string (hash
+    * mode). Same analysis-time contract as [[intLiteral]].
+    */
+  private[graft] def strLiteral(fn: String, e: Expression, default: String): String =
+    if (e == null) default
+    else {
+      if (!e.foldable)
+        throw new IllegalArgumentException(
+          s"$fn requires a literal string argument, got non-foldable: ${e.sql}")
+      e.eval(InternalRow.empty) match {
+        case s: UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$fn requires a literal STRING argument, got: $other")
+      }
+    }
+
   /** Register SQL-callable forms once per session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -243,10 +284,12 @@ object TextExprs {
       es => TokenShingles(es.head, intLiteral("graft_shingles", es(1))),
       "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
-      es => MinHashSignature(es.head, intLiteral("graft_minhash", es(1))),
+      es => MinHashSignature(es.head, intLiteral("graft_minhash", es(1)),
+        strLiteral("graft_minhash", es.lift(2).orNull, "xx")),
       "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
-      es => SimHash64(es.head), "built-in")
+      es => SimHash64(es.head,
+        strLiteral("graft_simhash", es.lift(1).orNull, "xx")), "built-in")
     reg.createOrReplaceTempFunction("graft_token_set_count",
       es => TokenSetCount(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint",
@@ -270,14 +313,19 @@ object TextExprs {
     call_function("graft_shingles", tokens, org.apache.spark.sql.functions.lit(n))
   }
 
-  def minhashSig(spark: SparkSession, shingles: Column, k: Int): Column = {
+  def minhashSig(spark: SparkSession, shingles: Column, k: Int,
+                 hashMode: String = "xx"): Column = {
     register(spark)
-    call_function("graft_minhash", shingles, org.apache.spark.sql.functions.lit(k))
+    call_function("graft_minhash", shingles,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(hashMode))
   }
 
-  def simhash64(spark: SparkSession, tokens: Column): Column = {
+  def simhash64(spark: SparkSession, tokens: Column,
+                hashMode: String = "xx"): Column = {
     register(spark)
-    call_function("graft_simhash", tokens)
+    call_function("graft_simhash", tokens,
+      org.apache.spark.sql.functions.lit(hashMode))
   }
 
   def tokenSetCount(spark: SparkSession, tokens: Column, words: Seq[String]): Column = {

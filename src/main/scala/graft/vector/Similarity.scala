@@ -68,25 +68,47 @@ object Similarity {
       .select(col("query_id"), col("rn"), col("vec_id"), col("cos_sim"))
   }
 
-  /** ANN via LSH buckets with multi-probe: exact cosine ranking within the
-    * query's bucket PLUS every Hamming-distance-1 neighbor bucket
-    * (planes+1 probes). Single-bucket probing collapses in recall as
-    * planes grow (the nearest neighbors differ from the query in one
-    * hyperplane sign with probability ≈ θ/π per plane); probing the
-    * 1-flip neighborhood recovers exactly those, at O(planes) extra
-    * bucket lookups — still a broadcast hash join against the streamed
-    * corpus, no corpus shuffle, ~(planes+1)/2^planes of the data scanned.
+  /** ANN via LSH buckets with multi-probe AND multi-table
+    * OR-amplification: exact cosine ranking within the query's bucket
+    * PLUS every Hamming-distance-1 neighbor bucket (planes+1 probes), in
+    * each of `tables` independent hyperplane families. Single-bucket
+    * probing collapses in recall as planes grow (the nearest neighbors
+    * differ from the query in one hyperplane sign with probability
+    * ≈ θ/π per plane); the 1-flip probes recover one flipped sign, and
+    * independent tables recover multi-flip misses with probability
+    * 1 − (1 − p_hit)^tables. Cost stays a single corpus scan (all table
+    * buckets computed in one projection) + a broadcast hash join —
+    * no corpus shuffle; ~tables·(planes+1)/2^planes of the data scanned,
+    * deduplicated before ranking.
     */
-  def annLsh(corpus: DataFrame, query: DataFrame, k: Int, planes: Int = 6): DataFrame = {
-    val bucketed = corpus.withColumn("bucket", VectorExprs.lshBucket(col("embedding"), planes))
-    val qb = query.withColumn("qbucket", VectorExprs.lshBucket(col("qv"), planes))
-    val probeCols: Seq[Column] = col("qbucket") +:
-      (0 until planes).map(p => col("qbucket").bitwiseXOR(lit(1L << p)))
-    // distinct probe buckets → each corpus row matches at most one probe
-    val probes = qb.select(col("qv"), explode(array(probeCols: _*)).as("probe"))
-    bucketed.join(broadcast(probes), col("bucket") === col("probe"))
+  def annLsh(corpus: DataFrame, query: DataFrame, k: Int, planes: Int = 6,
+             tables: Int = 3, hashMode: String = "xx"): DataFrame = {
+    val bucketed = corpus.select(col("vec_id"), col("label"), col("embedding"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          VectorExprs.lshBucket(col("embedding"), planes, t * planes, hashMode)
+            .as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val qb = query.select(col("qv"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("ptbl"),
+          VectorExprs.lshBucket(col("qv"), planes, t * planes, hashMode)
+            .as("qbucket"))
+      }: _*)).as("tb"))
+      .select(col("qv"), col("tb.ptbl").as("ptbl"), col("tb.qbucket").as("qbucket"))
+    val probes = qb.select(col("qv"), col("ptbl"),
+      explode(array((col("qbucket") +:
+        (0 until planes).map(p => col("qbucket").bitwiseXOR(lit(1L << p)))): _*))
+        .as("probe"))
+    bucketed.join(broadcast(probes),
+        col("tbl") === col("ptbl") && col("bucket") === col("probe"))
+      // a vector found in several tables/probes ranks once; rows for one
+      // vec_id are identical (single query), so any-row dedup is exact
+      .dropDuplicates("vec_id")
       .withColumn("cos_sim", VectorExprs.cosineSim(col("embedding"), col("qv")))
-      .select(col("vec_id"), col("label"), col("bucket"), col("cos_sim"))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -99,10 +121,11 @@ object Similarity {
     * emission.
     */
   def embeddingDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 6,
-                        maxBucketSize: Int = 1000): DataFrame = {
+                        maxBucketSize: Int = 1000,
+                        hashMode: String = "xx"): DataFrame = {
     val bucketed = graft.text.TextDedup.capBuckets(
       corpus.select(col("vec_id"), col("embedding"),
-        VectorExprs.lshBucket(col("embedding"), planes).as("bucket")),
+        VectorExprs.lshBucket(col("embedding"), planes, 0, hashMode).as("bucket")),
       Seq("bucket"), maxBucketSize, "embeddingDupPairs")
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
@@ -127,11 +150,12 @@ object Similarity {
     * bands play the same role).
     */
   def embeddingCanonical(corpus: DataFrame, threshold: Double,
-                         planes: Int = 6, tables: Int = 3): DataFrame = {
+                         planes: Int = 6, tables: Int = 3,
+                         hashMode: String = "xx"): DataFrame = {
     val vecs = corpus.select(col("vec_id"), col("embedding")).cache()
     val candidates = (0 until tables).map { t =>
       val bucketed = vecs.select(col("vec_id"), col("embedding"),
-        VectorExprs.lshBucket(col("embedding"), planes, t * planes).as("bucket"))
+        VectorExprs.lshBucket(col("embedding"), planes, t * planes, hashMode).as("bucket"))
       val bucketMin = bucketed.groupBy(col("bucket"))
         .agg(min(col("vec_id")).as("bucket_min"))
       bucketed.join(bucketMin, "bucket")
@@ -151,6 +175,53 @@ object Similarity {
         coalesce(col("canonical_id"), col("vec_id")).as("canonical_id"))
       .withColumn("is_canonical", col("vec_id") === col("canonical_id"))
   }
+
+  // ---- DuckDB oracle fragments for the md5-mode LSH queries --------------
+
+  /** Sequential double fold Σ expr(i) for i = 1..len — the q28-pinned
+    * pattern that matches the kernels' ascending-index accumulation.
+    */
+  private def duckFold(expr: String, len: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, $len), i -> $expr)), (acc, v) -> acc + v)"
+
+  /** Exact cosine between two list columns, bit-equal to
+    * [[VectorExprs.CosineSim]] (same fold order, same zero-norm guard).
+    */
+  private def duckCosine(a: String, b: String): String = {
+    val dot = duckFold(s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)", s"len($a)")
+    val na = s"sqrt(${duckFold(s"CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)", s"len($a)")})"
+    val nb = s"sqrt(${duckFold(s"CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)", s"len($b)")})"
+    s"CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END"
+  }
+
+  /** coefs(p, cl): md5-mode hyperplane coefficient lists for global plane
+    * ids 0..nPlanes-1 over the embeddings fixture's 64 dims — the exact
+    * mirror of [[VectorExprs.LshBucket]]'s md5 coefficients.
+    */
+  private def duckCoefs(nPlanes: Int): String =
+    s"""coef AS (
+       |  SELECT p, i,
+       |    (${graft.text.Md5P61.duckBase(
+             "'graft_lsh:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+       |     % 2000 - 1000) / 1000.0 AS c
+       |  FROM range($nPlanes) t(p) CROSS JOIN range(64) s(i)),
+       |coefs AS (SELECT p, list(c ORDER BY i) AS cl FROM coef GROUP BY p)""".stripMargin
+
+  /** vecs(vec_id, embedding) × coefs → buckets(vec_id, tbl, bucket):
+    * sign-of-projection bits packed per `planesPerTable`-plane family.
+    */
+  private def duckBuckets(planesPerTable: Int): String =
+    s"""scores AS (
+       |  SELECT v.vec_id, c.p,
+       |    ${duckFold("CAST(v.embedding[i] AS DOUBLE) * c.cl[i]", "len(v.embedding)")} AS score
+       |  FROM vecs v CROSS JOIN coefs c),
+       |buckets AS (
+       |  SELECT vec_id, p // $planesPerTable AS tbl,
+       |    CAST(sum(CASE WHEN score >= 0
+       |        THEN CAST(1 AS BIGINT) << (p % $planesPerTable)
+       |        ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM scores GROUP BY vec_id, p // $planesPerTable)""".stripMargin
 
   // ---- query wrappers ----------------------------------------------------
 
@@ -233,17 +304,39 @@ object Similarity {
       WHERE rn <= 10
       ORDER BY query_id, rn"""))
 
-  /** LSH-bucketed ANN — xxhash64-based, rows-only check (ScalaTest compares
-    * recall vs brute force).
+  /** LSH-bucketed ANN in md5 hash mode: the oracle re-derives the
+    * hyperplanes, buckets, multi-probe set and candidate union in DuckDB
+    * and ranks by the identical cosine fold — hash-checking bucketing AND
+    * ranking end to end (ScalaTest additionally asserts recall vs brute
+    * force).
     */
   val qAnnLsh = GraftQuery(
     "q29_ann_lsh",
     (s, dir) =>
-      annLsh(Tables.embeddings(s, dir), queryVec(s, dir), 20),
-    None)
+      annLsh(Tables.embeddings(s, dir), queryVec(s, dir), 20, hashMode = "md5"),
+    Some(s"""
+      WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+      ${duckCoefs(18)},
+      ${duckBuckets(6)},
+      qbuckets AS (SELECT tbl, bucket AS qbucket FROM buckets WHERE vec_id = 0),
+      probes AS (
+        SELECT tbl, unnest(list_prepend(qbucket,
+          list_transform(generate_series(0, 5),
+            pp -> xor(qbucket, CAST(1 AS BIGINT) << pp)))) AS probe
+        FROM qbuckets),
+      cands AS (
+        SELECT DISTINCT b.vec_id
+        FROM buckets b JOIN probes q ON b.tbl = q.tbl AND b.bucket = q.probe),
+      qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, e.label,
+             ${duckCosine("e.embedding", "q.qe")} AS cos_sim
+      FROM embeddings e JOIN cands cd ON cd.vec_id = e.vec_id CROSS JOIN qv q
+      ORDER BY cos_sim DESC, e.vec_id
+      LIMIT 20"""))
 
   /** Embedding near-dup pairs with planted duplicates (corpus vectors are
-    * random — near-exact pairs only exist if we plant them).
+    * random — near-exact pairs only exist if we plant them). md5 mode:
+    * the oracle rebuilds bucket blocking + cap + cosine verify in DuckDB.
     */
   val qEmbeddingDedup = GraftQuery(
     "q30_embedding_dedup",
@@ -254,13 +347,37 @@ object Similarity {
         col("embedding"), col("label"))
       embeddingDupPairs(
         e.unionByName(planted).select(col("vec_id"), col("embedding")),
-        threshold = 0.999)
+        threshold = 0.999, hashMode = "md5")
         .orderBy(col("id_a"), col("id_b"))
     },
-    None)
+    Some(s"""
+      WITH vecs AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id < 10),
+      ${duckCoefs(6)},
+      ${duckBuckets(6)},
+      capped AS (SELECT vec_id, bucket FROM buckets
+        QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM capped a JOIN capped b ON a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id),
+      scored AS (
+        SELECT p.id_a, p.id_b,
+               ${duckCosine("va.embedding", "vb.embedding")} AS cos_sim
+        FROM pairs p
+        JOIN vecs va ON va.vec_id = p.id_a
+        JOIN vecs vb ON vb.vec_id = p.id_b)
+      SELECT id_a, id_b, cos_sim
+      FROM scored
+      WHERE cos_sim >= 0.999
+      ORDER BY id_a, id_b"""))
 
   /** Canonical embedding dedup over embeddings + planted exact copies —
-    * O(corpus) output rows regardless of cluster sizes.
+    * O(corpus) output rows regardless of cluster sizes. md5 mode → the
+    * multi-table OR-amplification pipeline gets a real oracle row.
     */
   val qEmbeddingCanonical = GraftQuery(
     "q56_embedding_canonical",
@@ -270,10 +387,35 @@ object Similarity {
         (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       embeddingCanonical(
         e.select(col("vec_id"), col("embedding")).unionByName(planted),
-        threshold = 0.999)
+        threshold = 0.999, hashMode = "md5")
         .orderBy(col("vec_id"))
     },
-    None)
+    Some(s"""
+      WITH vecs AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id < 10),
+      ${duckCoefs(18)},
+      ${duckBuckets(6)},
+      bmin AS (SELECT tbl, bucket, min(vec_id) AS bucket_min
+        FROM buckets GROUP BY tbl, bucket),
+      cands AS (
+        SELECT DISTINCT b.vec_id, m.bucket_min AS cand
+        FROM buckets b JOIN bmin m ON b.tbl = m.tbl AND b.bucket = m.bucket
+        WHERE m.bucket_min < b.vec_id),
+      ver AS (
+        SELECT c.vec_id, min(c.cand) AS canonical_id
+        FROM cands c
+        JOIN vecs va ON va.vec_id = c.vec_id
+        JOIN vecs vc ON vc.vec_id = c.cand
+        WHERE ${duckCosine("va.embedding", "vc.embedding")} >= 0.999
+        GROUP BY c.vec_id)
+      SELECT v.vec_id,
+             coalesce(r.canonical_id, v.vec_id) AS canonical_id,
+             (coalesce(r.canonical_id, v.vec_id) = v.vec_id) AS is_canonical
+      FROM vecs v LEFT JOIN ver r ON r.vec_id = v.vec_id
+      ORDER BY v.vec_id"""))
 
   val queries: Seq[GraftQuery] =
     Seq(qBruteForce, qBatchTopK, qAnnLsh, qEmbeddingDedup, qEmbeddingCanonical)

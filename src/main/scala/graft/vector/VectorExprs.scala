@@ -53,28 +53,56 @@ object VectorExprs {
   }
 
   /** Random-hyperplane LSH bucket: bit p = sign of Σ x_i·coeff(p,i), with
-    * deterministic pseudo-random coefficients derived from xxhash64 — no
-    * RNG state, stable across partitionings and runs. `planeOffset` selects
-    * an independent hyperplane family, giving multiple hash TABLES
-    * (OR-amplification) from the same expression.
+    * deterministic pseudo-random coefficients — no RNG state, stable
+    * across partitionings and runs. `planeOffset` selects an independent
+    * hyperplane family, giving multiple hash TABLES (OR-amplification)
+    * from the same expression.
+    *
+    * `hashMode` "xx" (default): coefficients from xxhash64. "md5":
+    * coefficients from [[graft.text.Md5P61]] — `(base % 2000 - 1000)/1000`
+    * — so a DuckDB oracle can derive the identical hyperplanes. Either
+    * way coefficients depend only on (plane, dim index): they are
+    * computed once per task and cached, not per row.
     */
-  case class LshBucket(child: Expression, planes: Int, planeOffset: Int = 0)
+  case class LshBucket(child: Expression, planes: Int, planeOffset: Int = 0,
+                       hashMode: String = "xx")
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    private val useMd5 = hashMode == "md5"
+
+    private def coeff(p: Int, i: Int): Double =
+      if (useMd5)
+        (graft.text.Md5P61.base(s"graft_lsh:$p:$i") % 2000L - 1000L) / 1000.0
+      else {
+        val h = XxHash64Function.hash(p.toLong * 65536L + i, LongType, 42L)
+        (((h % 2000L) + 2000L) % 2000L - 1000L) / 1000.0
+      }
+
+    // benign-race cache (both builders compute identical values); grows if
+    // a later row has more dims than the first
+    @transient private var cache: Array[Array[Double]] = _
+    private def coeffs(n: Int): Array[Array[Double]] = {
+      var c = cache
+      if (c == null || (planes > 0 && c(0).length < n)) {
+        c = Array.tabulate(planes)(p => Array.tabulate(n)(i => coeff(planeOffset + p, i)))
+        cache = c
+      }
+      c
+    }
+
     override def nullSafeEval(v: Any): Any = {
       val x = v.asInstanceOf[ArrayData]
       val t = elemType(child)
       val n = x.numElements()
+      val cs = coeffs(n)
       var bucket = 0L
       var p = 0
       while (p < planes) {
+        val row = cs(p)
         var score = 0.0
         var i = 0
         while (i < n) {
-          val h = XxHash64Function.hash(
-            (planeOffset + p).toLong * 65536L + i, LongType, 42L)
-          val coeff = (((h % 2000L) + 2000L) % 2000L - 1000L) / 1000.0
-          score += toDouble(x, i, t) * coeff
+          score += toDouble(x, i, t) * row(i)
           i += 1
         }
         if (score >= 0) bucket |= (1L << p)
@@ -136,6 +164,7 @@ object VectorExprs {
   def nearestCentroid(emb: Column, centroids: Array[Array[Float]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(emb), centroids))
 
-  def lshBucket(emb: Column, planes: Int, planeOffset: Int = 0): Column =
-    ColumnBridge.column(LshBucket(ColumnBridge.expression(emb), planes, planeOffset))
+  def lshBucket(emb: Column, planes: Int, planeOffset: Int = 0,
+                hashMode: String = "xx"): Column =
+    ColumnBridge.column(LshBucket(ColumnBridge.expression(emb), planes, planeOffset, hashMode))
 }

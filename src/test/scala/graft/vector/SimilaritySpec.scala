@@ -37,7 +37,7 @@ class SimilaritySpec extends SparkSpec {
     assert(df.collect()(0).getDouble(0) == 0.0)
   }
 
-  test("multi-probe LSH ANN: full k results and recall@10 >= 0.5 vs brute force") {
+  test("multi-probe multi-table LSH ANN: full k results and recall@10 >= 0.8") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val exact = Similarity.cosineTopK(e, q, 10)
@@ -45,12 +45,23 @@ class SimilaritySpec extends SparkSpec {
     val approx = Similarity.annLsh(e, q, 10, planes = 4)
       .select("vec_id").as[Long].collect().toSet
     // the query vector itself must always be found (same bucket), the
-    // probe set must fill k, and the 1-flip neighborhood must recover at
-    // least half the true top-10
+    // probe set must fill k, and 1-flip probes OR-amplified across three
+    // independent tables must recover >= 80% of the true top-10
     assert(approx.contains(0L))
     assert(approx.size == 10, s"expected k=10 results, got ${approx.size}")
     val recall = (exact intersect approx).size / 10.0
-    assert(recall >= 0.5, s"recall@10 = $recall below 0.5: $approx vs $exact")
+    assert(recall >= 0.8, s"recall@10 = $recall below 0.8: $approx vs $exact")
+
+    // md5 hash mode: same contract (the oracle-checkable variant). The
+    // table count is the recall knob — this hash family draws less lucky
+    // hyperplanes on this fixture, and two more tables recover the bound
+    // (recall ≈ 1-(1-p)^tables rises with tables at fixed cost/table).
+    val md5Approx = Similarity.annLsh(e, q, 10, planes = 4, tables = 5,
+        hashMode = "md5")
+      .select("vec_id").as[Long].collect().toSet
+    assert(md5Approx.contains(0L) && md5Approx.size == 10)
+    val md5Recall = (exact intersect md5Approx).size / 10.0
+    assert(md5Recall >= 0.8, s"md5-mode recall@10 = $md5Recall below 0.8")
   }
 
   test("batched top-k equals per-query brute force; top-k pushed below shuffle") {
