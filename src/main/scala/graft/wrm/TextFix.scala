@@ -37,7 +37,47 @@ object TextFix {
 
   def fixText(s: String): String = {
     if (s == null) return null
-    nfc(repairMojibake(s).getOrElse(s))
+    nfc(unescapeEntities(repairMojibake(s).getOrElse(s)))
+  }
+
+  /** HTML entity repair (ftfy `unescape_html` analog): the common named
+    * entities plus numeric `&#NNN;` / `&#xHH;` forms, applied ONCE (ftfy
+    * also unescapes a single level — `&amp;amp;` → `&amp;`). Anything
+    * unrecognized or malformed is left verbatim: bare `&` (AT&T), unknown
+    * names, out-of-range code points.
+    */
+  private val NamedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "ndash" -> "–", "mdash" -> "—",
+    "hellip" -> "…", "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”", "bull" -> "•",
+    "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "deg" -> "°", "euro" -> "€", "pound" -> "£",
+    "agrave" -> "à", "aacute" -> "á", "acirc" -> "â",
+    "auml" -> "ä", "ccedil" -> "ç", "egrave" -> "è",
+    "eacute" -> "é", "ecirc" -> "ê", "iacute" -> "í",
+    "ntilde" -> "ñ", "oacute" -> "ó", "ouml" -> "ö",
+    "uacute" -> "ú", "uuml" -> "ü", "szlig" -> "ß")
+
+  private val EntityRe = "&(#[xX]?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]{1,30});".r
+
+  private[wrm] def unescapeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    EntityRe.replaceAllIn(s, m => {
+      val body = m.group(1)
+      val replacement =
+        if (body.length > 1 && body.charAt(0) == '#') {
+          val hex = body.charAt(1) == 'x' || body.charAt(1) == 'X'
+          val digits = if (hex) body.substring(2) else body.substring(1)
+          try {
+            val cp = Integer.parseInt(digits, if (hex) 16 else 10)
+            if (Character.isValidCodePoint(cp) && cp != 0)
+              new String(Character.toChars(cp))
+            else m.matched
+          } catch { case _: NumberFormatException => m.matched }
+        } else NamedEntities.getOrElse(body, m.matched)
+      scala.util.matching.Regex.quoteReplacement(replacement)
+    })
   }
 
   /** The 0xC2-0xF4 precondition is the UTF-8 lead-byte range (as seen

@@ -29,4 +29,33 @@ class PlanAuditSpec extends SparkSpec {
         s"${q.name} plans a cartesian product:\n$plan")
     }
   }
+
+  test("pair-dedup query CONSTRUCTION runs no Spark job (lazy bucket cap)") {
+    // capBuckets once ran an eager count+cache during plan build — callers
+    // paid a cluster job just to *define* a DataFrame. Pin the fix: build
+    // the pair pipelines and assert zero jobs were submitted.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      graft.text.TextDedup.minhashDupPairs(docs, maxBucketSize = 10)
+      graft.text.TextDedup.simhashDupPairs(docs, maxBucketSize = 10)
+      graft.vector.Similarity.embeddingDupPairs(
+        graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding")),
+        threshold = 0.999, maxBucketSize = 10)
+      // listener events are async (no public bus-drain API) — a job
+      // submitted during construction would post within milliseconds
+      Thread.sleep(2000)
+      assert(jobs.get() == 0,
+        s"building the pair-dedup plans submitted ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

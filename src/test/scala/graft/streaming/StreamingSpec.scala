@@ -116,4 +116,37 @@ class StreamingSpec extends SparkSpec {
     q3.awaitTermination()
     assert(spark.read.parquet(enhancedRoot).count() == 6 * 12)
   }
+
+  test("failed batch commits no offsets; restart reprocesses the files (T8)") {
+    val root = Files.createTempDirectory("wrmstream_t8")
+    val rawRoot = root.resolve("raw")
+    val enhancedRoot = root.resolve("enhanced")
+    val checkpoint = root.resolve("ckpt").toString
+    WrmFixture.writeRawFiles(rawRoot, Seq("2025-05-01"), ticksPerDate = 2)
+    // Sabotage the sink: a plain FILE where the parquet output directory
+    // must go — the first batch's write throws inside foreachBatch, which
+    // rethrows (T8 contract) and fails the query.
+    Files.writeString(enhancedRoot, "not a directory")
+    val cfg = WrmStreamPipeline.Config(rawRoot.toString, enhancedRoot.toString,
+      checkpoint, trigger = Trigger.AvailableNow())
+    val q1 = WrmStreamPipeline.start(spark, cfg)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(ex.getMessage != null)
+    // the failed batch must NOT be committed (offsets may be staged in the
+    // WAL, but commits/ records only successful batches)
+    val commits = new java.io.File(s"$checkpoint/commits")
+      .list(new java.io.FilenameFilter {
+        def accept(d: java.io.File, n: String): Boolean = !n.startsWith(".")
+      })
+    assert(commits == null || commits.isEmpty,
+      s"failed batch was committed: ${commits.mkString(",")}")
+    // heal the sink and restart: the SAME files are re-delivered from the
+    // uncommitted offsets and fully processed — nothing was dropped
+    Files.delete(enhancedRoot)
+    val q2 = WrmStreamPipeline.start(spark, cfg)
+    q2.awaitTermination()
+    assert(spark.read.parquet(enhancedRoot.toString).count() == 2 * 12)
+  }
 }

@@ -101,4 +101,23 @@ class EnhanceViewsSpec extends SparkSpec {
     // genuine cp1252-range text with no UTF-8 lead bytes is untouched
     assert(TextFix.fixText("caf\u00e9 \u2013 open") == "caf\u00e9 \u2013 open")
   }
+
+  test("fix_text unescapes HTML entities (ftfy unescape_html analog)") {
+    assert(TextFix.fixText("Tom &amp; Jerry") == "Tom & Jerry")
+    assert(TextFix.fixText("caf&eacute;") == "caf\u00e9")
+    assert(TextFix.fixText("&lt;b&gt;bold&lt;/b&gt;") == "<b>bold</b>")
+    assert(TextFix.fixText("&#233;cole") == "\u00e9cole")     // decimal numeric
+    assert(TextFix.fixText("price &#x20AC;5") == "price \u20ac5") // hex numeric
+    assert(TextFix.fixText("A&nbsp;B") == "A\u00a0B")
+    // a single unescape level, like ftfy: &amp;amp; -> &amp;
+    assert(TextFix.fixText("&amp;amp;") == "&amp;")
+    // malformed / unknown forms stay verbatim
+    assert(TextFix.fixText("AT&T and R&D") == "AT&T and R&D")
+    assert(TextFix.fixText("&unknownent;") == "&unknownent;")
+    assert(TextFix.fixText("&#xZZ;") == "&#xZZ;")
+    assert(TextFix.fixText("100 &#1114112; out-of-range") == "100 &#1114112; out-of-range")
+    // entity repair composes with mojibake repair (entities survive the
+    // byte-level pass, then unescape)
+    assert(TextFix.fixText("Krzy\u00c5\u00bcowa &amp; sp\u00c3\u00b3lka") == "Krzy\u017cowa & sp\u00f3lka")
+  }
 }
