@@ -132,13 +132,30 @@ object EventsStream {
     * production deployment points this at reliable storage; the code path
     * is identical).
     */
+  private val shmDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    // deleteOnExit can't remove non-empty directories — a shutdown hook
+    // deletes the trees recursively, or checkpoint/state files would leak
+    // permanently in RAM-backed /dev/shm across runs
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      shmDirs.forEach { d =>
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => () } })
+        } catch { case _: Exception => () }
+      }
+    }))
+  }
+
   private def shmTempDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val d =
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
         java.nio.file.Files.createTempDirectory(shm, prefix)
       else java.nio.file.Files.createTempDirectory(prefix)
-    d.toFile.deleteOnExit()
+    shmDirs.add(d)
     d.toString
   }
 
@@ -206,7 +223,12 @@ object EventsStream {
   def purchaseViewJoin(events: DataFrame, lookback: String = "1 hour"): DataFrame = {
     // the watermark must cover the lookback interval, or the view-side
     // state is evicted before qualifying matches arrive — derive both
-    // (and the bucket width) from the one parameter so they can't diverge
+    // (and the bucket width) from the one parameter so they can't diverge.
+    // Calendar intervals are rejected: "1 month"/"1 year" have variable
+    // duration, so a width anchored at epoch could under-cover the real
+    // span and the two-bucket explode would silently miss pairs.
+    require(!lookback.toLowerCase.matches(".*(month|year).*"),
+      s"purchaseViewJoin lookback must be a fixed-duration interval, got: $lookback")
     val widthUs = expr(s"unix_micros(timestamp'1970-01-01 00:00:00Z' + INTERVAL $lookback)")
     val purchases = events
       .filter(col("event_type") === "purchase")

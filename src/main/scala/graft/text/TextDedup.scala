@@ -122,7 +122,7 @@ object TextDedup {
     // LSH candidate generation: shuffle only (band_id, band_key, doc_id).
     val bandedAll = sigs
       .select(col("doc_id"),
-        explode(bandKeys(col("sig"), k, bands, hashed = hashMode != "md5")).as("band"))
+        explode(bandKeys(col("sig"), k, bands, hashed = !TextExprs.isMd5Mode(hashMode))).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
         col("band.band_key").as("band_key"))
     val banded = capBuckets(bandedAll, Seq("band_id", "band_key"),
@@ -190,7 +190,7 @@ object TextDedup {
     val banded = sigs
       .select(col("doc_id"),
         explode(bandKeys(TextExprs.minhashSig(spark, col("sh"), k, hashMode), k, bands,
-          hashed = hashMode != "md5")).as("band"))
+          hashed = !TextExprs.isMd5Mode(hashMode))).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
         col("band.band_key").as("band_key"))
     // min doc id per bucket, then min candidate per doc — rows stay O(docs)
@@ -236,7 +236,7 @@ object TextDedup {
     val banded = sigs
       .select(col("doc_id"),
         explode(bandKeys(TextExprs.minhashSig(spark, col("sh"), k, hashMode), k, bands,
-          hashed = hashMode != "md5")).as("band"))
+          hashed = !TextExprs.isMd5Mode(hashMode))).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
         col("band.band_key").as("band_key"))
     val bucketMin = banded.groupBy(col("band_id"), col("band_key"))
@@ -378,18 +378,23 @@ object TextDedup {
        |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20))""".stripMargin
   }
 
-  /** corpus(doc_id, text) → ne(doc_id, sh): distinct 3-gram shingles of
-    * whitespace tokens, empty-shingle docs dropped — the mirror of
-    * `tokenShingles(tokens(text), 3)` + `filter(size > 0)`.
+  /** corpus(<id>, text) → ne(<id>, sh) and hbase(<id>, h): distinct
+    * 3-gram shingles of whitespace tokens (empty-shingle rows dropped)
+    * and their base hashes — the mirror of `tokenShingles(tokens(text),
+    * 3)` + `filter(size > 0)` + `Md5P61.base`. Parameterized on the id
+    * column so doc-level (q26/q50/q51) and group-level (q55) oracles
+    * share ONE transliteration of the tokenizer.
     */
-  private val duckShingles: String =
-    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
-      |grams AS (SELECT doc_id, list_distinct(list_transform(
-      |    generate_series(1, greatest(len(tk) - 2, 0)),
-      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks),
-      |ne AS (SELECT doc_id, sh FROM grams WHERE len(sh) > 0),
-      |shingle AS (SELECT doc_id, md5(unnest(sh)) AS __mh FROM ne),
-      |hbase AS (SELECT doc_id, """.stripMargin + Md5P61.duckBaseHex("__mh") + " AS h FROM shingle)"
+  private def duckShinglesFor(id: String): String =
+    s"""toks AS (SELECT $id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus),
+       |grams AS (SELECT $id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(tk) - 2, 0)),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks),
+       |ne AS (SELECT $id, sh FROM grams WHERE len(sh) > 0),
+       |shingle AS (SELECT $id, md5(unnest(sh)) AS __mh FROM ne),
+       |hbase AS (SELECT $id, """.stripMargin + Md5P61.duckBaseHex("__mh") + " AS h FROM shingle)"
+
+  private val duckShingles: String = duckShinglesFor("doc_id")
 
   /** hbase(doc_id, h) → sigs(doc_id, sig) → bands(doc_id, band_id,
     * band_key): the k-family signature and its band slices.
@@ -649,7 +654,7 @@ object TextDedup {
     // and in range for bands ≤ W (a fixed width of ceil(W/bands) would
     // push the last band past bit W-1 for many band counts, producing a
     // degenerate constant-zero band).
-    val fpBits = if (hashMode == "md5") 60 else 64
+    val fpBits = TextExprs.simhashBits(hashMode)
     require(maxHamming >= 0 && maxHamming < fpBits,
       s"maxHamming must be in [0, $fpBits), got $maxHamming")
     val bands = maxHamming + 1
@@ -680,9 +685,11 @@ object TextDedup {
   }
 
   /** SimHash dedup pairs over documents + planted exact twins (hamming 0).
-    * The oracle brute-forces all pairs with hamming ≤ 3 — by pigeonhole
-    * the banded Spark plan finds exactly that set (bands = maxHamming+1),
-    * so the hash match doubles as a completeness proof for the banding.
+    * The oracle replicates the ENGINE's plan — band split, hot-bucket cap,
+    * bucket self-join, hamming verify — band boundaries generated from the
+    * same integer-division formula as [[simhashDupPairs]]. By pigeonhole
+    * the banded candidate set contains every hamming ≤ 3 pair (bands =
+    * maxHamming+1), so the hash match doubles as a completeness proof.
     */
   val qSimhashDedup = GraftQuery(
     "q52_simhash_dedup",
@@ -694,14 +701,36 @@ object TextDedup {
         hashMode = "md5")
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some(s"""
+    Some {
+      val fpBits = TextExprs.simhashBits("md5")
+      val bands = 3 + 1 // maxHamming + 1, matching the Spark default
+      val bandDefs = (0 until bands).map { b =>
+        val lo = b * fpBits / bands
+        val hi = (b + 1) * fpBits / bands
+        s"SELECT $b AS band_id, $lo AS lo, ${(1L << (hi - lo)) - 1} AS mask"
+      }.mkString(" UNION ALL ")
+      s"""
       WITH ${duckCorpus(tail = false)},
-      $duckSimhash
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INTEGER) AS hamming
-      FROM sfp a JOIN sfp b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
-      ORDER BY doc_a, doc_b"""))
+      $duckSimhash,
+      bdef AS ($bandDefs),
+      sbands AS (
+        SELECT f.doc_id, f.simhash64 AS fp, d.band_id,
+               (f.simhash64 >> d.lo) & d.mask AS band_val
+        FROM sfp f CROSS JOIN bdef d),
+      scapped AS (SELECT * FROM sbands
+        QUALIFY count(*) OVER (PARTITION BY band_id, band_val) <= 1000),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.fp AS fp_a, b.fp AS fp_b
+        FROM scapped a JOIN scapped b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+      FROM pairs
+      WHERE bit_count(xor(fp_a, fp_b)) <= 3
+      ORDER BY doc_a, doc_b"""
+    })
 
   /** Inter-GROUP similarity via the custom MinHashSketch aggregate: one
     * k-long sketch per source (partial aggregation merges buffers, the
@@ -738,16 +767,11 @@ object TextDedup {
     // doc in the source — so the oracle skips the per-doc stage entirely
     // and min-aggregates the rehash by (source, family) directly.
     Some(s"""
-      WITH stoks AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tk
-                     FROM documents),
-      sgrams AS (SELECT source, list_distinct(list_transform(
-          generate_series(1, greatest(len(tk) - 2, 0)),
-          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM stoks),
-      sne AS (SELECT source, md5(unnest(sh)) AS __mh FROM sgrams WHERE len(sh) > 0),
-      sbase AS (SELECT source, ${Md5P61.duckBaseHex("__mh")} AS h FROM sne),
+      WITH corpus AS (SELECT source, text FROM documents),
+      ${duckShinglesFor("source")},
       ${Md5P61.duckFams(64)},
       smins AS (SELECT b.source, fm.f, min(${Md5P61.duckRehash("b.h")}) AS mn
-        FROM sbase b CROSS JOIN fams fm GROUP BY b.source, fm.f)
+        FROM hbase b CROSS JOIN fams fm GROUP BY b.source, fm.f)
       SELECT a.source AS source_a, b.source AS source_b,
              CAST(sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS DOUBLE) / 64.0
                AS est_jaccard

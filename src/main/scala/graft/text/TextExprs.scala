@@ -24,6 +24,26 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExprs {
 
+  /** Validate a kernel hash-mode string — exactly "xx" or "md5". A typo
+    * ("MD5", "md-5") would otherwise silently select xxhash64 and every
+    * downstream row would mismatch an md5-mode oracle with nothing
+    * pointing at the cause.
+    */
+  private[graft] def isMd5Mode(hashMode: String): Boolean = hashMode match {
+    case "md5" => true
+    case "xx" => false
+    case other => throw new IllegalArgumentException(
+      s"""hashMode must be "xx" or "md5", got: "$other"""")
+  }
+
+  /** SimHash fingerprint width for a hash mode (60 in md5 mode — 15 hex
+    * chars carry exactly 60 bits; 64 in xx mode). The single source of
+    * truth for band-boundary math in [[TextDedup.simhashDupPairs]] and
+    * its oracle.
+    */
+  private[graft] def simhashBits(hashMode: String): Int =
+    if (isMd5Mode(hashMode)) 60 else 64
+
   /** Distinct space-joined token n-grams from a token array. */
   case class TokenShingles(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
@@ -57,7 +77,7 @@ object TextExprs {
   case class MinHashSignature(child: Expression, k: Int, hashMode: String = "xx")
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    private val useMd5 = hashMode == "md5"
+    private val useMd5 = TextExprs.isMd5Mode(hashMode)
     @transient private lazy val famA: Array[Long] = Array.tabulate(k)(Md5P61.familyA)
     @transient private lazy val famB: Array[Long] = Array.tabulate(k)(Md5P61.familyB)
     override def nullSafeEval(shingles: Any): Any = {
@@ -97,9 +117,9 @@ object TextExprs {
   case class SimHash64(child: Expression, hashMode: String = "xx")
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
-    private val useMd5 = hashMode == "md5"
+    private val useMd5 = TextExprs.isMd5Mode(hashMode)
     /** Fingerprint width: 60 in md5 mode, 64 in xx mode. */
-    val bits: Int = if (useMd5) 60 else 64
+    val bits: Int = TextExprs.simhashBits(hashMode)
     override def nullSafeEval(tokens: Any): Any = {
       val arr = tokens.asInstanceOf[ArrayData]
       val n = arr.numElements()

@@ -80,6 +80,11 @@ object Similarity {
     * buckets computed in one projection) + a broadcast hash join —
     * no corpus shuffle; ~tables·(planes+1)/2^planes of the data scanned,
     * deduplicated before ranking.
+    *
+    * CONTRACT: `query` is a SINGLE row with column `qv` (and `corpus`
+    * carries vec_id/label/embedding) — the vec_id dedup before ranking
+    * assumes one query, and top-k ranking is global. For a batch of
+    * query vectors use [[cosineTopKBatch]], which ranks per query.
     */
   def annLsh(corpus: DataFrame, query: DataFrame, k: Int, planes: Int = 6,
              tables: Int = 3, hashMode: String = "xx"): DataFrame = {

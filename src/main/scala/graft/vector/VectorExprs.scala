@@ -68,7 +68,7 @@ object VectorExprs {
                        hashMode: String = "xx")
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
-    private val useMd5 = hashMode == "md5"
+    private val useMd5 = graft.text.TextExprs.isMd5Mode(hashMode)
 
     private def coeff(p: Int, i: Int): Double =
       if (useMd5)

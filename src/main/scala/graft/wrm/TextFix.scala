@@ -71,7 +71,12 @@ object TextFix {
           val digits = if (hex) body.substring(2) else body.substring(1)
           try {
             val cp = Integer.parseInt(digits, if (hex) 16 else 10)
-            if (Character.isValidCodePoint(cp) && cp != 0)
+            // exclude surrogate code points: Character.isValidCodePoint is
+            // TRUE for 0xD800-0xDFFF, but emitting a lone surrogate makes
+            // ill-formed UTF-16 that downstream UTF-8 encoders mangle;
+            // ftfy leaves such references verbatim too
+            if (Character.isValidCodePoint(cp) && cp != 0 &&
+                !(cp >= Character.MIN_SURROGATE && cp <= Character.MAX_SURROGATE))
               new String(Character.toChars(cp))
             else m.matched
           } catch { case _: NumberFormatException => m.matched }

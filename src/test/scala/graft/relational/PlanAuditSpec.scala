@@ -35,9 +35,12 @@ class PlanAuditSpec extends SparkSpec {
     // paid a cluster job just to *define* a DataFrame. Pin the fix: build
     // the pair pipelines and assert zero jobs were submitted.
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        descs.add(js.stageInfos.map(_.name).mkString("; "))
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -51,11 +54,18 @@ class PlanAuditSpec extends SparkSpec {
           .select(org.apache.spark.sql.functions.col("vec_id"),
             org.apache.spark.sql.functions.col("embedding")),
         threshold = 0.999, maxBucketSize = 10)
-      // listener events are async (no public bus-drain API) — a job
-      // submitted during construction would post within milliseconds
-      Thread.sleep(2000)
-      assert(jobs.get() == 0,
-        s"building the pair-dedup plans submitted ${jobs.get()} Spark job(s)")
+      // Listener events are async with no public bus-drain API, but they
+      // are delivered IN ORDER: run a sentinel job and wait for it — once
+      // its JobStart arrives, any construction-time job would already
+      // have been counted. The sentinel is an RDD action (exactly ONE
+      // job): a DataFrame count() under AQE materializes its shuffle
+      // stage as a separate job and would miscount.
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.currentTimeMillis() + 30000
+      while (jobs.get() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(10)
+      assert(jobs.get() == 1,
+        s"building the pair-dedup plans submitted ${jobs.get() - 1} Spark job(s): " +
+          descs.toArray.mkString(" | "))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

@@ -136,12 +136,11 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage != null)
     // the failed batch must NOT be committed (offsets may be staged in the
     // WAL, but commits/ records only successful batches)
-    val commits = new java.io.File(s"$checkpoint/commits")
+    val commits = Option(new java.io.File(s"$checkpoint/commits")
       .list(new java.io.FilenameFilter {
         def accept(d: java.io.File, n: String): Boolean = !n.startsWith(".")
-      })
-    assert(commits == null || commits.isEmpty,
-      s"failed batch was committed: ${commits.mkString(",")}")
+      })).map(_.toSeq).getOrElse(Nil)
+    assert(commits.isEmpty, s"failed batch was committed: ${commits.mkString(",")}")
     // heal the sink and restart: the SAME files are re-delivered from the
     // uncommitted offsets and fully processed — nothing was dropped
     Files.delete(enhancedRoot)
