@@ -28,6 +28,21 @@ class IvfSpec extends SparkSpec {
       s"recall too low: ${(got intersect exact).size}/10")
   }
 
+  test("IVF with nprobe = nlist is EXACTLY brute force (pruning off ⇒ identity)") {
+    // With every cell probed, the candidate set is the whole corpus and the
+    // ranking must be bit-identical to cosineTopK — this pins the whole
+    // assignment/probe/rank machinery as exact; the recall tests then only
+    // measure the pruning trade-off, never hidden scoring bugs.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") === 3).select(col("embedding").as("qv"))
+    val idx = IvfIndex.build(e, nlist = 8, iters = 1)
+    val ivf = IvfIndex.search(idx, q, k = 15, nprobe = 8)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect().toSeq
+    val exact = Similarity.cosineTopK(e, q, 15)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect().toSeq
+    assert(ivf == exact, s"nprobe=nlist diverged from brute force:\n$ivf\n$exact")
+  }
+
   test("k-means|| init spreads centers on an id-sorted clustered corpus") {
     // Adversarial for prefix seeding: 8 well-separated clusters laid out
     // so ids 0..49 are ALL in cluster 0 — first-nlist-by-id init would put
