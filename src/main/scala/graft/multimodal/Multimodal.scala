@@ -75,6 +75,28 @@ object Multimodal {
     }
   }
 
+  /** Resize (image analog): nearest-neighbor downsample in byte space —
+    * `outBytes` evenly spaced samples of the payload, the deterministic
+    * stand-in for a real bilinear resize (same contract: fixed output
+    * size, pure function of the input bytes). Batched mapPartitions like
+    * extractFeatures so a real codec amortizes per-batch init; binary
+    * payloads stay in the narrow map, never shuffled.
+    */
+  def resizeAssets(assets: Dataset[MediaAsset], outBytes: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val len = if (a.media == null) 0 else a.media.length
+        val out =
+          if (len == 0) Array.emptyByteArray
+          else Array.tabulate(outBytes)(i => a.media((i.toLong * len / outBytes).toInt))
+        a.copy(media = out,
+          width = math.max(1, math.round(math.sqrt(outBytes.toDouble)).toInt),
+          height = math.max(1, math.round(math.sqrt(outBytes.toDouble)).toInt))
+      }
+    }
+  }
+
   /** Frame sampling (video analog): slice the payload into `n` evenly
     * spaced fixed-size windows — the shape of keyframe extraction.
     */

@@ -30,6 +30,24 @@ class MultimodalSpec extends SparkSpec {
     assert(r.n_bytes > 0)
   }
 
+  test("resize downsamples to a fixed byte budget, deterministically") {
+    val assets = Multimodal.assetsFromDocuments(
+      Tables.documents(spark, "/root/testdata/sf0.001").limit(5))
+    val resized = Multimodal.resizeAssets(assets, outBytes = 64).collect()
+    assert(resized.forall(_.media.length == 64))
+    assert(resized.forall(a => a.width == 8 && a.height == 8))
+    // deterministic: same input → same bytes
+    val again = Multimodal.resizeAssets(assets, outBytes = 64).collect()
+    assert(resized.map(_.media.toSeq).toSeq == again.map(_.media.toSeq).toSeq)
+    // nearest-neighbor property: every output byte occurs in the input
+    val src = assets.collect().map(a => a.asset_id -> a.media.toSet).toMap
+    resized.foreach(a => assert(a.media.forall(src(a.asset_id).contains)))
+    // empty payload stays empty, no crash
+    val empty = Multimodal.resizeAssets(
+      assets.map(_.copy(media = Array.emptyByteArray)), 64).collect()
+    assert(empty.forall(_.media.isEmpty))
+  }
+
   test("frame sampling slices n evenly spaced windows") {
     val assets = Multimodal.assetsFromDocuments(
       Tables.documents(spark, "/root/testdata/sf0.001").limit(3))
