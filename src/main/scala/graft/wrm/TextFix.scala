@@ -37,7 +37,21 @@ object TextFix {
 
   def fixText(s: String): String = {
     if (s == null) return null
-    nfc(unescapeEntities(repairMojibake(s).getOrElse(s)))
+    // Iterate the mojibake repair like ftfy: DOUBLE-encoded text (mojibake
+    // that was itself re-encoded and mis-decoded) needs one pass per
+    // encoding layer. Each successful repair strictly shrinks the string,
+    // so this terminates; 4 passes covers any plausible layering.
+    var cur = s
+    var pass = 0
+    var repaired = true
+    while (repaired && pass < 4) {
+      repairMojibake(cur) match {
+        case Some(r) => cur = r
+        case None => repaired = false
+      }
+      pass += 1
+    }
+    nfc(unescapeEntities(cur))
   }
 
   /** HTML entity repair (ftfy `unescape_html` analog): the common named

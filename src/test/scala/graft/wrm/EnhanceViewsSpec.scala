@@ -102,6 +102,13 @@ class EnhanceViewsSpec extends SparkSpec {
     assert(TextFix.fixText("caf\u00e9 \u2013 open") == "caf\u00e9 \u2013 open")
   }
 
+  test("fix_text iterates: double-encoded mojibake repairs fully (ftfy-style)") {
+    // "Krzyżowa" UTF-8-encoded then latin1-misdecoded TWICE
+    assert(TextFix.fixText("KrzyÃÂ¼owa") == "Krzyżowa")
+    // single layer still repairs, clean text untouched (idempotence)
+    assert(TextFix.fixText(TextFix.fixText("KrzyÅ¼owa")) == "Krzyżowa")
+  }
+
   test("fix_text unescapes HTML entities (ftfy unescape_html analog)") {
     assert(TextFix.fixText("Tom &amp; Jerry") == "Tom & Jerry")
     assert(TextFix.fixText("caf&eacute;") == "caf\u00e9")
