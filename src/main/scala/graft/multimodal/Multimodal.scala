@@ -24,8 +24,15 @@ object Multimodal {
       asset_id: Long, mime: String, media: Array[Byte],
       width: Int, height: Int, duration_ms: Long)
 
+  /** `byte_sum` (Σ of unsigned payload bytes) rides along as the
+    * integer-exact witness of the batch-decode path: the float histogram
+    * is the realistic feature payload (spec-tested — float32 math has no
+    * SQL equivalent), while the checksum is reproducible in ANSI SQL, so
+    * the mapPartitions pipeline itself gets a DuckDB oracle row (q32).
+    */
   final case class MediaFeatures(
-      asset_id: Long, mime: String, n_bytes: Long, features: Array[Float])
+      asset_id: Long, mime: String, n_bytes: Long, byte_sum: Long,
+      features: Array[Float])
 
   /** Wrap documents as fake media assets: payload = UTF-8 bytes. Stands in
     * for `spark.read.format("binaryFile")` over an object store.
@@ -68,9 +75,14 @@ object Multimodal {
     assets.mapPartitions { it =>
       // per-partition init would go here (codec handles, model weights)
       it.map { a =>
+        var sum = 0L
+        if (a.media != null) {
+          var i = 0
+          while (i < a.media.length) { sum += (a.media(i) & 0xFF); i += 1 }
+        }
         MediaFeatures(a.asset_id, a.mime,
           if (a.media == null) 0L else a.media.length.toLong,
-          decodeStub(a.media))
+          sum, decodeStub(a.media))
       }
     }
   }
@@ -133,8 +145,12 @@ object Multimodal {
       FROM documents
       ORDER BY asset_id"""))
 
-  /** Full binary pipeline (wrap → mapPartitions decode-stub → features):
-    * rows-only; the spec checks the histogram math.
+  /** Full binary pipeline (wrap → mapPartitions decode-stub → features).
+    * The dump carries the integer byte checksum the stub computes — the
+    * oracle recomputes it from the UTF-8 bytes via a hex fold, so the
+    * whole typed-Dataset mapPartitions path is hash-checked end to end.
+    * The float32 histogram itself has no SQL equivalent; its math is
+    * pinned by MultimodalSpec instead.
     */
   val qFeatures = GraftQuery(
     "q32_multimodal_features",
@@ -142,12 +158,23 @@ object Multimodal {
       import s.implicits._
       extractFeatures(assetsFromDocuments(Tables.documents(s, dir)))
         .toDF()
-        .select(col("asset_id"), col("n_bytes"),
-          element_at(col("features"), 1).as("f0"),
-          element_at(col("features"), 8).as("f7"))
+        .select(col("asset_id"), col("n_bytes"), col("byte_sum"))
         .orderBy(col("asset_id"))
     },
-    None)
+    // hex digit j (1-based) weighs 16 when j is odd (high nibble) and 1
+    // when even — their weighted sum IS Σ bytes; hex() hoisted out of the
+    // lambda (in-lambda calls re-evaluate per element)
+    Some("""
+      SELECT asset_id, n_bytes,
+             CAST(coalesce(list_sum(list_transform(
+               generate_series(1, 2 * n_bytes),
+               j -> (CASE WHEN j % 2 = 1 THEN 16 ELSE 1 END) *
+                    (strpos('0123456789ABCDEF', substr(h, j, 1)) - 1))), 0)
+               AS BIGINT) AS byte_sum
+      FROM (SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
+                   hex(encode(text)) AS h
+            FROM documents) t
+      ORDER BY asset_id"""))
 
   val queries: Seq[GraftQuery] = Seq(qMeta, qFeatures)
 }

@@ -28,6 +28,11 @@ class MultimodalSpec extends SparkSpec {
     assert(r.features.length == 16)
     assert(math.abs(r.features.sum - 1.0f) < 1e-4)
     assert(r.n_bytes > 0)
+    // the checksum witness is the unsigned byte sum of the payload
+    assert(r.byte_sum > 0 && r.byte_sum <= r.n_bytes * 255)
+    val direct = Multimodal.assetsFromDocuments(
+      Tables.documents(spark, "/root/testdata/sf0.001")).orderBy("asset_id").head()
+    assert(r.byte_sum == direct.media.map(_ & 0xFF).map(_.toLong).sum)
   }
 
   test("resize downsamples to a fixed byte budget, deterministically") {
