@@ -80,10 +80,11 @@ object TextDedup {
     * Lazy by construction: a window count over the banding keys, then a
     * filter — NO job runs at plan-build time (an earlier version ran an
     * eager count + cache here, which doubled q26 and made the pair APIs
-    * do work during query construction). The window's hash partitioning
-    * on `keys` is exactly the layout the caller's self-join needs, so the
-    * exchange is planned once and reused for both join sides. Callers
-    * wanting drop diagnostics can run the inverse filter
+    * do work during query construction). Both sides of the caller's
+    * self-join re-derive this plan from the caller's cached signature
+    * frame (explode + window over in-memory blocks — cheap); after the
+    * cap filter one side is typically small enough that AQE broadcasts
+    * it. Callers wanting drop diagnostics can run the inverse filter
     * (`bucket_n > cap`) as a separate cheap aggregate.
     */
   private[graft] def capBuckets(bandedIn: DataFrame, keys: Seq[String],
