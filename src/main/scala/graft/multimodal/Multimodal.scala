@@ -95,16 +95,20 @@ object Multimodal {
     * payloads stay in the narrow map, never shuffled.
     */
   def resizeAssets(assets: Dataset[MediaAsset], outBytes: Int): Dataset[MediaAsset] = {
+    require(outBytes > 0, s"resizeAssets outBytes must be positive, got $outBytes")
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
         val len = if (a.media == null) 0 else a.media.length
+        // cap at the input length: a payload shorter than outBytes is kept
+        // as-is (downsample contract — never stretch by repeating bytes)
+        val n = math.min(outBytes, len)
         val out =
           if (len == 0) Array.emptyByteArray
-          else Array.tabulate(outBytes)(i => a.media((i.toLong * len / outBytes).toInt))
+          else Array.tabulate(n)(i => a.media((i.toLong * len / n).toInt))
         a.copy(media = out,
-          width = math.max(1, math.round(math.sqrt(outBytes.toDouble)).toInt),
-          height = math.max(1, math.round(math.sqrt(outBytes.toDouble)).toInt))
+          width = math.max(1, math.round(math.sqrt(n.toDouble)).toInt),
+          height = math.max(1, math.round(math.sqrt(n.toDouble)).toInt))
       }
     }
   }

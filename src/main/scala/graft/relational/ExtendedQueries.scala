@@ -192,10 +192,11 @@ object ExtendedQueries {
   /** q37: approximate distinct counting (HLL). The sketch estimate itself
     * is engine-specific, so the dumped row set carries the EXACT distinct
     * counts (hash-comparable against DuckDB) plus booleans asserting the
-    * HLL estimate landed within 5% relative error — the oracle pins them
-    * TRUE, so an out-of-bound sketch fails the hash check. rsd=0.02 keeps
-    * the (deterministic, data-dependent) estimate comfortably inside the
-    * 5% gate at every SF; the spec asserts the error bound directly too.
+    * HLL estimate landed within 3x the configured rsd (0.02 → 6% gate) —
+    * the oracle pins them TRUE, so an out-of-bound sketch fails the hash
+    * check. 3x rsd is a ~3-sigma bound: loose enough that an HLL
+    * implementation change or a larger SF doesn't flip the harness red
+    * without a semantic bug, tight enough to catch a broken sketch.
     */
   val q37 = GraftQuery(
     "q37_approx_distinct",
@@ -219,9 +220,9 @@ object ExtendedQueries {
         .join(broadcast(exactOrders), "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")).cast("double")
-            / col("exact_parts") <= 0.05).as("parts_ok"),
+            / col("exact_parts") <= 0.06).as("parts_ok"),
           (abs(col("ao") - col("exact_orders")).cast("double")
-            / col("exact_orders") <= 0.05).as("orders_ok"))
+            / col("exact_orders") <= 0.06).as("orders_ok"))
         .orderBy(col("l_returnflag"))
     },
     Some("""

@@ -82,10 +82,10 @@ object EventsStream {
 
   def stagedEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val (dir, schema) = staged.computeIfAbsent(sfDir, { _ =>
-      val d = java.nio.file.Paths.get(shmTempDir("events_stream"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-        d.resolve("events.parquet"))
+      val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+      val d = java.nio.file.Paths.get(
+        shmTempDir("events_stream", java.nio.file.Files.size(src)))
+      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
       (d.toString, spark.read.parquet(d.toString).schema)
     })
     spark.readStream
@@ -105,7 +105,12 @@ object EventsStream {
     * (state volume is tiny — instance init/commit overhead dominates).
     */
   private[streaming] def streamPartitions: Int =
-    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(4)
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS") match {
+      case None => 4
+      case Some(v) => scala.util.Try(v.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STREAM_PARTS must be an integer, got: '$v'"))
+    }
 
   private def withStreamPartitions[T](spark: SparkSession, n: Int = streamPartitions)(f: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -149,10 +154,18 @@ object EventsStream {
     }))
   }
 
-  private def shmTempDir(prefix: String): String = {
+  /** `needBytes` is the caller's size estimate (staged file size, expected
+    * checkpoint volume); tmpfs is only used when it has 2x that headroom,
+    * so a large SF can never fill RAM-backed /dev/shm — it degrades to
+    * java.io.tmpdir instead.
+    */
+  private def shmTempDir(prefix: String, needBytes: Long = 64L << 20): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
+    val usable = scala.util.Try(
+      java.nio.file.Files.getFileStore(shm).getUsableSpace).getOrElse(0L)
     val d =
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm) && usable >= needBytes * 2)
         java.nio.file.Files.createTempDirectory(shm, prefix)
       else java.nio.file.Files.createTempDirectory(prefix)
     shmDirs.add(d)

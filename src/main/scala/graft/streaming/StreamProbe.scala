@@ -15,8 +15,9 @@ object StreamProbe {
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
-    // warm the streaming machinery once, untimed
-    EventsStream.runHourlyWindowStream(spark, "/root/testdata/sf0.001")
+    // warm the streaming machinery once, untimed, against the same sfDir
+    // (a fixed warm-up path would crash on machines without that fixture)
+    EventsStream.runHourlyWindowStream(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     val runs: Seq[(String, () => Unit)] = Seq(
       "hourly" -> (() => EventsStream.runHourlyWindowStream(spark, sfDir)

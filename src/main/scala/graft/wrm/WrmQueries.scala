@@ -87,6 +87,26 @@ object WrmQueries {
     })
   }
 
+  /** The enhanced table AT REST: the six view/aggregate queries read the
+    * staged parquet dump (after ensuring it exists) instead of re-running
+    * the text-parse pipeline — exactly the reference's architecture, where
+    * the DuckDB views read the enhanced parquet written by a prior asset
+    * (create_enhanced_views.py:41,60-65), and the same input the oracle
+    * SQL reads. Only `wrm_pipeline_enhanced` keeps computing the live
+    * pipeline, because its oracle-vs-dump comparison IS the round-trip
+    * fidelity check. Memoized: `spark.read.parquet` re-lists and re-reads
+    * footers per call.
+    */
+  private val atRest = new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  def enhancedAtRest(spark: SparkSession): DataFrame = {
+    atRest.keySet.removeIf(s => s.sparkContext.isStopped)
+    atRest.computeIfAbsent(spark, { s =>
+      enhancedAll(s) // ensure the dump exists (no job if already memoized)
+      s.read.parquet(DumpPath)
+    })
+  }
+
   /** Dump-identity check: the oracle reads the dumped enhanced table back,
     * proving the parquet round-trip (schema + values, incl. µs timestamps)
     * is faithful. The parse semantics themselves are pinned by the specs.
@@ -101,7 +121,7 @@ object WrmQueries {
 
   val qLatest = GraftQuery(
     "wrm_latest_per_station",
-    (s, _) => Views.latestPerStation(enhancedAll(s))
+    (s, _) => Views.latestPerStation(enhancedAtRest(s))
       .select(col("station_id"), col("name"), col("bikes"), col("spaces"),
         col("timestamp"), col("date"))
       .orderBy(col("station_id")),
@@ -112,7 +132,7 @@ object WrmQueries {
 
   val qDailySummary = GraftQuery(
     "wrm_station_daily_summary",
-    (s, _) => DailyStats.stationDailySummary(enhancedAll(s))
+    (s, _) => DailyStats.stationDailySummary(enhancedAtRest(s))
       .orderBy(col("station_id")),
     Some(s"""
       SELECT station_id, name,
@@ -134,7 +154,7 @@ object WrmQueries {
 
   val qMovement = GraftQuery(
     "wrm_bike_movement",
-    (s, _) => DailyStats.bikeMovementSummary(enhancedAll(s))
+    (s, _) => DailyStats.bikeMovementSummary(enhancedAtRest(s))
       .orderBy(col("station_id")),
     Some(s"""
       SELECT station_id, name,
@@ -161,7 +181,7 @@ object WrmQueries {
     */
   val qDensity = GraftQuery(
     "wrm_density_grid",
-    (s, _) => Density.gridDensity(Views.latestPerStation(enhancedAll(s)))
+    (s, _) => Density.gridDensity(Views.latestPerStation(enhancedAtRest(s)))
       .drop("members") // struct members verified in the spec; keep dump flat
       .orderBy(col("cell_row"), col("cell_col")),
     Some(s"""
@@ -194,7 +214,7 @@ object WrmQueries {
 
   val qTop10 = GraftQuery(
     "wrm_top10_recent",
-    (s, _) => Summary.top10Recent(enhancedAll(s)),
+    (s, _) => Summary.top10Recent(enhancedAtRest(s)),
     Some(s"""
       SELECT station_id, name, bikes, spaces, "timestamp"
       FROM ($LatestSql)
@@ -204,7 +224,7 @@ object WrmQueries {
   /** J2: per-source-file record counts (enhanced_all.py:132). */
   val qPerFileCounts = GraftQuery(
     "wrm_per_file_counts",
-    (s, _) => Enhance.perFileCounts(enhancedAll(s))
+    (s, _) => Enhance.perFileCounts(enhancedAtRest(s))
       .orderBy(col("s3_source_key")),
     Some(s"""
       SELECT s3_source_key, file_timestamp, count(*) AS n_records

@@ -51,6 +51,14 @@ class MultimodalSpec extends SparkSpec {
     val empty = Multimodal.resizeAssets(
       assets.map(_.copy(media = Array.emptyByteArray)), 64).collect()
     assert(empty.forall(_.media.isEmpty))
+    // a payload shorter than the budget is kept as-is, never stretched
+    val short = Multimodal.resizeAssets(
+      assets.map(a => a.copy(media = a.media.take(10))), 64).collect()
+    assert(short.forall(_.media.length == 10))
+    // invalid budget fails fast at the driver, not inside a task
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeAssets(assets, outBytes = 0)
+    }
   }
 
   test("frame sampling slices n evenly spaced windows") {
