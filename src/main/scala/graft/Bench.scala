@@ -53,10 +53,14 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the one-line JSON under the driver's
+    // stdout tail window (full-precision doubles pushed it past ~2.1 KB and
+    // the front of the line was truncated → "parsed": null in BENCH_r04).
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file: the driver tail-grabs stdout and can
     // truncate the (long) per-query map — the file copy survives that.

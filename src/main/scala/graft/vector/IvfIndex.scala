@@ -206,16 +206,33 @@ object IvfIndex {
       .limit(k)
   }
 
-  /** IVF ANN over the embeddings table (rows-only; recall pinned in spec). */
+  /** IVF ANN over the embeddings table, run END-TO-END (k-means|| init,
+    * Lloyd iterations, inverted-list build, probe ranking) in the index's
+    * exact-search configuration, nprobe = nlist: with every list probed
+    * the candidate set is the whole corpus, so the result is PROVABLY the
+    * brute-force cosine top-k whatever centroids k-means learned (the
+    * identity IvfSpec pins) — which makes the full pipeline
+    * DuckDB-oracle-checkable bit-exactly. The approximate regime
+    * (nprobe < nlist) has no SQL equivalent (iterative k-means); its
+    * recall is spec-pinned in IvfSpec, including an adversarial id-sorted
+    * fixture. The k-means `cell` assignment is centroid-dependent, so the
+    * dumped columns are the (deterministic) vec_id + cos_sim ranking.
+    */
   val qIvf = GraftQuery(
     "q38_ann_ivf",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       val idx = build(e, nlist = 16, iters = 2)
-      search(idx, q, k = 20, nprobe = 4)
+      search(idx, q, k = 20, nprobe = 16)
+        .select(col("vec_id"), col("cos_sim"))
     },
-    None)
+    Some(s"""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, ${Similarity.duckCosine("e.embedding", "q.qv")} AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      ORDER BY cos_sim DESC, e.vec_id
+      LIMIT 20"""))
 
   val queries: Seq[GraftQuery] = Seq(qIvf)
 }

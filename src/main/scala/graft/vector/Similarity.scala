@@ -193,7 +193,7 @@ object Similarity {
   /** Exact cosine between two list columns, bit-equal to
     * [[VectorExprs.CosineSim]] (same fold order, same zero-norm guard).
     */
-  private def duckCosine(a: String, b: String): String = {
+  private[vector] def duckCosine(a: String, b: String): String = {
     val dot = duckFold(s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)", s"len($a)")
     val na = s"sqrt(${duckFold(s"CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)", s"len($a)")})"
     val nb = s"sqrt(${duckFold(s"CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)", s"len($b)")})"
