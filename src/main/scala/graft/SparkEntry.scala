@@ -21,6 +21,8 @@ object SparkEntry {
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       text.CorpusOps.queries ++
+      text.CorpusSafety.queries ++
+      relational.RangeJoin.queries ++
       vector.Similarity.queries ++
       vector.IvfIndex.queries ++
       sources.CsvFolderSource.queries ++
