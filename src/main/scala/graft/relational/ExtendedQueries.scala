@@ -234,5 +234,41 @@ object ExtendedQueries {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  val all: Seq[GraftQuery] = Seq(q16, q19, q33, q34, q35, q36, q37)
+  /** q60: time-RANGE rolling window — per-user trailing 24-hour event
+    * count and value sum at each event (the standard ML feature-engineering
+    * frame: "activity in the last day as of this row"). q19 covers ROWS
+    * frames; RANGE frames differ in peer handling (all rows at the same
+    * order value share a frame) and in being time- not count-bounded.
+    * Spark's rangeBetween needs a numeric order key → epoch micros, with
+    * the frame in µs; DuckDB orders by the timestamp with an INTERVAL
+    * frame — identical semantics since µs↔timestamp is monotonic and the
+    * arithmetic is exact integer µs. At scale this is one hash-shuffle by
+    * user + a per-partition sort, state = one sliding frame per partition.
+    */
+  val q60 = GraftQuery(
+    "q60_rolling_window",
+    (s, dir) => {
+      val dayUs = 24L * 3600 * 1000000
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-dayUs, 0)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .select(
+          col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("trailing_n"),
+          sum(d2(col("value"))).over(w).cast("double").as("trailing_value"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             count(*) OVER w AS trailing_n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_value
+      FROM events
+      WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts, event_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q16, q19, q33, q34, q35, q36, q37, q60)
 }
