@@ -69,6 +69,38 @@ class RangeJoinSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("property: random points/intervals — bucketed join equals naive join at every maxSpan") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // offsets in seconds over a 2-day span; keys from a small set so
+    // every key has many points AND many intervals (the hot-key case)
+    val pointGen = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 172800L))
+    val ivGen = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 172800L), Gen.choose(0L, 3600L))
+    val pts = samples(pointGen, 300, 1L).zipWithIndex.map { case ((k, off), i) =>
+      (k, new java.sql.Timestamp(base + off * 1000), i.toLong)
+    }.toDF("k", "p_ts", "pid")
+    val ivs = samples(ivGen, 150, 9999L).zipWithIndex.map { case ((k, off, len), i) =>
+      (k, new java.sql.Timestamp(base + off * 1000),
+        new java.sql.Timestamp(base + (off + len) * 1000), i.toLong)
+    }.toDF("ik", "s_ts", "e_ts", "iid")
+    val want = pts.join(ivs,
+        col("k") === col("ik") && col("p_ts") >= col("s_ts") && col("p_ts") <= col("e_ts"))
+      .select(col("pid"), col("iid"))
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty) // the generator must actually produce matches
+    for (span <- Seq("1 HOUR", "90 MINUTES", "1 DAY")) {
+      val got = RangeJoin.pointInInterval(pts, ivs,
+          Seq("k" -> "ik"), "p_ts", "s_ts", "e_ts", maxSpan = span)
+        .select(col("pid"), col("iid"))
+        .as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs at maxSpan=$span")
+      assert(got.toSet == want, s"mismatch at maxSpan=$span")
+    }
+  }
+
   test("plan is an equi-join on (key, cell) — no BroadcastNestedLoop/Cartesian") {
     val plan = RangeJoin.pointInInterval(points, intervals,
         Seq("k" -> "ik"), "p_ts", "s_ts", "e_ts", maxSpan = "1 HOUR")
