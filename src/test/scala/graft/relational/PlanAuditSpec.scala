@@ -21,6 +21,14 @@ class PlanAuditSpec extends SparkSpec {
     "stream_hourly_window", "stream_latest_per_user",
     "stream_purchase_view_join")
 
+  test("registry names are unique (SparkEntry.queries is a Map — a duplicate would silently shadow)") {
+    val names = graft.SparkEntry.registry.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate registry names: ${dups.mkString(", ")}")
+    assert(names.forall(_.matches("[a-z0-9_]+")),
+      s"non-snake-case names: ${names.filterNot(_.matches("[a-z0-9_]+")).mkString(", ")}")
+  }
+
   test("no registry query plans a CartesianProduct") {
     val dir = "/root/testdata/sf0.001"
     graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
