@@ -38,4 +38,41 @@ object Sinks {
   def icebergStyle(df: DataFrame, root: String, partitionDate: String): Unit =
     df.withColumn("partition_date", lit(partitionDate).cast("timestamp"))
       .write.mode("append").partitionBy("partition_date").parquet(root)
+
+  /** Compact a dt=-partitioned tree in place: the 30 s-poll ingest writes
+    * one tiny file per micro-batch per date (the reference's layout —
+    * raw_all.py's per-poll snapshots), and at cluster scale a year of
+    * that is ~1M files whose listing/open cost dwarfs the data. Rewrites
+    * each date to ceil(bytes/targetBytes) files via a dt-local
+    * repartition, preserving the Hive layout (partition pruning still
+    * works) and row contents exactly. Dynamic partition overwrite keeps
+    * untouched dates intact; set `onlyDates` to compact a subset (e.g.
+    * yesterday, from a scheduled job).
+    *
+    * The repartition shuffles only the dates being compacted, keyed by
+    * dt so each date's rows land together; file count per date is
+    * computed from that date's actual bytes, not a global constant —
+    * a hot date gets more files, a sparse one collapses to one.
+    */
+  def compactDates(spark: org.apache.spark.sql.SparkSession, root: String,
+                   targetBytes: Long = 128L << 20,
+                   onlyDates: Seq[String] = Nil): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dates = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
+      .map(s => s.getPath)
+      .filter(p => onlyDates.isEmpty || onlyDates.contains(p.getName.stripPrefix("dt=")))
+    dates.foreach { p =>
+      val bytes = fs.getContentSummary(p).getLength
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val dt = p.getName.stripPrefix("dt=")
+      spark.read.parquet(p.toString)
+        .withColumn("dt", lit(dt))
+        .repartition(nFiles)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dt").parquet(root)
+    }
+  }
 }
