@@ -23,6 +23,12 @@ object RawTextSink {
 
   /** Most recent stored file across ALL date partitions (raw_all.py:107 —
     * dedup compares against the single newest object only, SURVEY §7.4.6).
+    *
+    * mtime ties (same millisecond on tmpfs; second-granularity object-store
+    * LastModified) are broken by filename, which embeds the logical
+    * timestamp (`wrm_stations_<yyyy-MM-dd_HH-mm-ss>.txt`) — otherwise
+    * `maxBy` returns the first max in directory-walk order, making the
+    * dedup scope nondeterministic.
     */
   def mostRecent(root: Path): Option[Path] = {
     if (!Files.exists(root)) return None
@@ -32,7 +38,8 @@ object RawTextSink {
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".txt"))
         .toSeq
       if (all.isEmpty) None
-      else Some(all.maxBy(p => Files.getLastModifiedTime(p).toMillis))
+      else Some(all.maxBy(p =>
+        (Files.getLastModifiedTime(p).toMillis, p.getFileName.toString)))
     } finally stream.close()
   }
 

@@ -53,6 +53,16 @@ object Sinks {
     * dt so each date's rows land together; file count per date is
     * computed from that date's actual bytes, not a global constant —
     * a hot date gets more files, a sparse one collapses to one.
+    *
+    * SAFETY — this reads `root/dt=X` while overwriting `root`, which is
+    * only correct because of two barriers: (1) `repartition(n)` is a
+    * round-robin shuffle that Catalyst/AQE never elides, so the scan
+    * stage fully materializes every source row into shuffle files BEFORE
+    * the write stage starts; (2) dynamic partition overwrite stages new
+    * files and deletes the old partition at JOB COMMIT, after all write
+    * tasks finish. Removing the repartition (e.g. replacing it with
+    * `coalesce`, which can merge into the scan stage) would let write
+    * tasks race the deletion of their own input — do not.
     */
   def compactDates(spark: org.apache.spark.sql.SparkSession, root: String,
                    targetBytes: Long = 128L << 20,

@@ -100,22 +100,47 @@ class SourcesSpec extends SparkSpec {
   test("raw text sink: dt= layout, mojibake fix, dedup-vs-most-recent (S2-S4)") {
     val root = Files.createTempDirectory("rawsink")
     val now = java.time.LocalDateTime.of(2025, 5, 1, 10, 0, 0)
-    val r1 = RawTextSink.write(root, "payload A", now)
+    // tmpfs writes land in the same millisecond; give each stored file a
+    // distinct mtime so the "most recent" scope is unambiguous (the sink
+    // also tie-breaks on filename — this pins both axes)
+    def stamp(r: RawTextSink.WriteResult, minute: Int): RawTextSink.WriteResult = {
+      if (!r.skippedDuplicate)
+        Files.setLastModifiedTime(java.nio.file.Paths.get(r.key),
+          java.nio.file.attribute.FileTime.fromMillis(1746093600000L + minute * 60000L))
+      r
+    }
+    val r1 = stamp(RawTextSink.write(root, "payload A", now), 0)
     assert(!r1.skippedDuplicate)
     assert(r1.key.contains("dt=2025-05-01/wrm_stations_2025-05-01_10-00-00.txt"))
     // identical payload → skipped, returns existing key
-    val r2 = RawTextSink.write(root, "payload A", now.plusMinutes(1))
+    val r2 = stamp(RawTextSink.write(root, "payload A", now.plusMinutes(1)), 1)
     assert(r2.skippedDuplicate && r2.key == r1.key)
     // different payload → stored
-    val r3 = RawTextSink.write(root, "payload B", now.plusMinutes(2))
+    val r3 = stamp(RawTextSink.write(root, "payload B", now.plusMinutes(2)), 2)
     assert(!r3.skippedDuplicate)
     // original payload again → NOT a duplicate (only newest is compared)
-    val r4 = RawTextSink.write(root, "payload A", now.plusMinutes(3))
+    val r4 = stamp(RawTextSink.write(root, "payload A", now.plusMinutes(3)), 3)
     assert(!r4.skippedDuplicate)
     // mojibake fixed before storage
     val r5 = RawTextSink.write(root, "KrzyÅ¼owa", now.plusMinutes(4))
     val stored = new String(Files.readAllBytes(java.nio.file.Paths.get(r5.key)), "UTF-8")
     assert(stored == "Krzyżowa")
+  }
+
+  test("mostRecent breaks mtime ties by filename (logical timestamp)") {
+    val root = Files.createTempDirectory("rawsink-tie")
+    val dir = root.resolve("dt=2025-05-01"); Files.createDirectories(dir)
+    val older = dir.resolve("wrm_stations_2025-05-01_10-00-00.txt")
+    val newer = dir.resolve("wrm_stations_2025-05-01_10-05-00.txt")
+    // write in REVERSE logical order so directory-walk order favors the
+    // wrong file if the tiebreak is missing
+    Files.write(newer, "B".getBytes("UTF-8"))
+    Files.write(older, "A".getBytes("UTF-8"))
+    val tie = java.nio.file.attribute.FileTime.fromMillis(1746093600000L)
+    Files.setLastModifiedTime(older, tie)
+    Files.setLastModifiedTime(newer, tie)
+    assert(RawTextSink.mostRecent(root).map(_.getFileName.toString)
+      .contains("wrm_stations_2025-05-01_10-05-00.txt"))
   }
 
   test("streaming consecutive-dedup keeps reference scope (T5)") {
