@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[text.TextExprs.FingerprintHash].getName, "graft_fingerprint"),
       (es: Seq[Expression]) => text.TextExprs.FingerprintHash(es.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[text.TextExprs.GramWindowHashes].getName, "graft_gram_hashes"),
+      (es: Seq[Expression]) => text.TextExprs.GramWindowHashes(es.head,
+        intArg("graft_gram_hashes", es(1)))))
+    ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[vector.VectorExprs.CosineSim].getName, "graft_cosine"),
       (es: Seq[Expression]) => vector.VectorExprs.CosineSim(es.head, es(1))))

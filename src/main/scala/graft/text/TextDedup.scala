@@ -780,7 +780,101 @@ object TextDedup {
       GROUP BY a.source, b.source
       ORDER BY source_a, source_b"""))
 
+  /** Exact substring-level dedup (the cross-document repeated-substring
+    * pass from "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022 — their suffix-array ExactSubstr step): emit, per
+    * document, the maximal token spans [span_start, span_end) whose every
+    * minTokens-window also occurs in at least `minDocs` distinct documents.
+    * Doc-level dedup (MinHash/SimHash above) misses boilerplate shared by
+    * otherwise-different documents; this finds the shared regions
+    * themselves so a curation pipeline can cut them.
+    *
+    * Distributed shape — a suffix array on the driver is the classic
+    * single-node approach and is exactly what does NOT scale:
+    *  1. one pass computes rolling window-hashes per position
+    *     ([[TextExprs.GramWindowHashes]] — O(tokens), no gram strings);
+    *  2. the shuffle key is the 8-byte window hash with (doc_id, pos)
+    *     payload — O(tokens) rows of 3 scalars, never text, never pairs;
+    *  3. "shared across >= minDocs docs" is a count-distinct aggregate per
+    *     hash followed by a left-semi join back (both sides shuffle on the
+    *     same hash key; hot boilerplate grams cost one aggregate row, not
+    *     an occurrence blow-up);
+    *  4. marked positions merge into maximal spans per doc with one
+    *     windowed pass (gap > minTokens starts a new span — windows at
+    *     distance <= minTokens cover a contiguous token range).
+    * The docs scan runs twice (once per side of the semi-join) — at scale
+    * that beats materializing O(tokens) marked positions, and Spark
+    * prunes both scans to (doc_id, text).
+    */
+  def substringDupSpans(spark: SparkSession, docs: DataFrame, minTokens: Int,
+                        minDocs: Int = 2): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= minTokens)
+    val grams = toks.select(col("doc_id"),
+        posexplode(TextExprs.gramWindowHashes(spark, col("toks"), minTokens))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("g"))
+    val marked = grams.join(dup, Seq("g"), "left_semi")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= minTokens, lit(0))
+          .otherwise(lit(1))) // lag NULL on the first row → otherwise → 1
+      .withColumn("span_id", sum(col("new_span")).over(byPos))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + minTokens).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** q61: substring-level dedup over `documents` at minTokens=4 (small
+    * corpus, small vocabulary — 4-grams recur across docs; production
+    * corpora use ~50, Lee et al. §3). The oracle recomputes the full
+    * pipeline on gram STRINGS (DuckDB has no xxhash64) — hash-collision-free
+    * by construction, so it also certifies the rolling-hash kernel's
+    * collision behavior on this corpus.
+    */
+  val qSubstringDedup = GraftQuery(
+    "q61_substring_dedup",
+    (s, dir) => substringDupSpans(s, Tables.documents(s, dir), minTokens = 4),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 4
+      ), grams AS (
+        SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 3),
+            i -> struct_pack(pos := i - 1,
+                             gram := array_to_string(t[i:i+3], ' ')))) AS pg
+          FROM toks) s
+      ), dup AS (
+        SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+      ), marked AS (
+        SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)
+      ), sids AS (
+        SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+                     THEN 0 ELSE 1 END AS new_span
+              FROM marked) x
+      )
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+             max(pos) + 4 - min(pos) AS span_tokens
+      FROM sids GROUP BY doc_id, span_id
+      ORDER BY doc_id, span_start"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qMinhashCanonical,
-      qDedupClusters, qSimhashDedup, qSourceSketch)
+      qDedupClusters, qSimhashDedup, qSourceSketch, qSubstringDedup)
 }

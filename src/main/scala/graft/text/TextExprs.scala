@@ -243,6 +243,54 @@ object TextExprs {
       copy(child = c)
   }
 
+  /** Per-position token-window hashes: output element i is a hash of the
+    * n-token window starting at token i (length(tokens) − n + 1 elements;
+    * empty when the doc is shorter than n). The substring-dedup kernel —
+    * downstream shuffles these 8-byte longs keyed by hash, never gram
+    * text, so shuffle volume is O(tokens), independent of n.
+    *
+    * Rolling polynomial over per-token xxhash64 values in wrapping 2^64
+    * arithmetic: h(i+1) = (h(i) − t_i·B^(n−1))·B + t_{i+n−1}, so total
+    * work is O(tokens), not O(tokens·n) — no gram strings are ever
+    * materialized. Collisions (two distinct n-grams sharing a hash) are
+    * birthday-bounded at ~(windows²/2^64); substring dedup tolerates
+    * that the same way MinHash banding does.
+    */
+  case class GramWindowHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(tokens: Any): Any = {
+      val arr = tokens.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      val cnt = len - (n - 1)
+      if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+      val B = 0x100000001b3L // odd base → multiplication is invertible mod 2^64
+      val th = new Array[Long](len)
+      var i = 0
+      while (i < len) {
+        th(i) = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        i += 1
+      }
+      var bn = 1L // B^(n-1)
+      var k = 1
+      while (k < n) { bn *= B; k += 1 }
+      val out = new Array[Any](cnt)
+      var h = 0L
+      i = 0
+      while (i < n) { h = h * B + th(i); i += 1 }
+      out(0) = java.lang.Long.valueOf(h)
+      i = 1
+      while (i < cnt) {
+        h = (h - th(i - 1) * bn) * B + th(i + n - 1)
+        out(i) = java.lang.Long.valueOf(h)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): GramWindowHashes =
+      copy(child = c)
+  }
+
   /** Polynomial rolling hash h = Σ (h*31 + codepoint) mod 1e9+7, one tight
     * loop per row — replaces the per-character `aggregate` HOF (interpreted
     * lambda per char). Codepoint iteration matches `ascii()` on
@@ -314,6 +362,9 @@ object TextExprs {
       es => TokenSetCount(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint",
       es => FingerprintHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_hashes",
+      es => GramWindowHashes(es.head, intLiteral("graft_gram_hashes", es(1))),
+      "built-in")
   }
 
   /** Group-level sketch aggregate as a Column (aggregate functions can't
@@ -357,5 +408,11 @@ object TextExprs {
   def fingerprintHash(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("graft_fingerprint", text)
+  }
+
+  def gramWindowHashes(spark: SparkSession, tokens: Column, n: Int): Column = {
+    register(spark)
+    call_function("graft_gram_hashes", tokens,
+      org.apache.spark.sql.functions.lit(n))
   }
 }

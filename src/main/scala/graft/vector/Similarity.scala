@@ -88,6 +88,14 @@ object Similarity {
     */
   def annLsh(corpus: DataFrame, query: DataFrame, k: Int, planes: Int = 6,
              tables: Int = 3, hashMode: String = "xx"): DataFrame = {
+    // enforce the single-query contract at runtime: with >1 query row the
+    // vec_id dedup below silently merges result sets across queries —
+    // wrong answers, not an error. limit(2) bounds the probe to O(1) work
+    // on the (tiny, about-to-be-broadcast) query side.
+    val qn = query.limit(2).count()
+    require(qn == 1,
+      s"annLsh expects exactly ONE query row, got ${if (qn == 0) "0" else ">=2"}; " +
+        "use cosineTopKBatch for query batches (per-query ranking)")
     val bucketed = corpus.select(col("vec_id"), col("label"), col("embedding"),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("tbl"),

@@ -115,6 +115,54 @@ class TextSpec extends SparkSpec {
     assert(out.count(_._3) == 2)
   }
 
+  test("substring dedup: planted cross-doc repeat found as one exact maximal span") {
+    // 10-token run planted at different offsets in two otherwise globally
+    // unique docs; a third doc shares nothing.
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val docA = ((1 to 7).map(i => s"aa$i") :+ shared) ++ (1 to 5).map(i => s"ab$i")
+    val docB = ((1 to 3).map(i => s"ba$i") :+ shared) ++ (1 to 9).map(i => s"bb$i")
+    val docC = (1 to 30).map(i => s"cc$i")
+    val docs = Seq((1L, docA.mkString(" ")), (2L, docB.mkString(" ")),
+      (3L, docC.mkString(" "))).toDF("doc_id", "text")
+    val out = TextDedup.substringDupSpans(spark, docs, minTokens = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // exactly one span per sharing doc, covering exactly the planted run:
+    // doc A tokens [7,17), doc B tokens [3,13); doc C absent; the 6
+    // overlapping 5-windows inside the run merged into one maximal span
+    assert(out == Seq((1L, 7L, 17L, 10L), (2L, 3L, 13L, 10L)))
+  }
+
+  test("substring dedup: within-doc repeats don't count; minDocs raises the bar") {
+    val run = (1 to 6).map(i => s"rep$i").mkString(" ")
+    // doc 1 contains the run TWICE — but no other doc has it
+    val selfDup = s"${(1 to 4).map(i => s"x$i").mkString(" ")} $run " +
+      s"${(1 to 4).map(i => s"y$i").mkString(" ")} $run"
+    val other = (1 to 20).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, selfDup), (2L, other)).toDF("doc_id", "text")
+    assert(TextDedup.substringDupSpans(spark, docs, minTokens = 6).isEmpty)
+
+    // the same run in 2 docs passes minDocs=2 but not minDocs=3
+    val docs2 = Seq((1L, selfDup), (2L, s"$run ${(1 to 8).map(i => s"w$i").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    assert(TextDedup.substringDupSpans(spark, docs2, minTokens = 6).count() == 3)
+    assert(TextDedup.substringDupSpans(spark, docs2, minTokens = 6, minDocs = 3).isEmpty)
+  }
+
+  test("gram window hashes: position math, short-doc guard, rolling = direct") {
+    val df = Seq(Seq("a", "b", "c", "d", "e"), Seq("a", "b")).toDF("toks")
+      .select(TextExprs.gramWindowHashes(spark, col("toks"), 3).as("g"))
+    val rows = df.as[Seq[Long]].collect()
+    assert(rows(0).size == 3 && rows(1).isEmpty)
+    // same window content → same hash regardless of position (doc 2 of the
+    // pair below shares window "c d e" at a different offset)
+    val two = Seq(Seq("a", "b", "c", "d", "e"), Seq("z", "c", "d", "e"))
+      .toDF("toks")
+      .select(TextExprs.gramWindowHashes(spark, col("toks"), 3).as("g"))
+      .as[Seq[Long]].collect()
+    assert(two(0)(2) == two(1)(1)) // "c d e" window
+    assert(two(0).distinct.size == 3) // distinct windows hash apart
+  }
+
   test("simhash: identical texts collide, near texts are close, far texts far") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val base = (1 to 50).map(i => s"tok$i").mkString(" ")

@@ -64,6 +64,16 @@ class SimilaritySpec extends SparkSpec {
     assert(md5Recall >= 0.8, s"md5-mode recall@10 = $md5Recall below 0.8")
   }
 
+  test("annLsh rejects multi-row and empty query sets at call time") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val two = e.filter(col("vec_id").isin(0L, 1L)).select(col("embedding").as("qv"))
+    val exTwo = intercept[IllegalArgumentException] { Similarity.annLsh(e, two, 10) }
+    assert(exTwo.getMessage.contains("cosineTopKBatch"))
+    val none = e.filter(col("vec_id") === -1L).select(col("embedding").as("qv"))
+    val exNone = intercept[IllegalArgumentException] { Similarity.annLsh(e, none, 10) }
+    assert(exNone.getMessage.contains("ONE query row"))
+  }
+
   test("batched top-k equals per-query brute force; top-k pushed below shuffle") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = e.filter(col("vec_id").isin(0L, 3L))
