@@ -60,11 +60,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Self-check vs the previous local run: flag >2x movers (with a 0.2 s
+    // absolute floor so millisecond-scale queries don't trip on noise) so a
+    // noisy machine window is visible in the bench line itself instead of
+    // burning a round on a phantom regression (see BENCH_r04 post-mortem).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val prev: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(outPath))
+        val inner = txt.substring(txt.indexOf("\"queries\":{") + 11)
+        """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(inner.takeWhile(_ != '}'))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val regs = results.collect {
+      case (k, v) if v >= 0 && prev.get(k).exists(p => p >= 0 && v > 2 * p && v - p > 0.2) =>
+        "\"" + k + "\":[" + fmt(prev(k)) + "," + fmt(v) + "]"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"regressions":$regs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file: the driver tail-grabs stdout and can
     // truncate the (long) per-query map — the file copy survives that.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()

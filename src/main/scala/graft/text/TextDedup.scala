@@ -783,8 +783,11 @@ object TextDedup {
   /** Exact substring-level dedup (the cross-document repeated-substring
     * pass from "Deduplicating Training Data Makes Language Models Better",
     * Lee et al. 2022 — their suffix-array ExactSubstr step): emit, per
-    * document, the maximal token spans [span_start, span_end) whose every
-    * minTokens-window also occurs in at least `minDocs` distinct documents.
+    * document, the maximal token spans [span_start, span_end) in which
+    * every token is covered by some minTokens-window that occurs in at
+    * least `minDocs` distinct documents (the connected union of duplicated
+    * windows — interior windows bridging two merged duplicated windows
+    * need not themselves be duplicated).
     * Doc-level dedup (MinHash/SimHash above) misses boilerplate shared by
     * otherwise-different documents; this finds the shared regions
     * themselves so a curation pipeline can cut them.

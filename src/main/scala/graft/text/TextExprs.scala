@@ -258,6 +258,8 @@ object TextExprs {
     */
   case class GramWindowHashes(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
+    require(n >= 1,
+      s"graft_gram_hashes window width n must be >= 1, got $n")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(tokens: Any): Any = {
       val arr = tokens.asInstanceOf[ArrayData]

@@ -90,12 +90,16 @@ object Similarity {
              tables: Int = 3, hashMode: String = "xx"): DataFrame = {
     // enforce the single-query contract at runtime: with >1 query row the
     // vec_id dedup below silently merges result sets across queries —
-    // wrong answers, not an error. limit(2) bounds the probe to O(1) work
-    // on the (tiny, about-to-be-broadcast) query side.
-    val qn = query.limit(2).count()
-    require(qn == 1,
-      s"annLsh expects exactly ONE query row, got ${if (qn == 0) "0" else ">=2"}; " +
+    // wrong answers, not an error. Collect the (tiny, about-to-be-
+    // broadcast) query side ONCE and rebuild it as a local-relation
+    // DataFrame, so the row the guard checked IS the row the join probes
+    // even when the source is nondeterministic (sample/rand-derived).
+    val qRows = query.limit(2).collect()
+    require(qRows.length == 1,
+      s"annLsh expects exactly ONE query row, got ${if (qRows.isEmpty) "0" else ">=2"}; " +
         "use cosineTopKBatch for query batches (per-query ranking)")
+    val query1 = query.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), query.schema)
     val bucketed = corpus.select(col("vec_id"), col("label"), col("embedding"),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("tbl"),
@@ -104,7 +108,7 @@ object Similarity {
       }: _*)).as("tb"))
       .select(col("vec_id"), col("label"), col("embedding"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val qb = query.select(col("qv"),
+    val qb = query1.select(col("qv"),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("ptbl"),
           VectorExprs.lshBucket(col("qv"), planes, t * planes, hashMode)

@@ -161,6 +161,19 @@ class TextSpec extends SparkSpec {
       .as[Seq[Long]].collect()
     assert(two(0)(2) == two(1)(1)) // "c d e" window
     assert(two(0).distinct.size == 3) // distinct windows hash apart
+    // invalid window widths fail at construction with a named error, not
+    // an ArrayIndexOutOfBounds inside a task (n=0 would silently emit
+    // len+1 garbage hashes; n<0 indexes th() negatively)
+    for (bad <- Seq(0, -1)) {
+      val ex = intercept[IllegalArgumentException] {
+        TextExprs.GramWindowHashes(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            Array("a", "b"),
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+          bad)
+      }
+      assert(ex.getMessage.contains("graft_gram_hashes"))
+    }
   }
 
   test("simhash: identical texts collide, near texts are close, far texts far") {
