@@ -20,6 +20,7 @@ object SparkEntry {
       relational.SetOpQueries.all ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
+      text.Repetition.queries ++
       text.CorpusOps.queries ++
       text.CorpusSafety.queries ++
       relational.RangeJoin.queries ++
