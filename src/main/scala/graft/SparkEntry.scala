@@ -21,6 +21,7 @@ object SparkEntry {
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       text.Repetition.queries ++
+      text.CorpusPrep.queries ++
       text.CorpusOps.queries ++
       text.CorpusSafety.queries ++
       relational.RangeJoin.queries ++

@@ -1,0 +1,40 @@
+package graft.text
+
+import graft.SparkSpec
+
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking: window/stride coverage, short docs, tail chunk") {
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6 (ceil((10-4)/3)+1 = 3
+    // chunks), tail chunk [6,10) is full; 11 tokens -> starts 0,3,6,9 with
+    // a 2-token tail
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 11).map(i => s"u$i").mkString(" ")),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val chunks = CorpusPrep.chunkDocuments(docs, window = 4, stride = 3)
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(chunks == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4), (1L, 1, "t4 t5 t6 t7", 4), (1L, 2, "t7 t8 t9 t10", 4),
+      (2L, 0, "u1 u2 u3 u4", 4), (2L, 1, "u4 u5 u6 u7", 4), (2L, 2, "u7 u8 u9 u10", 4),
+      (2L, 3, "u10 u11", 2),
+      (3L, 0, "a b", 2)))
+    // every token of every doc appears in at least one chunk
+    val covered = chunks.filter(_._1 == 2L).flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 11).map(i => s"u$i").toSet)
+    intercept[IllegalArgumentException] { CorpusPrep.chunkDocuments(docs, 4, 5) }
+    intercept[IllegalArgumentException] { CorpusPrep.chunkDocuments(docs, 0, 1) }
+  }
+
+  test("rarity score: integer corpus-frequency sums") {
+    // cf: x=3, y=2, z=1
+    val docs = Seq((1L, "x x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = CorpusPrep.rarityScore(docs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 8L, 8.0 / 3),   // 3+3+2
+      (2L, 3L, 6L, 2.0)))      // 3+2+1
+  }
+}
