@@ -42,9 +42,10 @@ object Repetition {
     * drops docs above thresholds on exactly these statistics.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
+    // no early orderBy here (unlike the TextAnalysis staging pattern): the
+    // final sort runs above the join anyway, and an inner sort would leak a
+    // wasted range-exchange into the exploded top-bigram branch
     val base = docs
-      .select(col("doc_id"), col("text"))
-      .orderBy(col("doc_id"))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         ngrams(col("toks"), 2).as("bigrams"),
