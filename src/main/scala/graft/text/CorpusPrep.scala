@@ -66,6 +66,46 @@ object CorpusPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget packing over the chunk stream (concat-and-split batch
+    * assignment): lay the chunks end to end in (doc_id, chunk_id) order
+    * and cut every `budget` tokens — chunk i's batch is its global start
+    * offset div budget (chunks may straddle a cut, exactly like training
+    * concat-split packing).
+    *
+    * The global running total is a HIERARCHICAL prefix sum — the naive
+    * `sum() over (order by ...)` with no partition clause would drag the
+    * whole corpus into ONE task. Instead: (1) per coarse doc-group token
+    * totals (one O(groups) shuffle); (2) cumulative offsets over that
+    * tiny aggregate (a single-partition window over corpus/groupSize rows
+    * — bounded and deliberate); (3) broadcast the offsets back and run
+    * the within-group running sum, whose window partitions are bounded by
+    * groupSize docs. Deterministic everywhere: integer sums over a total
+    * (doc_id, chunk_id) order.
+    */
+  def packChunks(chunks: DataFrame, budget: Int, groupSize: Int = 1000): DataFrame = {
+    require(budget >= 1, s"packChunks budget must be >= 1, got $budget")
+    require(groupSize >= 1, s"packChunks groupSize must be >= 1, got $groupSize")
+    import org.apache.spark.sql.expressions.Window
+    val g = chunks.select(col("doc_id"), col("chunk_id"), col("chunk_tokens"))
+      .withColumn("grp", floor(col("doc_id") / groupSize).cast("long"))
+    val wGrp = Window.orderBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = g.groupBy(col("grp"))
+      .agg(sum(col("chunk_tokens")).as("grp_tokens"))
+      .withColumn("grp_offset", coalesce(sum(col("grp_tokens")).over(wGrp), lit(0L)))
+      .select(col("grp"), col("grp_offset"))
+    val wIn = Window.partitionBy(col("grp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.join(broadcast(offsets), Seq("grp"))
+      .withColumn("start_offset",
+        col("grp_offset") + coalesce(sum(col("chunk_tokens")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+        col("start_offset"),
+        floor(col("start_offset") / budget).cast("long").as("batch_id"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val qChunk = GraftQuery(
     "q64_sequence_chunks",
     (s, dir) => chunkDocuments(Tables.documents(s, dir), window = 32, stride = 24),
@@ -98,5 +138,36 @@ object CorpusPrep {
       GROUP BY t.doc_id
       ORDER BY doc_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qChunk, qRarity)
+  /** groupSize 64 exercises multiple coarse groups (and so the offset
+    * broadcast) even at sf0.01's 500 docs. The oracle computes the same
+    * offsets with one flat global window — DuckDB can afford it at oracle
+    * scale, which makes it a true independent check of the hierarchical
+    * decomposition.
+    */
+  val qPack = GraftQuery(
+    "q66_token_packing",
+    (s, dir) => packChunks(
+      chunkDocuments(Tables.documents(s, dir), window = 32, stride = 24),
+      budget = 256, groupSize = 64),
+    Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                 FROM documents),
+      c AS (SELECT doc_id, toks, len(toks) AS n,
+              CASE WHEN len(toks) <= 32 THEN 1
+                   ELSE (len(toks) - 32 + 23) // 24 + 1 END AS n_chunks
+            FROM t),
+      chunks AS (
+        SELECT doc_id, i AS chunk_id, least(32, n - i*24) AS chunk_tokens
+        FROM (SELECT doc_id, n, unnest(generate_series(0, n_chunks - 1)) AS i
+              FROM c) s),
+      o AS (SELECT doc_id, chunk_id, chunk_tokens,
+              CAST(coalesce(sum(chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS start_offset
+            FROM chunks)
+      SELECT doc_id, chunk_id, chunk_tokens, start_offset,
+             start_offset // 256 AS batch_id
+      FROM o ORDER BY doc_id, chunk_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qChunk, qRarity, qPack)
 }

@@ -28,6 +28,32 @@ class CorpusPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException] { CorpusPrep.chunkDocuments(docs, 0, 1) }
   }
 
+  test("token packing: offsets, straddling cuts, hierarchy-invariant") {
+    // chunk stream: doc1 -> 4+4+4 tokens, doc2 -> 4+4+2, doc3 -> 2
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 11).map(i => s"u$i").mkString(" ")),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val chunks = CorpusPrep.chunkDocuments(docs, window = 4, stride = 3)
+    val packed = CorpusPrep.packChunks(chunks, budget = 10, groupSize = 2)
+      .as[(Long, Int, Int, Long, Long)].collect().toSeq
+    // cumulative starts: 0,4,8 | 12,16,20,24 | 26; budget 10 cuts at 10,20
+    assert(packed == Seq(
+      (1L, 0, 4, 0L, 0L), (1L, 1, 4, 4L, 0L), (1L, 2, 4, 8L, 0L), // straddles cut
+      (2L, 0, 4, 12L, 1L), (2L, 1, 4, 16L, 1L), (2L, 2, 4, 20L, 2L),
+      (2L, 3, 2, 24L, 2L),
+      (3L, 0, 2, 26L, 2L)))
+    // the hierarchical decomposition is invariant in groupSize: one group,
+    // one doc per group, and the default all agree
+    for (gs <- Seq(1, 1000)) {
+      val alt = CorpusPrep.packChunks(chunks, budget = 10, groupSize = gs)
+        .as[(Long, Int, Int, Long, Long)].collect().toSeq
+      assert(alt == packed, s"groupSize=$gs")
+    }
+    intercept[IllegalArgumentException] { CorpusPrep.packChunks(chunks, 0) }
+  }
+
   test("rarity score: integer corpus-frequency sums") {
     // cf: x=3, y=2, z=1
     val docs = Seq((1L, "x x y"), (2L, "x y z")).toDF("doc_id", "text")
