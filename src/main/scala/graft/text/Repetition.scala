@@ -51,9 +51,19 @@ object Repetition {
         ngrams(col("toks"), 2).as("bigrams"),
         ngrams(col("toks"), 3).as("trigrams"))
     // top-bigram count: the one wide stage — O(tokens) rows of (doc_id,
-    // bigram) scalars, combined map-side by the partial aggregate
-    val topCnt = base
-      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
+    // bigram) scalars, combined map-side by the partial aggregate.
+    // Explode token POSITIONS and build each bigram with one element_at
+    // lookahead: exploding the bigrams array itself inlines the array
+    // definition into Generate/Filter, and every element evaluation then
+    // re-runs split(trim(text)) — O(tokens²·len) per doc (measured 12.5 s
+    // vs 0.6 s at sf0.1).
+    val topCnt = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("pos") + 1 < size(col("toks")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), element_at(col("toks"), col("pos") + 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
     def dupFrac(arr: Column): Column =
