@@ -138,6 +138,41 @@ object CorpusPrep {
       GROUP BY t.doc_id
       ORDER BY doc_id"""))
 
+  /** Deterministic corpus shuffle for training order: shuffle_pos is each
+    * doc's rank under a seeded hash order (md5(seed:doc_id), doc_id
+    * tiebreak on collisions) — a reproducible global permutation, the
+    * thing every pre-training run needs before epoch slicing.
+    *
+    * Global rank is the same trap as the packing prefix sum: a flat
+    * `row_number() over (order by h)` is one task holding the corpus. The
+    * hierarchical form buckets by a PREFIX of the sort key (bucket =
+    * floor(first-16-bits · buckets / 65536) is monotone in h, so
+    * (bucket, h) order IS h order): per-bucket counts → tiny cumulative
+    * offset window → broadcast → bounded within-bucket row_number.
+    * Hash bucketing also spreads the rank work uniformly — no skew by
+    * construction.
+    */
+  def shuffleOrder(docs: DataFrame, seed: Long, buckets: Int = 256): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"shuffleOrder buckets must be in [1, 65536], got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val h = docs.select(col("doc_id"),
+      md5(concat_ws(":", lit(seed), col("doc_id"))).as("h"))
+      .withColumn("bucket",
+        floor(conv(substring(col("h"), 1, 4), 16, 10).cast("long")
+          * buckets / 65536).cast("int"))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = h.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("bucket_offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    val wRank = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    h.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"),
+        (col("bucket_offset") + row_number().over(wRank) - 1).as("shuffle_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** groupSize 64 exercises multiple coarse groups (and so the offset
     * broadcast) even at sf0.01's 500 docs. The oracle computes the same
     * offsets with one flat global window — DuckDB can afford it at oracle
@@ -169,5 +204,19 @@ object CorpusPrep {
              start_offset // 256 AS batch_id
       FROM o ORDER BY doc_id, chunk_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qChunk, qRarity, qPack)
+  /** The oracle ranks with one flat window — affordable at oracle scale,
+    * a true independent check of the bucketed decomposition.
+    */
+  val qShuffle = GraftQuery(
+    "q67_corpus_shuffle",
+    (s, dir) => shuffleOrder(Tables.documents(s, dir), seed = 42L),
+    Some("""
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY md5(concat('42:', CAST(doc_id AS VARCHAR))), doc_id) - 1
+               AS BIGINT) AS shuffle_pos
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qChunk, qRarity, qPack, qShuffle)
 }

@@ -54,6 +54,26 @@ class CorpusPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException] { CorpusPrep.packChunks(chunks, 0) }
   }
 
+  test("corpus shuffle: seeded permutation, bucket-count invariant") {
+    val docs = (0L until 100L).map(i => (i, s"doc $i")).toSeq.toDF("doc_id", "text")
+    val pos = CorpusPrep.shuffleOrder(docs, seed = 7L)
+      .as[(Long, Long)].collect().toSeq
+    // a permutation of 0..n-1, keyed by every doc exactly once
+    assert(pos.map(_._1) == (0L until 100L))
+    assert(pos.map(_._2).sorted == (0L until 100L))
+    // not the identity (a hash order that preserved doc order is broken)
+    assert(pos.map(_._2) != (0L until 100L))
+    // deterministic, and invariant in the bucket decomposition
+    for (b <- Seq(1, 4, 65536)) {
+      assert(CorpusPrep.shuffleOrder(docs, 7L, buckets = b)
+        .as[(Long, Long)].collect().toSeq == pos, s"buckets=$b")
+    }
+    // the seed changes the permutation
+    assert(CorpusPrep.shuffleOrder(docs, 8L)
+      .as[(Long, Long)].collect().toSeq != pos)
+    intercept[IllegalArgumentException] { CorpusPrep.shuffleOrder(docs, 7L, 0) }
+  }
+
   test("rarity score: integer corpus-frequency sums") {
     // cf: x=3, y=2, z=1
     val docs = Seq((1L, "x x y"), (2L, "x y z")).toDF("doc_id", "text")
