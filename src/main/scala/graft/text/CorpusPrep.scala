@@ -82,7 +82,8 @@ object CorpusPrep {
     * groupSize docs. Deterministic everywhere: integer sums over a total
     * (doc_id, chunk_id) order.
     */
-  def packChunks(chunks: DataFrame, budget: Int, groupSize: Int = 1000): DataFrame = {
+  def packChunks(chunks: DataFrame, budget: Int, groupSize: Int = 1000,
+                 ordered: Boolean = true): DataFrame = {
     require(budget >= 1, s"packChunks budget must be >= 1, got $budget")
     require(groupSize >= 1, s"packChunks groupSize must be >= 1, got $groupSize")
     import org.apache.spark.sql.expressions.Window
@@ -97,13 +98,15 @@ object CorpusPrep {
     val wIn = Window.partitionBy(col("grp"))
       .orderBy(col("doc_id"), col("chunk_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    g.join(broadcast(offsets), Seq("grp"))
+    val packed = g.join(broadcast(offsets), Seq("grp"))
       .withColumn("start_offset",
         col("grp_offset") + coalesce(sum(col("chunk_tokens")).over(wIn), lit(0L)))
       .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
         col("start_offset"),
         floor(col("start_offset") / budget).cast("long").as("batch_id"))
-      .orderBy(col("doc_id"), col("chunk_id"))
+    // presentation order is an oracle/display concern, not packing
+    // semantics — at scale skip the global sort (ordered = false)
+    if (ordered) packed.orderBy(col("doc_id"), col("chunk_id")) else packed
   }
 
   val qChunk = GraftQuery(
