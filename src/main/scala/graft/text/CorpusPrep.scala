@@ -207,6 +207,51 @@ object CorpusPrep {
              start_offset // 256 AS batch_id
       FROM o ORDER BY doc_id, chunk_id"""))
 
+  /** The full pre-training assembly: seeded corpus shuffle → concatenate
+    * the token stream in shuffle order → cut fixed `windowTokens` windows
+    * ACROSS document boundaries (the standard tokenize-concat-chunk; the
+    * last window may be short). Composes [[shuffleOrder]] with the
+    * hierarchical doc-offset prefix sum, then reassembles windows.
+    *
+    * At 100 TB: doc offsets are the q66 decomposition keyed by rank
+    * groups; the reassembly explodes O(tokens) (gpos, token) rows and
+    * shuffles them by window_id — UNIFORM by construction (window_id is
+    * a contiguous range cut of the global stream) — with per-window
+    * state bounded by windowTokens. No stage holds more than a window
+    * of text per task; nothing global ever sits in one task.
+    */
+  def trainingWindows(docs: DataFrame, seed: Long, windowTokens: Int,
+                      groupSize: Int = 64): DataFrame = {
+    require(windowTokens >= 1,
+      s"trainingWindows windowTokens must be >= 1, got $windowTokens")
+    require(groupSize >= 1,
+      s"trainingWindows groupSize must be >= 1, got $groupSize")
+    import org.apache.spark.sql.expressions.Window
+    val ordered = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .join(shuffleOrder(docs, seed), Seq("doc_id"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("grp", floor(col("shuffle_pos") / groupSize).cast("long"))
+    val wOff = Window.orderBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ordered.groupBy(col("grp"))
+      .agg(sum(col("n_tokens")).as("grp_tokens"))
+      .withColumn("grp_offset", coalesce(sum(col("grp_tokens")).over(wOff), lit(0L)))
+      .select(col("grp"), col("grp_offset"))
+    val wIn = Window.partitionBy(col("grp")).orderBy(col("shuffle_pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ordered.join(broadcast(offsets), Seq("grp"))
+      .withColumn("doc_offset",
+        col("grp_offset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .select(col("doc_offset"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select((col("doc_offset") + col("pos")).as("gpos"), col("tok"))
+      .groupBy(floor(col("gpos") / windowTokens).cast("long").as("window_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("gpos"), col("tok")))),
+          s => s.getField("tok"))).as("text"))
+      .orderBy(col("window_id"))
+  }
+
   /** The oracle ranks with one flat window — affordable at oracle scale,
     * a true independent check of the bucketed decomposition.
     */
@@ -221,5 +266,31 @@ object CorpusPrep {
       FROM documents
       ORDER BY doc_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qChunk, qRarity, qPack, qShuffle)
+  val qTrainingWindows = GraftQuery(
+    "q68_training_windows",
+    (s, dir) => trainingWindows(Tables.documents(s, dir), seed = 42L,
+      windowTokens = 32),
+    Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                 FROM documents),
+      ord AS (SELECT doc_id, row_number() OVER (
+                ORDER BY md5(concat('42:', CAST(doc_id AS VARCHAR))), doc_id) - 1
+                AS rn
+              FROM documents),
+      off AS (SELECT t.doc_id AS doc_id, toks,
+                CAST(coalesce(sum(len(toks)) OVER (ORDER BY rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  AS doc_offset
+              FROM t JOIN ord ON t.doc_id = ord.doc_id),
+      tok AS (SELECT doc_offset + u.pos AS gpos, u.tok AS tok FROM (
+                SELECT doc_offset,
+                       unnest(list_transform(generate_series(1, len(toks)),
+                         i -> struct_pack(pos := i - 1, tok := toks[i]))) AS u
+                FROM off) s)
+      SELECT CAST(gpos // 32 AS BIGINT) AS window_id, count(*) AS n_tokens,
+             string_agg(tok, ' ' ORDER BY gpos) AS text
+      FROM tok GROUP BY 1 ORDER BY window_id"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qChunk, qRarity, qPack, qShuffle, qTrainingWindows)
 }

@@ -74,6 +74,33 @@ class CorpusPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException] { CorpusPrep.shuffleOrder(docs, 7L, 0) }
   }
 
+  test("training windows: concat in shuffle order, exact cuts, short tail") {
+    val docs = Seq(
+      (1L, "a1 a2 a3"),
+      (2L, "b1 b2 b3 b4"),
+      (3L, "c1 c2")
+    ).toDF("doc_id", "text")
+    // reference: concatenate tokens in shuffleOrder and cut every 4
+    val order = CorpusPrep.shuffleOrder(docs, seed = 5L)
+      .as[(Long, Long)].collect().sortBy(_._2).map(_._1)
+    val tokMap = Map(1L -> Seq("a1", "a2", "a3"), 2L -> Seq("b1", "b2", "b3", "b4"),
+      3L -> Seq("c1", "c2"))
+    val stream = order.flatMap(tokMap)
+    val ref = stream.grouped(4).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.size.toLong, w.mkString(" ")) }.toSeq
+    val got = CorpusPrep.trainingWindows(docs, seed = 5L, windowTokens = 4)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == ref)
+    // 9 tokens -> windows of 4,4,1; windows cross doc boundaries
+    assert(got.map(_._2) == Seq(4L, 4L, 1L))
+    // groupSize decomposition is invariant
+    assert(CorpusPrep.trainingWindows(docs, 5L, 4, groupSize = 1)
+      .as[(Long, Long, String)].collect().toSeq == ref)
+    intercept[IllegalArgumentException] {
+      CorpusPrep.trainingWindows(docs, 5L, 0)
+    }
+  }
+
   test("rarity score: integer corpus-frequency sums") {
     // cf: x=3, y=2, z=1
     val docs = Seq((1L, "x x y"), (2L, "x y z")).toDF("doc_id", "text")
