@@ -69,6 +69,23 @@ class CorpusPrepPropertySpec extends SparkSpec {
     }
   }
 
+  test("training windows equal the flat driver reference on random corpora") {
+    for (seed <- 1L to 3L) {
+      val docs = corpus(seed + 30, 40)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(id: Long): String =
+        md.digest(s"3:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val stream = docs.map(_._1).sortBy(id => (h(id), id))
+        .flatMap(id => toks(docs.toMap.apply(id)))
+      val ref = stream.grouped(7).zipWithIndex
+        .map { case (w, i) => (i.toLong, w.size.toLong, w.mkString(" ")) }.toSeq
+      val got = CorpusPrep.trainingWindows(docs.toDF("doc_id", "text"),
+          seed = 3L, windowTokens = 7, groupSize = 5)
+        .as[(Long, Long, String)].collect().toSeq
+      assert(got == ref, s"seed=$seed")
+    }
+  }
+
   test("repetition signals equal the flat driver reference") {
     for (seed <- 1L to 3L) {
       val docs = corpus(seed + 20, 50).filter(_._2.nonEmpty)
