@@ -38,6 +38,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("unpartitioned Window nodes sit only above aggregated (reduced) input") {
+    // A window with no PARTITION BY executes in ONE task. That is the
+    // deliberate shape for the tiny per-group offset frames in the
+    // hierarchical prefix-sum/rank operators (q66-q68) — where the window
+    // input is already an aggregate, corpus/groupSize rows — and a scale
+    // bug anywhere else. Pin the invariant: every unpartitioned WindowExec
+    // must have an aggregation somewhere below it.
+    val dir = "/root/testdata/sf0.001"
+    graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
+      val plan = q.run(spark, dir).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty &&
+              w.child.collectFirst {
+                case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+              }.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"${q.name} plans an unpartitioned Window over non-aggregated input " +
+          s"(single-task global window):\n${bad.headOption.getOrElse("")}")
+    }
+  }
+
   test("pair-dedup query CONSTRUCTION runs no Spark job (lazy bucket cap)") {
     // capBuckets once ran an eager count+cache during plan build — callers
     // paid a cluster job just to *define* a DataFrame. Pin the fix: build
