@@ -435,6 +435,61 @@ object Similarity {
       FROM vecs v LEFT JOIN ver r ON r.vec_id = v.vec_id
       ORDER BY v.vec_id"""))
 
+  /** Random-projection (Johnson–Lindenstrauss) embedding sketch: project
+    * each vector through a DETERMINISTIC pseudo-random ±-uniform matrix
+    * R[inDim × outDim] derived from the md5-p61 base hash, so the matrix
+    * is identical in any engine with md5 — the cheap dimensionality
+    * reduction used as an ANN prefilter (distances are preserved within
+    * (1±ε) at outDim = O(log n / ε²)).
+    *
+    * At 100 TB: R is a CONSTANT (inDim·outDim doubles — a few KB),
+    * embedded as a literal in the projection expression; the whole
+    * operator is one narrow map, no shuffle, no broadcast, no driver
+    * data path. Output is exploded to (vec_id, out_dim, value) scalars.
+    * The sequential fold per output dim matches DuckDB's list_reduce
+    * term-for-term, so even the float math is bit-exact.
+    */
+  def randomProjection(corpus: DataFrame, inDim: Int, outDim: Int): DataFrame = {
+    require(inDim >= 1 && outDim >= 1,
+      s"randomProjection dims must be >= 1, got in=$inDim out=$outDim")
+    val R: Seq[Double] = (0 until inDim * outDim).map { k =>
+      val (i, j) = (k / outDim, k % outDim)
+      ((graft.text.Md5P61.base(s"graft_r:$i:$j") % 1001L) - 500L).toDouble / 500.0
+    }
+    val rLit = typedLit(R)
+    corpus
+      .filter(size(col("embedding")) === inDim)
+      .select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(outDim - 1)), j =>
+          struct(j.as("out_dim"),
+            aggregate(sequence(lit(1), lit(inDim)), lit(0.0), (acc, i) =>
+              acc + element_at(col("embedding"), i).cast("double") *
+                element_at(rLit, (i - 1) * outDim + j + 1)).as("value"))))
+          .as("p"))
+      .select(col("vec_id"), col("p.out_dim").as("out_dim"), col("p.value").as("value"))
+      .orderBy(col("vec_id"), col("out_dim"))
+  }
+
+  val qRandomProjection = GraftQuery(
+    "q69_random_projection",
+    (s, dir) => randomProjection(Tables.embeddings(s, dir), inDim = 64, outDim = 8),
+    Some(s"""
+      WITH r AS (
+        SELECT i, j,
+          (CAST(${graft.text.Md5P61.duckBase("concat('graft_r:', i, ':', j)")} % 1001
+            AS DOUBLE) - 500) / 500.0 AS rv
+        FROM generate_series(0, 63) g1(i) CROSS JOIN generate_series(0, 7) g2(j)),
+      rl AS (SELECT j, list(rv ORDER BY i) AS rlist FROM r GROUP BY j)
+      SELECT e.vec_id AS vec_id, rl.j AS out_dim,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1, 64),
+            __pi -> CAST(e.embedding[__pi] AS DOUBLE) * rl.rlist[__pi])),
+          (__pa, __pb) -> __pa + __pb) AS value
+      FROM embeddings e CROSS JOIN rl
+      WHERE len(e.embedding) = 64
+      ORDER BY vec_id, out_dim"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qBruteForce, qBatchTopK, qAnnLsh, qEmbeddingDedup, qEmbeddingCanonical)
+    Seq(qBruteForce, qBatchTopK, qAnnLsh, qEmbeddingDedup, qEmbeddingCanonical,
+      qRandomProjection)
 }
