@@ -29,6 +29,14 @@ class PlanAuditSpec extends SparkSpec {
       s"non-snake-case names: ${names.filterNot(_.matches("[a-z0-9_]+")).mkString(", ")}")
   }
 
+  test("every registry query carries a DuckDB oracle (no rows-only checks)") {
+    // CORRECTNESS has been 0-rows-only since round 5 — every operator is
+    // hash-checked against an independent engine. Pin it so a future
+    // operator can't quietly ship with the weaker rows>0 check.
+    val missing = graft.SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"oracle-less registry queries: ${missing.mkString(", ")}")
+  }
+
   test("no registry query plans a CartesianProduct") {
     val dir = "/root/testdata/sf0.001"
     graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
