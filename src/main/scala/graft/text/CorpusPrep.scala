@@ -214,11 +214,12 @@ object CorpusPrep {
     * hierarchical doc-offset prefix sum, then reassembles windows.
     *
     * At 100 TB: doc offsets are the q66 decomposition keyed by rank
-    * groups; the reassembly explodes O(tokens) (gpos, token) rows and
-    * shuffles them by window_id — UNIFORM by construction (window_id is
-    * a contiguous range cut of the global stream) — with per-window
-    * state bounded by windowTokens. No stage holds more than a window
-    * of text per task; nothing global ever sits in one task.
+    * groups; the reassembly shuffles one FRAGMENT row per (doc, window)
+    * overlap — O(docs + tokens/windowTokens) rows, not one row per token
+    * (same bytes, ~windowTokens× less row overhead) — keyed by
+    * window_id, which is UNIFORM by construction (a contiguous range cut
+    * of the global stream). Per-window state stays bounded by
+    * windowTokens; nothing global ever sits in one task.
     */
   def trainingWindows(docs: DataFrame, seed: Long, windowTokens: Int,
                       groupSize: Int = 64): DataFrame = {
@@ -227,6 +228,7 @@ object CorpusPrep {
     require(groupSize >= 1,
       s"trainingWindows groupSize must be >= 1, got $groupSize")
     import org.apache.spark.sql.expressions.Window
+    val W = windowTokens
     val ordered = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .join(shuffleOrder(docs, seed), Seq("doc_id"))
       .withColumn("n_tokens", size(col("toks")))
@@ -239,16 +241,28 @@ object CorpusPrep {
       .select(col("grp"), col("grp_offset"))
     val wIn = Window.partitionBy(col("grp")).orderBy(col("shuffle_pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    ordered.join(broadcast(offsets), Seq("grp"))
+    // each doc overlaps windows doc_offset div W .. (doc_offset+n-1) div W;
+    // emit one token-slice fragment per overlap, keyed by its global start
+    val frags = ordered.join(broadcast(offsets), Seq("grp"))
       .withColumn("doc_offset",
         col("grp_offset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-      .select(col("doc_offset"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .select((col("doc_offset") + col("pos")).as("gpos"), col("tok"))
-      .groupBy(floor(col("gpos") / windowTokens).cast("long").as("window_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("gpos"), col("tok")))),
-          s => s.getField("tok"))).as("text"))
+      .select(col("toks"), col("doc_offset"), col("n_tokens"),
+        explode(sequence(expr(s"doc_offset div $W"),
+          expr(s"(doc_offset + n_tokens - 1) div $W"))).as("window_id"))
+      .withColumn("frag_start",
+        greatest(col("window_id") * W, col("doc_offset")))
+      .withColumn("frag_len",
+        (least((col("window_id") + 1) * W, col("doc_offset") + col("n_tokens"))
+          - col("frag_start")))
+      .select(col("window_id"), col("frag_start"), col("frag_len"),
+        slice(col("toks"),
+          (col("frag_start") - col("doc_offset") + 1).cast("int"),
+          col("frag_len").cast("int")).as("frag_toks"))
+    frags.groupBy(col("window_id"))
+      .agg(sum(col("frag_len")).as("n_tokens"),
+        concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col("frag_start"), col("frag_toks")))),
+          s => s.getField("frag_toks")))).as("text"))
       .orderBy(col("window_id"))
   }
 
