@@ -31,6 +31,7 @@ object SparkEntry {
       wrm.WrmQueries.queries ++
       multimodal.Multimodal.queries ++
       streaming.EventsStream.queries ++
+      streaming.DocsStream.queries ++
       plans.AsOfQueries.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

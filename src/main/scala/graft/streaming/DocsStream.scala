@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.GraftQuery
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming corpus ingest dedup: as documents stream in, keep exactly
+  * one per content hash — the live dual of the batch exact-dedup family
+  * (q20) and the LLM-ingest gate ("never re-add a document already in
+  * the corpus"). Complements [[WrmStreamPipeline.dedupConsecutive]],
+  * whose reference-faithful scope is per-source keep-LAST-1; this is
+  * corpus-global keep-one.
+  *
+  * Winner semantics are min-doc_id-wins, NOT literal arrival order:
+  * micro-batch composition is nondeterministic, so "first seen" would be
+  * too — min over ids is arrival-order-independent, which is what makes
+  * a bit-exact batch oracle possible for a streaming operator.
+  *
+  * At 100 TB of stream history: state is ONE long per distinct content
+  * hash (the hash itself is the grouping key) — the same bounded-state
+  * argument as latest-per-key, with RocksDB state stores at production
+  * volume. The document text never enters state; it is hashed in the
+  * narrow pre-projection and dropped.
+  */
+object DocsStream {
+
+  /** min-doc_id per content hash via mapGroupsWithState (update mode). */
+  def dedupFirstSeen(docs: Dataset[(String, Long)]): Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (hash: String, batch: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val keep = (state.getOption.iterator ++ batch.map(_._2)).min
+          state.update(keep)
+          (hash, keep)
+      }
+  }
+
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
+
+  private def stagedDocStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dir, schema) = staged.computeIfAbsent(sfDir, { _ =>
+      val src = java.nio.file.Paths.get(s"$sfDir/documents.parquet")
+      val d = java.nio.file.Paths.get(EventsStream.shmTempDir(
+        "docs_stream", java.nio.file.Files.size(src)))
+      java.nio.file.Files.copy(src, d.resolve("documents.parquet"))
+      (d.toString, spark.read.parquet(d.toString).schema)
+    })
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Run the dedup as a real streaming query (update mode, AvailableNow)
+    * and reduce the update log to final state: per hash the last update
+    * holds the overall min, and min over the log equals it.
+    */
+  def runDocDedupStream(spark: SparkSession, sfDir: String): DataFrame =
+    EventsStream.withStreamPartitions(spark) {
+      import spark.implicits._
+      val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = dedupFirstSeen(
+        stagedDocStream(spark, sfDir)
+          .select(md5(col("text")).as("h"), col("doc_id")).as[(String, Long)])
+        .toDF("content_hash", "keep_doc_id")
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .option("checkpointLocation", EventsStream.shmTempDir(name))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .groupBy(col("content_hash"))
+        .agg(min(col("keep_doc_id")).as("keep_doc_id"))
+        .orderBy(col("content_hash"))
+    }
+
+  val qDocDedup = GraftQuery(
+    "stream_doc_dedup",
+    (s, dir) => runDocDedupStream(s, dir),
+    Some("""
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id
+      FROM documents
+      GROUP BY md5(text)
+      ORDER BY content_hash"""))
+
+  val queries: Seq[GraftQuery] = Seq(qDocDedup)
+}

@@ -112,7 +112,7 @@ object EventsStream {
           s"SPARK_GRAFT_STREAM_PARTS must be an integer, got: '$v'"))
     }
 
-  private def withStreamPartitions[T](spark: SparkSession, n: Int = streamPartitions)(f: => T): T = {
+  private[streaming] def withStreamPartitions[T](spark: SparkSession, n: Int = streamPartitions)(f: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -159,7 +159,7 @@ object EventsStream {
     * so a large SF can never fill RAM-backed /dev/shm — it degrades to
     * java.io.tmpdir instead.
     */
-  private def shmTempDir(prefix: String, needBytes: Long = 64L << 20): String = {
+  private[streaming] def shmTempDir(prefix: String, needBytes: Long = 64L << 20): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val usable = scala.util.Try(
       java.nio.file.Files.getFileStore(shm).getUsableSpace).getOrElse(0L)

@@ -87,6 +87,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.size >= expected.size * 9 / 10)
   }
 
+  test("streaming corpus dedup keeps min doc_id per content across batches") {
+    // duplicates split across TWO files so the winner must come from
+    // cross-micro-batch state, not within-batch grouping
+    val dir = Files.createTempDirectory("docs_dedup")
+    Seq((10L, "alpha beta"), (11L, "gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir.resolve("a").toString)
+    Seq((3L, "alpha beta"), (12L, "delta"), (13L, "gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir.resolve("b").toString)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/a").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+      .select(md5(col("text")).as("h"), col("doc_id")).as[(String, Long)]
+    val q = DocsStream.dedupFirstSeen(streamed)
+      .toDF("content_hash", "keep_doc_id")
+      .writeStream.outputMode("update").format("memory").queryName("docdedup")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val winners = spark.table("docdedup")
+      .groupBy("content_hash").agg(min("keep_doc_id").as("keep"))
+      .select("keep").as[Long].collect().toSet
+    // "alpha beta" collapses to doc 3, "gamma" to doc 11; singletons kept
+    assert(winners == Set(3L, 11L, 12L))
+  }
+
   test("WRM streaming ingest: files flow to dt= partitions; late files append (T1-T4)") {
     val root = Files.createTempDirectory("wrmstream")
     val rawRoot = root.resolve("raw")
