@@ -81,10 +81,12 @@ object CorpusOps {
       ORDER BY doc_id"""))
 
   /** TF-IDF weights: per-doc term frequency × ln(N/df) over the full
-    * corpus. df/N come from broadcast aggregates; output restricted to a
-    * doc subset to bound the dump (the full table is the same plan).
-    * Rounded to 8 — ln() can differ in the last ULP between libm and the
-    * JVM.
+    * corpus. N is a broadcast 1-row aggregate; the df table joins WITHOUT
+    * a hint — its cardinality is the corpus vocabulary (unbounded on raw
+    * web text), so AQE decides broadcast vs sort-merge at runtime. Output
+    * restricted to a doc subset to bound the dump (the full table is the
+    * same plan). Rounded to 8 — ln() can differ in the last ULP between
+    * libm and the JVM.
     */
   val qTfIdf = GraftQuery(
     "q48_tfidf",
@@ -97,7 +99,7 @@ object CorpusOps {
       val dfTable = tokens.select(col("doc_id"), col("token")).distinct()
         .groupBy(col("token")).agg(count(lit(1)).as("df"))
       val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-      tf.join(broadcast(dfTable), "token")
+      tf.join(dfTable, "token")
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 8)

@@ -15,13 +15,66 @@ import org.apache.spark.sql.DataFrame
   *    chunk text, so downstream repartitioning pays O(output), not
   *    O(docs × window);
   *  - rarity scoring shuffles (token, count) scalars for the corpus
-  *    frequency table and broadcasts it for a map-side lookup join —
-  *    Zipf-bounded vocabularies (1e6-1e8 tokens) broadcast in tens of MB;
-  *    past the broadcast threshold Spark's stats fall back to a sort-merge
-  *    join on the token key, which is still O(tokens) and skew-tolerant
-  *    (no key is a constant fraction of the corpus after stoplisting).
+  *    frequency table and joins it back on the token key WITHOUT a
+  *    broadcast hint: on raw web text the whitespace vocabulary (typos,
+  *    numbers, URLs) is 1e9-1e10 tokens and a forced broadcast would OOM
+  *    the driver. AQE upgrades the sort-merge join to broadcast at
+  *    runtime exactly when the frequency table is actually small — the
+  *    safe direction in both regimes. The fallback sort-merge join is
+  *    still O(tokens) and skew-tolerant (no key is a constant fraction
+  *    of the corpus after stoplisting).
   */
 object CorpusPrep {
+
+  /** Exclusive prefix sum over keyed long counts: rows (key, n) with
+    * DISTINCT non-negative long keys in, (key, offset) out, where offset
+    * = Σ n over all rows with a smaller key.
+    *
+    * A flat `sum() over (order by key)` would drag every row into ONE
+    * task, so the scan is a fixed bit-sliced ladder instead: level i
+    * groups keys by the prefix `key >> min(63, i·bits)` — level 0 is the
+    * input, the top level (bits·levels ≥ 63) collapses to a single key 0.
+    * Upward pass: sibling totals per prefix (each a tiny O(distinct
+    * prefixes) shuffle). Downward pass: offset(key) = offset(parent) +
+    * Σ of smaller siblings — a window PARTITIONED by the parent prefix,
+    * so every window partition holds ≤ 2^bits rows and the only
+    * unpartitioned window sits above the top aggregate (≤ 2^bits rows).
+    * The bound is corpus-INDEPENDENT: depth is fixed by the key domain
+    * (`maxKeyBits`, 63 unless the caller can prove a tighter bound — e.g.
+    * a bucket id < 2^16 needs one level), not by the data. Offset tables
+    * join back by plain equi-join (no broadcast hint) — AQE broadcasts
+    * them when they are actually small.
+    */
+  def exclusivePrefix(agg: DataFrame, keyCol: String, nCol: String,
+                      offsetCol: String = "offset", bits: Int = 16,
+                      maxKeyBits: Int = 63): DataFrame = {
+    require(bits >= 1 && bits <= 32,
+      s"exclusivePrefix bits must be in [1, 32], got $bits")
+    require(maxKeyBits >= 1 && maxKeyBits <= 63,
+      s"exclusivePrefix maxKeyBits must be in [1, 63], got $maxKeyBits")
+    import org.apache.spark.sql.expressions.Window
+    val levels = (maxKeyBits + bits - 1) / bits
+    val base = agg.select(col(keyCol).cast("long").as("k"),
+      col(nCol).cast("long").as("n"))
+    val aggs = Seq.iterate(base, levels + 1) { lvl =>
+      // recompute the shift from the level's own key domain: shifting the
+      // PARENT key by `bits` each step composes to min(63, i*bits) overall
+      lvl.groupBy(shiftright(col("k"), bits).as("k")).agg(sum(col("n")).as("n"))
+    }
+    val wTop = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)
+    var off = aggs(levels)
+      .withColumn("off", coalesce(sum(col("n")).over(wTop), lit(0L)))
+      .select(col("k"), col("off"))
+    for (i <- (levels - 1) to 0 by -1) {
+      val wSib = Window.partitionBy(col("p")).orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      off = aggs(i).withColumn("p", shiftright(col("k"), bits))
+        .join(off.select(col("k").as("p"), col("off").as("poff")), Seq("p"))
+        .withColumn("off", col("poff") + coalesce(sum(col("n")).over(wSib), lit(0L)))
+        .select(col("k"), col("off"))
+    }
+    off.select(col("k").as(keyCol), col("off").as(offsetCol))
+  }
 
   /** Slide a `window`-token frame by `stride` over each document: chunk i
     * covers tokens [i·stride, i·stride + window). Every token is covered
@@ -59,7 +112,9 @@ object CorpusPrep {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
     val cf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
-    toks.join(broadcast(cf), Seq("tok"))
+    // No broadcast hint: cf's cardinality is the corpus vocabulary —
+    // unbounded on raw web text. AQE picks broadcast when cf is small.
+    toks.join(cf, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("total_cf"))
       .withColumn("mean_cf", col("total_cf") / col("n_tokens"))
@@ -75,10 +130,11 @@ object CorpusPrep {
     * The global running total is a HIERARCHICAL prefix sum — the naive
     * `sum() over (order by ...)` with no partition clause would drag the
     * whole corpus into ONE task. Instead: (1) per coarse doc-group token
-    * totals (one O(groups) shuffle); (2) cumulative offsets over that
-    * tiny aggregate (a single-partition window over corpus/groupSize rows
-    * — bounded and deliberate); (3) broadcast the offsets back and run
-    * the within-group running sum, whose window partitions are bounded by
+    * totals (one O(groups) shuffle); (2) group offsets via the
+    * [[exclusivePrefix]] bit-sliced ladder, whose every stage is bounded
+    * by 2^bits rows per task REGARDLESS of corpus size; (3) join the
+    * offsets back (AQE broadcasts them when small) and run the
+    * within-group running sum, whose window partitions are bounded by
     * groupSize docs. Deterministic everywhere: integer sums over a total
     * (doc_id, chunk_id) order.
     */
@@ -89,16 +145,13 @@ object CorpusPrep {
     import org.apache.spark.sql.expressions.Window
     val g = chunks.select(col("doc_id"), col("chunk_id"), col("chunk_tokens"))
       .withColumn("grp", floor(col("doc_id") / groupSize).cast("long"))
-    val wGrp = Window.orderBy(col("grp"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = g.groupBy(col("grp"))
-      .agg(sum(col("chunk_tokens")).as("grp_tokens"))
-      .withColumn("grp_offset", coalesce(sum(col("grp_tokens")).over(wGrp), lit(0L)))
-      .select(col("grp"), col("grp_offset"))
+    val offsets = exclusivePrefix(
+      g.groupBy(col("grp")).agg(sum(col("chunk_tokens")).as("grp_tokens")),
+      "grp", "grp_tokens", offsetCol = "grp_offset")
     val wIn = Window.partitionBy(col("grp"))
       .orderBy(col("doc_id"), col("chunk_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val packed = g.join(broadcast(offsets), Seq("grp"))
+    val packed = g.join(offsets, Seq("grp"))
       .withColumn("start_offset",
         col("grp_offset") + coalesce(sum(col("chunk_tokens")).over(wIn), lit(0L)))
       .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
@@ -150,10 +203,10 @@ object CorpusPrep {
     * `row_number() over (order by h)` is one task holding the corpus. The
     * hierarchical form buckets by a PREFIX of the sort key (bucket =
     * floor(first-16-bits · buckets / 65536) is monotone in h, so
-    * (bucket, h) order IS h order): per-bucket counts → tiny cumulative
-    * offset window → broadcast → bounded within-bucket row_number.
-    * Hash bucketing also spreads the rank work uniformly — no skew by
-    * construction.
+    * (bucket, h) order IS h order): per-bucket counts → bucket offsets
+    * via the [[exclusivePrefix]] ladder → bounded within-bucket
+    * row_number. Hash bucketing also spreads the rank work uniformly —
+    * no skew by construction.
     */
   def shuffleOrder(docs: DataFrame, seed: Long, buckets: Int = 256): DataFrame = {
     require(buckets >= 1 && buckets <= 65536,
@@ -164,13 +217,13 @@ object CorpusPrep {
       .withColumn("bucket",
         floor(conv(substring(col("h"), 1, 4), 16, 10).cast("long")
           * buckets / 65536).cast("int"))
-    val wOff = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = h.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-      .withColumn("bucket_offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
-      .select(col("bucket"), col("bucket_offset"))
+    // bucket < 2^16 by the require above — the ladder needs one level
+    val offsets = exclusivePrefix(
+      h.groupBy(col("bucket")).agg(count(lit(1)).as("n")),
+      "bucket", "n", offsetCol = "bucket_offset", maxKeyBits = 16)
+      .withColumn("bucket", col("bucket").cast("int"))
     val wRank = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
-    h.join(broadcast(offsets), Seq("bucket"))
+    h.join(offsets, Seq("bucket"))
       .select(col("doc_id"),
         (col("bucket_offset") + row_number().over(wRank) - 1).as("shuffle_pos"))
       .orderBy(col("doc_id"))
@@ -214,12 +267,15 @@ object CorpusPrep {
     * hierarchical doc-offset prefix sum, then reassembles windows.
     *
     * At 100 TB: doc offsets are the q66 decomposition keyed by rank
-    * groups; the reassembly shuffles one FRAGMENT row per (doc, window)
-    * overlap — O(docs + tokens/windowTokens) rows, not one row per token
-    * (same bytes, ~windowTokens× less row overhead) — keyed by
-    * window_id, which is UNIFORM by construction (a contiguous range cut
-    * of the global stream). Per-window state stays bounded by
-    * windowTokens; nothing global ever sits in one task.
+    * groups, computed entirely on SLIM scalar rows (doc_id, counts) — the
+    * token arrays never ride through the offset shuffles and join the
+    * offsets exactly once, by doc_id. The reassembly then shuffles one
+    * FRAGMENT row per (doc, window) overlap — O(docs +
+    * tokens/windowTokens) rows, not one row per token (same bytes,
+    * ~windowTokens× less row overhead) — keyed by window_id, which is
+    * UNIFORM by construction (a contiguous range cut of the global
+    * stream). Per-window state stays bounded by windowTokens; nothing
+    * global ever sits in one task.
     */
   def trainingWindows(docs: DataFrame, seed: Long, windowTokens: Int,
                       groupSize: Int = 64): DataFrame = {
@@ -229,23 +285,24 @@ object CorpusPrep {
       s"trainingWindows groupSize must be >= 1, got $groupSize")
     import org.apache.spark.sql.expressions.Window
     val W = windowTokens
-    val ordered = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val slim = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
       .join(shuffleOrder(docs, seed), Seq("doc_id"))
-      .withColumn("n_tokens", size(col("toks")))
       .withColumn("grp", floor(col("shuffle_pos") / groupSize).cast("long"))
-    val wOff = Window.orderBy(col("grp"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ordered.groupBy(col("grp"))
-      .agg(sum(col("n_tokens")).as("grp_tokens"))
-      .withColumn("grp_offset", coalesce(sum(col("grp_tokens")).over(wOff), lit(0L)))
-      .select(col("grp"), col("grp_offset"))
+    val offsets = exclusivePrefix(
+      slim.groupBy(col("grp")).agg(sum(col("n_tokens")).as("grp_tokens")),
+      "grp", "grp_tokens", offsetCol = "grp_offset")
     val wIn = Window.partitionBy(col("grp")).orderBy(col("shuffle_pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // each doc overlaps windows doc_offset div W .. (doc_offset+n-1) div W;
-    // emit one token-slice fragment per overlap, keyed by its global start
-    val frags = ordered.join(broadcast(offsets), Seq("grp"))
+    val docOff = slim.join(offsets, Seq("grp"))
       .withColumn("doc_offset",
         col("grp_offset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("doc_offset"), col("n_tokens"))
+    // each doc overlaps windows doc_offset div W .. (doc_offset+n-1) div W;
+    // emit one token-slice fragment per overlap, keyed by its global start
+    val frags = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .join(docOff, Seq("doc_id"))
       .select(col("toks"), col("doc_offset"), col("n_tokens"),
         explode(sequence(expr(s"doc_offset div $W"),
           expr(s"(doc_offset + n_tokens - 1) div $W"))).as("window_id"))

@@ -69,6 +69,36 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("no broadcast hint over an unbounded-cardinality grouped aggregate") {
+    // A broadcast() hint FORCES BroadcastHashJoin regardless of
+    // autoBroadcastJoinThreshold — over a grouped aggregate whose key
+    // cardinality grows with the data (a token vocabulary, a per-group
+    // frequency table) that OOMs the driver at corpus scale (the r7 q65
+    // defect). Global aggregates (empty grouping → ≤1 row) and
+    // LocalRelations are fine; grouped aggregates under a hint need an
+    // explicit entry here with a boundedness argument.
+    val bounded = Map(
+      // l_returnflag is a 3-value domain key — the aggregate is O(1)
+      "q37_approx_distinct" -> "grouped by l_returnflag (domain-bounded, 3 values)",
+      // the contamination benchmark is a fixed eval set; its gram table
+      // is bounded by the benchmark size, not the corpus
+      "q58_contamination" -> "eval-benchmark grams (fixed set, corpus-independent)")
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
+    graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
+      val analyzed = q.run(spark, dir).queryExecution.analyzed
+      val offenders = analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) &&
+            h.child.collectFirst {
+              case a: Aggregate if a.groupingExpressions.nonEmpty => a
+            }.nonEmpty => h
+      }
+      assert(offenders.isEmpty || bounded.contains(q.name),
+        s"${q.name} broadcast-hints a grouped aggregate (forced broadcast of " +
+          s"data-dependent cardinality — the q65 class):\n${offenders.headOption.getOrElse("")}")
+    }
+  }
+
   test("pair-dedup query CONSTRUCTION runs no Spark job (lazy bucket cap)") {
     // capBuckets once ran an eager count+cache during plan build — callers
     // paid a cluster job just to *define* a DataFrame. Pin the fix: build

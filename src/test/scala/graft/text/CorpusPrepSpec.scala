@@ -101,6 +101,24 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("exclusivePrefix: matches flat scan across ladder widths and key domains") {
+    // sparse keys spanning the full 63-bit domain exercise every ladder
+    // level, including the top collapse to key 0
+    val rows = Seq(0L -> 5L, 3L -> 2L, 70000L -> 7L, (1L << 40) -> 1L,
+      (1L << 62) -> 9L, (1L << 62) + 1 -> 4L)
+    val flat = rows.sortBy(_._1).scanLeft(0L)(_ + _._2).init
+    val expect = rows.sortBy(_._1).map(_._1).zip(flat).toMap
+    val df = rows.toDF("k", "n")
+    for (bits <- Seq(8, 16, 32)) {
+      val got = CorpusPrep.exclusivePrefix(df, "k", "n", bits = bits)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"bits=$bits")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPrep.exclusivePrefix(df, "k", "n", bits = 0)
+    }
+  }
+
   test("rarity score: integer corpus-frequency sums") {
     // cf: x=3, y=2, z=1
     val docs = Seq((1L, "x x y"), (2L, "x y z")).toDF("doc_id", "text")
