@@ -877,7 +877,97 @@ object TextDedup {
       FROM sids GROUP BY doc_id, span_id
       ORDER BY doc_id, span_start"""))
 
+  /** Cut the duplicated spans found by [[substringDupSpans]] OUT of the
+    * text — the second half of the Lee et al. ExactSubstr story (finding
+    * spans is a report; a curation pipeline needs the cleaned corpus).
+    * Returns every input document as (doc_id, clean_text,
+    * n_tokens_removed): clean_text is the whitespace-normalized join of
+    * the tokens outside every duplicated span (possibly empty), including
+    * docs with no spans (n_tokens_removed = 0).
+    *
+    * Distributed shape: spans come back KEYED BY doc_id from the span
+    * finder, so the cut is one per-doc aggregation of the span list
+    * (bounded by n_tokens/minTokens spans per doc), one equi-join onto
+    * the tokenized docs (slim span side; AQE broadcasts it when small),
+    * and a narrow index-filter over the token array — no new shuffle
+    * shape beyond q61's, and text crosses the wire at most once.
+    */
+  def removeDupSpans(spark: SparkSession, docs: DataFrame, minTokens: Int,
+                     minDocs: Int = 2): DataFrame = {
+    val spans = substringDupSpans(spark, docs, minTokens, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    // typed empty array so the no-span branch filters NOTHING (a bare
+    // null would make the exists() lambda null → every token dropped)
+    val noSpans = array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"), noSpans))
+      .withColumn("kept", filter(col("toks"), (_, i) =>
+        !exists(col("spans"), sp =>
+          i.cast("long") >= sp.getField("span_start") &&
+            i.cast("long") < sp.getField("span_end"))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_tokens_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q70: the cleaned corpus for q61's spans. The oracle independently
+    * recomputes the span table on gram strings (the q61 transliteration)
+    * and reassembles each document from the positions outside every span
+    * — an end-to-end check that the cut matches the report.
+    */
+  val qRemoveSpans = GraftQuery(
+    "q70_substring_removal",
+    (s, dir) => removeDupSpans(s, Tables.documents(s, dir), minTokens = 4),
+    Some("""
+      WITH toksall AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+      ), toks AS (
+        SELECT doc_id, t FROM toksall WHERE len(t) >= 4
+      ), grams AS (
+        SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 3),
+            i -> struct_pack(pos := i - 1,
+                             gram := array_to_string(t[i:i+3], ' ')))) AS pg
+          FROM toks) s
+      ), dup AS (
+        SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+      ), marked AS (
+        SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)
+      ), sids AS (
+        SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+                     THEN 0 ELSE 1 END AS new_span
+              FROM marked) x
+      ), spans AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+        FROM sids GROUP BY doc_id, span_id
+      ), pos AS (
+        SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+            i -> struct_pack(pos := i - 1, tok := t[i]))) AS u
+          FROM toksall) s
+      ), kept AS (
+        SELECT p.doc_id, p.pos, p.tok FROM pos p
+        WHERE NOT EXISTS (SELECT 1 FROM spans sp
+          WHERE sp.doc_id = p.doc_id AND p.pos >= sp.s AND p.pos < sp.e)
+      ), ka AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS nk
+        FROM kept GROUP BY doc_id
+      )
+      SELECT ta.doc_id AS doc_id, coalesce(ka.clean_text, '') AS clean_text,
+             CAST(len(ta.t) - coalesce(ka.nk, 0) AS BIGINT) AS n_tokens_removed
+      FROM toksall ta LEFT JOIN ka ON ta.doc_id = ka.doc_id
+      ORDER BY doc_id"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qMinhashCanonical,
-      qDedupClusters, qSimhashDedup, qSourceSketch, qSubstringDedup)
+      qDedupClusters, qSimhashDedup, qSourceSketch, qSubstringDedup,
+      qRemoveSpans)
 }

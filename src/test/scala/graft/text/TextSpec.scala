@@ -148,6 +148,24 @@ class TextSpec extends SparkSpec {
     assert(TextDedup.substringDupSpans(spark, docs2, minTokens = 6, minDocs = 3).isEmpty)
   }
 
+  test("substring removal: planted boilerplate excised from every doc, rest intact") {
+    // the same 10-token paragraph planted in three docs at different
+    // offsets; a fourth doc shares nothing and a fifth is ALL boilerplate
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val docA = ((1 to 7).map(i => s"aa$i") :+ shared) ++ (1 to 5).map(i => s"ab$i")
+    val docB = ((1 to 3).map(i => s"ba$i") :+ shared) ++ (1 to 9).map(i => s"bb$i")
+    val docC = (1 to 30).map(i => s"cc$i")
+    val docs = Seq((1L, docA.mkString(" ")), (2L, docB.mkString(" ")),
+      (3L, docC.mkString(" ")), (4L, shared)).toDF("doc_id", "text")
+    val out = TextDedup.removeDupSpans(spark, docs, minTokens = 5)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, ((1 to 7).map(i => s"aa$i") ++ (1 to 5).map(i => s"ab$i")).mkString(" "), 10L),
+      (2L, ((1 to 3).map(i => s"ba$i") ++ (1 to 9).map(i => s"bb$i")).mkString(" "), 10L),
+      (3L, docC.mkString(" "), 0L),        // untouched doc passes through
+      (4L, "", 10L)))                      // all-boilerplate doc → empty
+  }
+
   test("gram window hashes: position math, short-doc guard, rolling = direct") {
     val df = Seq(Seq("a", "b", "c", "d", "e"), Seq("a", "b")).toDF("toks")
       .select(TextExprs.gramWindowHashes(spark, col("toks"), 3).as("g"))
