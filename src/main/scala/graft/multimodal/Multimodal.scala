@@ -205,6 +205,78 @@ object Multimodal {
     }
   }
 
+  /** 9×8 sample grid for the difference hash: image payloads decode and
+    * sample the Rec.601 luminance at nearest-neighbor pixel (x·W/9,
+    * y·H/8) — the standard dHash downsample; non-image payloads (and
+    * undecodable images) sample unsigned bytes at evenly spaced offsets,
+    * the same degrade-don't-fail fallback as [[extractFeatures]]. Pure
+    * integer arithmetic either way, so the byte route is reproducible in
+    * ANSI SQL (the q71 oracle) and the pixel route is deterministic
+    * across JVMs.
+    */
+  def dhashGrid(mime: String, bytes: Array[Byte]): Array[Int] = {
+    val img =
+      if (mime != null && mime.startsWith("image/")) decodeImage(bytes) else None
+    img match {
+      case Some(im) =>
+        val w = im.getWidth
+        val h = im.getHeight
+        Array.tabulate(72) { k =>
+          val rgb = im.getRGB(((k % 9).toLong * w / 9).toInt,
+            ((k / 9).toLong * h / 8).toInt)
+          (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+            114 * (rgb & 0xFF)) / 1000
+        }
+      case None =>
+        val len = if (bytes == null) 0 else bytes.length
+        if (len == 0) new Array[Int](72)
+        else Array.tabulate(72)(k => bytes((k.toLong * len / 72).toInt) & 0xFF)
+    }
+  }
+
+  /** 64-bit dHash over a 9×8 grid: bit y·8+x set iff grid(y, x+1) >
+    * grid(y, x) — brightness gradients, robust to uniform exposure shifts
+    * and (for the image route) to re-encoding, the standard perceptual
+    * near-dup signature.
+    */
+  def dhash64(grid: Array[Int]): Long = {
+    require(grid.length == 72, s"dhash64 expects a 9x8 grid, got ${grid.length}")
+    var fp = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (grid(y * 9 + x + 1) > grid(y * 9 + x)) fp |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
+
+  /** Per-asset perceptual fingerprints: batched mapPartitions (codec init
+    * amortized per batch), payload bytes never leave the narrow map —
+    * only (asset_id, int64) rows continue downstream.
+    */
+  def dhashAssets(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(a => (a.asset_id, dhash64(dhashGrid(a.mime, a.media))))
+    }.toDF("id", "fp")
+  }
+
+  /** Perceptual image near-dup pairs: dHash fingerprints blocked through
+    * the same pigeonhole hamming-band machinery as SimHash text dedup
+    * ([[graft.text.TextDedup.bandedHammingPairs]]) — the multimodal analog
+    * of q52. Shuffle carries (band_id, int16, asset_id, int64) rows only;
+    * hot buckets capped.
+    */
+  def imageDupPairs(assets: Dataset[MediaAsset], maxHamming: Int = 3,
+                    maxBucketSize: Int = 1000): DataFrame =
+    graft.text.TextDedup.bandedHammingPairs(dhashAssets(assets), 64,
+      maxHamming, maxBucketSize, "imageDupPairs", "asset_a", "asset_b")
+
   /** Frame sampling (video analog): slice the payload into `n` evenly
     * spaced fixed-size windows — the shape of keyframe extraction.
     */
@@ -272,5 +344,78 @@ object Multimodal {
             FROM documents) t
       ORDER BY asset_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qMeta, qFeatures)
+  /** q71: perceptual near-dup pairs over documents-as-assets plus 20
+    * planted exact twins (guaranteed hamming-0 pairs). The assets carry an
+    * octet-stream mime, so the fingerprint takes the BYTE-grid route —
+    * pure integer arithmetic the oracle replicates bit-for-bit from
+    * hex(encode(text)), including the band split, the hot-bucket cap, the
+    * bucket self-join, and the exact hamming verify (the oracle works on
+    * the 64-entry bit vector, never materializing the signed 64-bit
+    * value). By pigeonhole (bands = maxHamming+1) the banded candidate
+    * set contains every hamming ≤ 3 pair, so the hash match doubles as a
+    * completeness proof. The REAL decode route (image mimes → luminance
+    * grid) is pinned by MultimodalSpec on planted near-identical PNGs.
+    */
+  val qImageDedup = GraftQuery(
+    "q71_image_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val planted = d.orderBy(col("doc_id")).limit(20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      imageDupPairs(
+        assetsFromDocuments(d.select(col("doc_id"), col("text"))
+          .unionByName(planted)))
+        .orderBy(col("asset_a"), col("asset_b"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id AS asset_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS asset_id, text FROM
+          (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
+      ), raw AS (
+        SELECT asset_id, octet_length(encode(text)) AS len, hex(encode(text)) AS h
+        FROM corpus
+      ), grid AS (
+        SELECT asset_id,
+          list_transform(generate_series(0, 71), k ->
+            CASE WHEN len = 0 THEN 0 ELSE
+              16 * (strpos('0123456789ABCDEF',
+                     substr(h, CAST(2 * ((k * len) // 72) + 1 AS BIGINT), 1)) - 1)
+                 + (strpos('0123456789ABCDEF',
+                     substr(h, CAST(2 * ((k * len) // 72) + 2 AS BIGINT), 1)) - 1)
+            END) AS g
+        FROM raw
+      ), bits AS (
+        SELECT asset_id,
+          list_transform(generate_series(0, 63), j ->
+            CASE WHEN g[(j // 8) * 9 + (j % 8) + 2] > g[(j // 8) * 9 + (j % 8) + 1]
+                 THEN 1 ELSE 0 END) AS bv
+        FROM grid
+      ), bands AS (
+        SELECT asset_id, bv, bb.b AS band_id,
+          list_sum(list_transform(generate_series(0, 15),
+            i -> bv[bb.b * 16 + i + 1] * (1 << i))) AS band_val
+        FROM bits CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb
+      ), capped AS (
+        SELECT * FROM bands
+        QUALIFY count(*) OVER (PARTITION BY band_id, band_val) <= 1000
+      ), pairs AS (
+        SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+               a.bv AS bv_a, b.bv AS bv_b
+        FROM capped a JOIN capped b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+        WHERE a.asset_id < b.asset_id
+      )
+      SELECT asset_a, asset_b,
+        CAST(list_sum(list_transform(generate_series(1, 64),
+          j -> CASE WHEN bv_a[j] <> bv_b[j] THEN 1 ELSE 0 END)) AS INTEGER)
+          AS hamming
+      FROM pairs
+      WHERE list_sum(list_transform(generate_series(1, 64),
+          j -> CASE WHEN bv_a[j] <> bv_b[j] THEN 1 ELSE 0 END)) <= 3
+      ORDER BY asset_a, asset_b"""))
+
+  val queries: Seq[GraftQuery] = Seq(qMeta, qFeatures, qImageDedup)
 }

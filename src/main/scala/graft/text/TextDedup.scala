@@ -656,14 +656,27 @@ object TextDedup {
     // push the last band past bit W-1 for many band counts, producing a
     // degenerate constant-zero band).
     val fpBits = TextExprs.simhashBits(hashMode)
+    val fp = docs
+      .select(col("doc_id").as("id"),
+        TextExprs.simhash64(spark, TextAnalysis.tokens(col("text")), hashMode).as("fp"))
+    bandedHammingPairs(fp, fpBits, maxHamming, maxBucketSize,
+      "simhashDupPairs", "doc_a", "doc_b")
+  }
+
+  /** The fingerprint-agnostic half of [[simhashDupPairs]]: pigeonhole
+    * band-blocking + bucket-join + exact hamming verify over ANY 64-bit-or-
+    * narrower fingerprint column (SimHash, image dHash, …). Input schema is
+    * (id, fp); output (outA, outB, hamming) with outA < outB. Shuffles only
+    * (band_id, int16, id, int64) rows; hot buckets capped like MinHash.
+    */
+  private[graft] def bandedHammingPairs(fp: DataFrame, fpBits: Int,
+      maxHamming: Int, maxBucketSize: Int, opName: String,
+      outA: String, outB: String): DataFrame = {
     require(maxHamming >= 0 && maxHamming < fpBits,
       s"maxHamming must be in [0, $fpBits), got $maxHamming")
     val bands = maxHamming + 1
     def mask(bits: Int): Long = if (bits >= 64) -1L else (1L << bits) - 1
-    val fp = docs
-      .select(col("doc_id"),
-        TextExprs.simhash64(spark, TextAnalysis.tokens(col("text")), hashMode).as("fp"))
-    val bandedAll = fp.select(col("doc_id"), col("fp"),
+    val bandedAll = fp.select(col("id"), col("fp"),
       explode(array((0 until bands).map { b =>
         val lo = b * fpBits / bands
         val hi = (b + 1) * fpBits / bands
@@ -671,18 +684,18 @@ object TextDedup {
           shiftright(col("fp"), lo)
             .bitwiseAND(lit(mask(hi - lo))).as("band_val"))
       }: _*)).as("band"))
-      .select(col("doc_id"), col("fp"),
+      .select(col("id"), col("fp"),
         col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
     val banded = capBuckets(bandedAll, Seq("band_id", "band_val"),
-      maxBucketSize, "simhashDupPairs")
+      maxBucketSize, opName)
     banded.as("a").join(banded.as("b"), Seq("band_id", "band_val"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as(outA), col("b.id").as(outB),
         col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col(outA), col(outB), col("hamming"))
   }
 
   /** SimHash dedup pairs over documents + planted exact twins (hamming 0).

@@ -131,6 +131,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dhash: hand-checked byte route; planted near-identical PNGs pair up") {
+    // byte route: strictly increasing 72-byte payload → every row-gradient
+    // comparison fires → all 64 bits set
+    val inc = Array.tabulate(72)(_.toByte)
+    assert(Multimodal.dhash64(
+      Multimodal.dhashGrid("application/octet-stream", inc)) == -1L)
+    // empty payload → zero grid → no bits
+    assert(Multimodal.dhash64(
+      Multimodal.dhashGrid("text/plain", Array.emptyByteArray)) == 0L)
+    intercept[IllegalArgumentException] { Multimodal.dhash64(new Array[Int](71)) }
+
+    def gradPng(f: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = f(x) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // a and b: the same left-to-right brightening structure with entirely
+    // different pixel values — perceptual twins, different bytes; c is the
+    // reversed gradient (all comparisons flip)
+    val a = gradPng(x => x * 8)
+    val b = gradPng(x => 16 + x * 6)
+    val c = gradPng(x => 248 - x * 8)
+    assert(!java.util.Arrays.equals(a, b))
+    assert(Multimodal.dhash64(Multimodal.dhashGrid("image/png", a)) == -1L)
+    assert(Multimodal.dhash64(Multimodal.dhashGrid("image/png", c)) == 0L)
+    // mime routing: the SAME bytes under a non-image mime hash the bytes,
+    // not the pixels
+    assert(Multimodal.dhash64(Multimodal.dhashGrid("text/plain", a)) != -1L)
+
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "image/png", a, 32, 32, 0L),
+      Multimodal.MediaAsset(2L, "image/png", b, 32, 32, 0L),
+      Multimodal.MediaAsset(3L, "image/png", c, 32, 32, 0L)).toDS()
+    val pairs = Multimodal.imageDupPairs(assets)
+      .orderBy("asset_a", "asset_b").as[(Long, Long, Int)].collect().toSeq
+    // the perceptual twins pair at hamming 0; the reversed gradient
+    // (hamming 64 from both) is excluded
+    assert(pairs == Seq((1L, 2L, 0)))
+  }
+
   test("frame sampling slices n evenly spaced windows") {
     val assets = Multimodal.assetsFromDocuments(
       Tables.documents(spark, "/root/testdata/sf0.001").limit(3))
