@@ -24,6 +24,7 @@ object SparkEntry {
       text.CorpusPrep.queries ++
       text.CorpusOps.queries ++
       text.CorpusSafety.queries ++
+      text.Bpe.queries ++
       relational.RangeJoin.queries ++
       vector.Similarity.queries ++
       vector.IvfIndex.queries ++

@@ -1,0 +1,63 @@
+package graft.text
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def show(s: String): String =
+    s.replace("", "<").replace("", ">")
+
+  test("merge order: frequency argmax, lexicographic tie-break, early stop") {
+    // word freqs: ab:4, abc:2, cd:2. Round 0: (a,b)=6 wins. Round 1:
+    // (ab,c)=2 ties (c,d)=2 — encoded '<ab><c>' < '<c><d>', so the merged
+    // symbol wins the tie. Round 2: (c,d). Round 3: every word is one
+    // symbol — early stop at 3 merges despite k=5.
+    val docs = Seq((0L, "ab ab ab"), (1L, "abc abc"), (2L, "ab cd cd"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, 5)
+    assert(merges.map(m => (show(m._1), show(m._2))) == Seq(
+      ("<a><b>", "<ab>"), ("<ab><c>", "<abc>"), ("<c><d>", "<cd>")))
+
+    val counts = Bpe.bpeTokenCounts(docs, merges)
+      .as[(Long, Long, Long)].collect().toSeq
+    // every word collapses to a single learned token
+    assert(counts == Seq((0L, 3L, 3L), (1L, 2L, 2L), (2L, 3L, 3L)))
+
+    // a PREFIX of the merge table segments coarser: only (a,b) applied
+    // leaves abc as [ab, c] and cd as [c, d]
+    val partial = Bpe.bpeTokenCounts(docs, merges.take(1))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(partial == Seq((0L, 3L, 3L), (1L, 2L, 4L), (2L, 3L, 5L)))
+  }
+
+  test("greedy leftmost, non-overlapping: merged symbols re-merge upward") {
+    // 'aaa': round 0 learns (a,a) -> [aa, a] (leftmost pair merges, the
+    // merged symbol does NOT cascade within the same round); round 1
+    // learns (aa, a) -> [aaa]
+    val docs = Seq((0L, "aaa aaa")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, 5)
+    assert(merges.map(m => show(m._1)) == Seq("<a><a>", "<aa><a>"))
+    assert(Bpe.bpeTokenCounts(docs, merges.take(1))
+      .as[(Long, Long, Long)].collect().toSeq == Seq((0L, 2L, 4L)))
+    assert(Bpe.bpeTokenCounts(docs, merges)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((0L, 2L, 2L)))
+    intercept[IllegalArgumentException] { Bpe.learnMerges(docs, 0) }
+  }
+
+  test("capped local learner is equivalent to the distributed learner") {
+    // a corpus with ties, multi-level merges, and singleton words; an
+    // uncapped vocab makes the two paths semantically identical — the
+    // differential pin for using the capped path in the registry query
+    val docs = Seq(
+      (0L, "ab ab ab abc abc"), (1L, "cd cd xyz aaa"),
+      (2L, "abcd w aaa aaa")).toDF("doc_id", "text")
+    val dist = Bpe.learnMerges(docs, 6)
+    val local = Bpe.learnMergesCapped(docs, 6)
+    assert(local == dist)
+    // the cap keeps only the top words — with cap=1 just the most
+    // frequent word trains the vocabulary
+    val capped = Bpe.learnMergesCapped(docs, 2, vocabCap = 1)
+    assert(capped.map(m => show(m._1)) == Seq("<a><a>", "<aa><a>"))
+  }
+}
