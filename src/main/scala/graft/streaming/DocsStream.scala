@@ -37,6 +37,36 @@ object DocsStream {
       }
   }
 
+  /** Bounded-retention variant: [[dedupFirstSeen]]'s NoTimeout is the
+    * right call for corpus-GLOBAL semantics ("never re-add, ever"), but
+    * rolling-window deployments (re-crawl pipelines, freshness-bounded
+    * corpora) want state that expires: a content hash idle for `ttlMs` of
+    * processing time is evicted, and a later duplicate re-admits the
+    * document as a fresh entry. flatMapGroupsWithState so the timeout
+    * sweep emits nothing (an eviction is not an update); timeouts fire on
+    * the next batch after expiry, per the engine's processing-time
+    * contract. State stays one long per LIVE hash — the TTL turns the
+    * unbounded distinct-hash bound into a retention-window bound.
+    */
+  def dedupFirstSeenTtl(docs: Dataset[(String, Long)],
+                        ttlMs: Long): Dataset[(String, Long)] = {
+    require(ttlMs > 0, s"dedupFirstSeenTtl ttlMs must be positive, got $ttlMs")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.ProcessingTimeTimeout()) {
+        (hash: String, batch: Iterator[(String, Long)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val keep = (state.getOption.iterator ++ batch.map(_._2)).min
+            state.update(keep)
+            state.setTimeoutDuration(ttlMs)
+            Iterator.single((hash, keep))
+          }
+      }
+  }
+
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
 

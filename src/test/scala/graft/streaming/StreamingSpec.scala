@@ -112,6 +112,53 @@ class StreamingSpec extends SparkSpec {
     assert(winners == Set(3L, 11L, 12L))
   }
 
+  test("TTL dedup: expired content hash re-admits the document") {
+    // batch 1 admits textA; after the TTL elapses, batch 2 (a different
+    // key, so the timeout sweep runs) evicts it; batch 3 re-admits textA
+    // under a HIGHER doc_id — impossible under NoTimeout min-wins, so the
+    // final update proves the eviction happened. Polling, not
+    // processAllAvailable: with processing-time timeouts the engine runs
+    // sweep batches continuously, so "all available processed" never
+    // settles (processAllAvailable hangs by design).
+    val dir = Files.createTempDirectory("docs_ttl")
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(dir.resolve(name).toString)
+    writeBatch("a", Seq((1L, "textA")))
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/a").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+      .select(md5(col("text")).as("h"), col("doc_id")).as[(String, Long)]
+    val q = DocsStream.dedupFirstSeenTtl(streamed, ttlMs = 1000L)
+      .toDF("content_hash", "keep_doc_id")
+      .writeStream.outputMode("update").format("memory").queryName("ttldedup")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    def updates(): Seq[(String, Long)] =
+      spark.table("ttldedup").select("content_hash", "keep_doc_id")
+        .as[(String, Long)].collect().toSeq
+    def await(desc: String)(pred: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!pred) {
+        assert(System.currentTimeMillis() <= deadline, s"timed out: $desc")
+        Thread.sleep(100)
+      }
+    }
+    val hA = spark.sql("SELECT md5('textA')").collect()(0).getString(0)
+    await("admission")(updates().exists(u => u._1 == hA && u._2 == 1L))
+    Thread.sleep(2500) // let textA's state pass its TTL
+    writeBatch("b", Seq((2L, "textB"))) // sweep batch: times textA out
+    await("sweep batch")(updates().exists(_._2 == 2L))
+    writeBatch("c", Seq((9L, "textA"))) // re-arrival after eviction
+    await("re-admission")(updates().exists(u => u._1 == hA && u._2 == 9L))
+    q.stop()
+    // admitted as doc 1, then RE-admitted as doc 9 (NoTimeout would have
+    // kept emitting 1); textB unaffected
+    assert(updates().filter(_._1 == hA).map(_._2) == Seq(1L, 9L))
+    assert(updates().count(_._2 == 2L) == 1)
+  }
+
   test("WRM streaming ingest: files flow to dt= partitions; late files append (T1-T4)") {
     val root = Files.createTempDirectory("wrmstream")
     val rawRoot = root.resolve("raw")
