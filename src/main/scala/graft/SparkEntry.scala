@@ -20,6 +20,7 @@ object SparkEntry {
       relational.SetOpQueries.all ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
+      text.LineDedup.queries ++
       text.Repetition.queries ++
       text.CorpusPrep.queries ++
       text.CorpusOps.queries ++
