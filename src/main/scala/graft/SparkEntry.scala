@@ -21,6 +21,7 @@ object SparkEntry {
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       text.LineDedup.queries ++
+      text.LmScore.queries ++
       text.Repetition.queries ++
       text.CorpusPrep.queries ++
       text.CorpusOps.queries ++
