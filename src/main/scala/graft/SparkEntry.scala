@@ -22,6 +22,7 @@ object SparkEntry {
       text.TextDedup.queries ++
       text.LineDedup.queries ++
       text.LmScore.queries ++
+      text.InvertedIndex.queries ++
       text.Repetition.queries ++
       text.CorpusPrep.queries ++
       text.CorpusOps.queries ++
