@@ -31,6 +31,7 @@ object SparkEntry {
       relational.RangeJoin.queries ++
       vector.Similarity.queries ++
       vector.IvfIndex.queries ++
+      vector.Outliers.queries ++
       sources.CsvFolderSource.queries ++
       wrm.WrmQueries.queries ++
       multimodal.Multimodal.queries ++
