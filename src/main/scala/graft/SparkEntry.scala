@@ -18,6 +18,7 @@ object SparkEntry {
       relational.ExtendedQueries.all ++
       relational.SessionQueries.all ++
       relational.SetOpQueries.all ++
+      relational.SnapshotDelta.queries ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       text.LineDedup.queries ++
