@@ -19,6 +19,7 @@ object SparkEntry {
       relational.SessionQueries.all ++
       relational.SetOpQueries.all ++
       relational.SnapshotDelta.queries ++
+      relational.BloomJoin.queries ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       text.LineDedup.queries ++
