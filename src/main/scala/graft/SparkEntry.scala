@@ -25,6 +25,7 @@ object SparkEntry {
       text.LineDedup.queries ++
       text.LmScore.queries ++
       text.InvertedIndex.queries ++
+      text.QuantileNorm.queries ++
       text.Repetition.queries ++
       text.CorpusPrep.queries ++
       text.CorpusOps.queries ++
