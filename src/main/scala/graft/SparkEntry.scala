@@ -35,6 +35,7 @@ object SparkEntry {
       vector.Similarity.queries ++
       vector.IvfIndex.queries ++
       vector.Outliers.queries ++
+      vector.SemDedup.queries ++
       sources.CsvFolderSource.queries ++
       wrm.WrmQueries.queries ++
       multimodal.Multimodal.queries ++

@@ -1,0 +1,151 @@
+package graft.vector
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication over embeddings (SemDeDup, Abbas et al. 2023):
+  * cluster the corpus, then within each cluster drop every vector that has
+  * a higher-priority near-semantic twin (cosine ≥ τ). Priority follows the
+  * paper: vectors FARTHER from their cluster centroid win (low centroid
+  * similarity = more diverse representative), ties by id.
+  *
+  * Determinism/oracle design — every stage is exact:
+  *  - cluster seeds are the `nClusters` vectors with the smallest md5-p61
+  *    hash of their id (the [[graft.text.Md5P61]] family both engines
+  *    express) — a deterministic, corpus-spread seed set;
+  *  - assignment = argmax cosine to the seed set (sequential double fold,
+  *    ties to the smaller seed id);
+  *  - the centroid is the mean of the cluster's ×1e6-QUANTIZED members —
+  *    long sums, exact at any partitioning (the q76 idiom);
+  *  - the drop rule is a one-pass dominance test (a higher-priority
+  *    in-cluster vector within τ exists) — no iteration, no RNG.
+  *
+  * At 100 TB: the seed matrix is nClusters rows (broadcast); assignment is
+  * a narrow map + a k-rows-per-vector window (bounded by construction);
+  * the centroid update shuffles (cell, dim) scalars; the dominance join is
+  * cell-partitioned with O(cluster²) comparisons — bounded by sizing
+  * nClusters ≈ corpus/target_cluster_size exactly as the paper does (the
+  * clustering exists to bound this stage; same knob as IVF's nlist).
+  */
+object SemDedup {
+
+  private val Q = 1000000.0
+
+  def semanticDedup(emb: DataFrame, nClusters: Int, tau: Double): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+
+    val seedKey = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val seeds = vecs.orderBy(seedKey, col("vec_id")).limit(nClusters)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("seed_id"))
+    val assigned = vecs.crossJoin(broadcast(seeds))
+      .withColumn("cos", Similarity.cosine(col("embedding"), col("seed_vec")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"),
+        transform(col("embedding").cast("array<double>"),
+          v => round(v * Q).cast("long")).as("qv"))
+
+    val cent = assigned
+      .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "qval")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("qval")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("s"), col("n")))).as("dm"))
+      .select(col("cell"), transform(col("dm"),
+        e => e.getField("s").cast("double") / e.getField("n")).as("cvec"))
+
+    val withSim = assigned.join(cent, Seq("cell"))
+      .withColumn("cent_sim",
+        Similarity.cosine(col("qv").cast("array<double>"), col("cvec")))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("cent_sim"))
+
+    val rivals = withSim.select(col("cell"), col("vec_id").as("y_id"),
+      col("embedding").as("y_emb"), col("cent_sim").as("y_sim"))
+    val dropped = withSim.join(rivals, Seq("cell"))
+      .filter(col("y_id") =!= col("vec_id"))
+      .filter(col("y_sim") < col("cent_sim") ||
+        (col("y_sim") === col("cent_sim") && col("y_id") < col("vec_id")))
+      .filter(Similarity.cosine(col("embedding"), col("y_emb")) >= tau)
+      .select(col("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+
+    withSim.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("cent_sim"), 8).as("cent_sim"),
+        col("is_dropped").isNull.as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ---- queries -------------------------------------------------------------
+
+  /** q80: embeddings + planted exact copies (the corpus is random, so
+    * near-twins only exist if planted — the q30/q56 pattern); every planted
+    * copy must be dropped in favor of its lower-id original. The oracle
+    * replays the full pipeline: seed selection, argmax assignment,
+    * quantized centroids, dominance test.
+    */
+  val qSemDedup = GraftQuery(
+    "q80_semantic_dedup",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val planted = e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      semanticDedup(
+        e.select(col("vec_id"), col("embedding")).unionByName(planted),
+        nClusters = 8, tau = 0.999)
+    },
+    Some(s"""
+      WITH vecs AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id < 10),
+      seeds AS (
+        SELECT vec_id AS seed_id, embedding AS seed_vec FROM vecs
+        ORDER BY ${graft.text.Md5P61.duckBase("CAST(vec_id AS VARCHAR)")}, vec_id
+        LIMIT 8),
+      scored AS (
+        SELECT v.vec_id, v.embedding, s.seed_id,
+               ${Similarity.duckCosine("v.embedding", "s.seed_vec")} AS cos
+        FROM vecs v CROSS JOIN seeds s),
+      assigned AS (
+        SELECT vec_id, embedding, seed_id AS cell,
+               list_transform(embedding,
+                 v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, seed_id) AS rn FROM scored)
+        WHERE rn = 1),
+      cd AS (
+        SELECT cell, dim, sum(qval) AS s, count(*) AS n FROM (
+          SELECT cell, u.dim AS dim, u.qval AS qval FROM (
+            SELECT cell, unnest(list_transform(generate_series(1, len(qv)),
+              i -> struct_pack(dim := i, qval := qv[i]))) AS u
+            FROM assigned) t) GROUP BY cell, dim),
+      cent AS (
+        SELECT cell, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cvec
+        FROM cd GROUP BY cell),
+      ws AS (
+        SELECT a.vec_id, a.cell, a.embedding,
+               ${Similarity.duckCosine("a.qv", "c.cvec")} AS cent_sim
+        FROM assigned a JOIN cent c ON a.cell = c.cell),
+      dropped AS (
+        SELECT DISTINCT x.vec_id FROM ws x JOIN ws y ON x.cell = y.cell
+        WHERE y.vec_id != x.vec_id
+          AND (y.cent_sim < x.cent_sim
+               OR (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id))
+          AND ${Similarity.duckCosine("x.embedding", "y.embedding")} >= 0.999)
+      SELECT w.vec_id, w.cell, round(w.cent_sim, 8) AS cent_sim,
+             d.vec_id IS NULL AS is_kept
+      FROM ws w LEFT JOIN dropped d ON w.vec_id = d.vec_id
+      ORDER BY w.vec_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qSemDedup)
+}
