@@ -30,10 +30,13 @@ object LmScore {
   def bigramLmScore(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
 
-    val cu = toks.select(explode(col("toks")).as("w"))
+    val uni = toks.select(explode(col("toks")).as("w"))
       .select(xxhash64(col("w")).as("hw"))
-      .groupBy(col("hw")).agg(count(lit(1)).as("cw"))
-    val vCount = cu.agg(count(lit(1)).as("v"))
+    val cu = uni.groupBy(col("hw")).agg(count(lit(1)).as("cw"))
+    // V as a GLOBAL distinct-count (not count-over-cu): the broadcast hint
+    // below must not sit over a grouped aggregate (PlanAuditSpec's q65-class
+    // ban); a global aggregate is ≤1 row by construction
+    val vCount = uni.agg(countDistinct(col("hw")).as("v"))
 
     // posexplode + element_at lookahead (NOT exploding a derived bigram
     // array: that inlines the generator and re-tokenizes per element — the

@@ -82,7 +82,10 @@ class PlanAuditSpec extends SparkSpec {
       "q37_approx_distinct" -> "grouped by l_returnflag (domain-bounded, 3 values)",
       // the contamination benchmark is a fixed eval set; its gram table
       // is bounded by the benchmark size, not the corpus
-      "q58_contamination" -> "eval-benchmark grams (fixed set, corpus-independent)")
+      "q58_contamination" -> "eval-benchmark grams (fixed set, corpus-independent)",
+      // centroid/stats broadcasts sit over a (dim)-grouped aggregate —
+      // dim is the embedding dimensionality (64), a schema constant
+      "q76_embedding_outliers" -> "grouped by dim (schema-bounded, 64 values)")
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
     graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
