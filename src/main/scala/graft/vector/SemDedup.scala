@@ -46,7 +46,7 @@ object SemDedup {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("seed_id"))
     val assigned = vecs.crossJoin(broadcast(seeds))
-      .withColumn("cos", Similarity.cosine(col("embedding"), col("seed_vec")))
+      .withColumn("cos", VectorExprs.cosineSim(col("embedding"), col("seed_vec")))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"),
@@ -64,7 +64,7 @@ object SemDedup {
 
     val withSim = assigned.join(cent, Seq("cell"))
       .withColumn("cent_sim",
-        Similarity.cosine(col("qv").cast("array<double>"), col("cvec")))
+        VectorExprs.cosineSim(col("qv").cast("array<double>"), col("cvec")))
       .select(col("cell"), col("vec_id"), col("embedding"), col("cent_sim"))
 
     val rivals = withSim.select(col("cell"), col("vec_id").as("y_id"),
@@ -73,7 +73,7 @@ object SemDedup {
       .filter(col("y_id") =!= col("vec_id"))
       .filter(col("y_sim") < col("cent_sim") ||
         (col("y_sim") === col("cent_sim") && col("y_id") < col("vec_id")))
-      .filter(Similarity.cosine(col("embedding"), col("y_emb")) >= tau)
+      .filter(VectorExprs.cosineSim(col("embedding"), col("y_emb")) >= tau)
       .select(col("vec_id")).distinct()
       .withColumn("is_dropped", lit(true))
 
