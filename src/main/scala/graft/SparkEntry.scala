@@ -20,6 +20,7 @@ object SparkEntry {
       relational.SetOpQueries.all ++
       relational.SnapshotDelta.queries ++
       relational.BloomJoin.queries ++
+      relational.SkewTools.queries ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       text.LineDedup.queries ++

@@ -1,5 +1,6 @@
 package graft.relational
 
+import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -26,4 +27,31 @@ object SkewTools {
       .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col("k"))
       .agg(sum(col("_psum")).as("total"), sum(col("_pcnt")).as("n"))
+
+  // ---- queries -------------------------------------------------------------
+
+  /** q81: salted per-user event totals. The value is accumulated as
+    * DECIMAL (the GraftQuery.DEC idiom) so the two-stage sum is exact and
+    * therefore IDENTICAL to the plain one-stage GROUP BY the oracle runs —
+    * which is the whole point: salting changes the shuffle shape, never
+    * the answer. The salt itself (partition id + row offset) is
+    * arbitrary-but-irrelevant: any assignment combines to the same exact
+    * totals, so the result is deterministic even though the salt is not.
+    */
+  val qSaltedAgg = GraftQuery(
+    "q81_salted_agg",
+    (s, dir) =>
+      saltedSumCount(Tables.events(s, dir), col("user_id"),
+        col("value").cast(GraftQuery.DEC))
+        .select(col("k").as("user_id"),
+          col("total").cast("double").as("total_value"),
+          col("n").as("n_events"))
+        .orderBy(col("user_id")),
+    Some(s"""
+      SELECT user_id,
+             CAST(sum(CAST(value AS ${GraftQuery.DEC})) AS DOUBLE) AS total_value,
+             count(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qSaltedAgg)
 }

@@ -44,6 +44,25 @@ object CorpusOps {
     df.filter(u < frac)
   }
 
+  /** Exact-count stratified sampling: exactly `n` rows per stratum (or all
+    * rows of a smaller stratum), chosen by deterministic md5-hash order —
+    * the balanced-eval-set constructor (fraction sampling, q47, cannot hit
+    * exact counts). The rank filter plans as WindowGroupLimit: each map
+    * task pre-trims to n rows per stratum BEFORE the shuffle, so the
+    * exchange carries ≤ partitions·strata·n rows at any corpus size.
+    */
+  def exactStratifiedSample(df: DataFrame, label: String, idCol: String,
+                            n: Int): DataFrame = {
+    require(n >= 1, s"exactStratifiedSample n must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col(label)).orderBy(h, col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   // ---- queries -----------------------------------------------------------
 
   val qVocab = GraftQuery(
@@ -143,5 +162,24 @@ object CorpusOps {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qVocab, qStratified, qTfIdf, qArgMax)
+  /** q82: exactly 20 docs per language, md5-hash order (both engines
+    * reproduce the identical sample — the q47 idiom with exact counts).
+    */
+  val qExactSample = GraftQuery(
+    "q82_exact_sample",
+    (s, dir) =>
+      exactStratifiedSample(Tables.documents(s, dir), "lang", "doc_id", n = 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY ${Md5P61.duckBase("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 20
+      ORDER BY doc_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qVocab, qStratified, qTfIdf, qArgMax,
+    qExactSample)
 }

@@ -284,6 +284,28 @@ class TextSpec extends SparkSpec {
     assert(again == sample.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("exact stratified sample: exact per-stratum counts, small strata kept whole") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val sample = CorpusOps.exactStratifiedSample(docs, "lang", "doc_id", n = 20)
+    val counts = sample.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (lang, total) =>
+      assert(counts(lang) == math.min(20L, total), s"lang $lang")
+    }
+    // deterministic: identical id set on re-run
+    val ids = sample.select("doc_id").as[Long].collect().toSet
+    val again = CorpusOps.exactStratifiedSample(docs, "lang", "doc_id", n = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == again)
+    // the rank filter must plan as WindowGroupLimit (map-side pre-trim)
+    val plan = CorpusOps.exactStratifiedSample(docs, "lang", "doc_id", n = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    intercept[IllegalArgumentException] {
+      CorpusOps.exactStratifiedSample(docs, "lang", "doc_id", n = 0)
+    }
+  }
+
   test("minhash sketch aggregate: equals posexplode reference, union semantics") {
     val k = 16
     val d = Seq(
