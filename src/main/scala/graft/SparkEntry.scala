@@ -21,6 +21,7 @@ object SparkEntry {
       relational.SnapshotDelta.queries ++
       relational.BloomJoin.queries ++
       relational.SkewTools.queries ++
+      relational.ZOrder.queries ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       text.LineDedup.queries ++
