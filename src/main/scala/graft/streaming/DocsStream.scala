@@ -67,6 +67,26 @@ object DocsStream {
       }
   }
 
+  /** Live token heavy-hitters: running corpus-wide count per token as
+    * documents stream in — the streaming dual of the batch vocabulary
+    * build (q46), the live dashboard behind "what is this crawl actually
+    * ingesting". State is ONE long per distinct token (the vocabulary
+    * bound, same class as the dedup gate's distinct-hash bound); tokens
+    * are exploded in the narrow pre-projection so the text never enters
+    * state, and counts are SUMS — commutative, so the final state is
+    * arrival-order-independent and a batch oracle is exact.
+    */
+  def tokenCounts(toks: Dataset[String]): Dataset[(String, Long)] = {
+    import toks.sparkSession.implicits._
+    toks.groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (tok: String, batch: Iterator[String], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + batch.size
+          state.update(total)
+          (tok, total)
+      }
+  }
+
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
 
@@ -113,5 +133,41 @@ object DocsStream {
       GROUP BY md5(text)
       ORDER BY content_hash"""))
 
-  val queries: Seq[GraftQuery] = Seq(qDocDedup)
+  /** Run the heavy-hitter tracker as a real streaming query and reduce the
+    * update log to the final top-k: per token the count only grows, so
+    * max-over-updates IS the final state.
+    */
+  def runTokenTopKStream(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    EventsStream.withStreamPartitions(spark) {
+      import spark.implicits._
+      val name = s"stream_topk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = tokenCounts(
+        stagedDocStream(spark, sfDir)
+          .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+          .as[String])
+        .toDF("token", "cnt")
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .option("checkpointLocation", EventsStream.shmTempDir(name))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .groupBy(col("token"))
+        .agg(max(col("cnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(k)
+    }
+
+  val qTokenTopK = GraftQuery(
+    "stream_token_topk",
+    (s, dir) => runTokenTopKStream(s, dir, k = 50),
+    Some("""
+      SELECT token, count(*) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents) t
+      GROUP BY token
+      ORDER BY cnt DESC, token
+      LIMIT 50"""))
+
+  val queries: Seq[GraftQuery] = Seq(qDocDedup, qTokenTopK)
 }

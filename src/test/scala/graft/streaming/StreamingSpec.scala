@@ -112,6 +112,31 @@ class StreamingSpec extends SparkSpec {
     assert(winners == Set(3L, 11L, 12L))
   }
 
+  test("streaming token counts accumulate across micro-batches") {
+    // the same token arrives in two separate files -> its final count must
+    // come from cross-batch state, not within-batch grouping
+    val dir = Files.createTempDirectory("docs_topk")
+    Seq((1L, "hot cold"), (2L, "hot")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir.resolve("a").toString)
+    Seq((3L, "hot warm warm")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir.resolve("b").toString)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/a").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      .as[String]
+    val q = DocsStream.tokenCounts(streamed)
+      .toDF("token", "cnt")
+      .writeStream.outputMode("update").format("memory").queryName("topk")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val finals = spark.table("topk")
+      .groupBy("token").agg(max("cnt").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(finals == Map("hot" -> 3L, "cold" -> 1L, "warm" -> 2L))
+  }
+
   test("TTL dedup: expired content hash re-admits the document") {
     // batch 1 admits textA; after the TTL elapses, batch 2 (a different
     // key, so the timeout sweep runs) evicts it; batch 3 re-admits textA
