@@ -61,6 +61,17 @@ object TextDedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
+  /** Asymmetric set containment |A∩B| / |A|: how much of A is inside B.
+    * The quote/subset detector — a short doc fully contained in a long one
+    * has containment ≈ 1 while its Jaccard is tiny (the union is dominated
+    * by B), so Jaccard-threshold dedup never sees it.
+    */
+  def containment(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val na = size(a).cast("double")
+    when(na === 0, lit(0.0)).otherwise(inter / na)
+  }
+
   /** Estimated Jaccard from two k-row MinHash signatures: fraction of
     * agreeing positions.
     */
@@ -979,8 +990,60 @@ object TextDedup {
       FROM toksall ta LEFT JOIN ka ON ta.doc_id = ka.doc_id
       ORDER BY doc_id"""))
 
+  /** q84: containment vs Jaccard on planted contained docs — the 20
+    * lowest-id docs get a half-prefix twin; every 2-shingle of a contiguous
+    * prefix appears in the full doc, so containment is exactly 1.0 while
+    * Jaccard stays well below — the pair a similarity threshold misses.
+    */
+  val qContainment = GraftQuery(
+    "q84_containment",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = TextAnalysis.tokens(col("text"))
+      val planted = d.orderBy(col("doc_id")).limit(20).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1),
+          greatest((size(toks) / 2).cast("int"), lit(1)))).as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(planted)
+      def sh2 = TextExprs.tokenShingles(s, TextAnalysis.tokens(col("text")), 2)
+      val a = corpus.select(col("doc_id").as("doc_a"), sh2.as("sh_a"))
+      val b = corpus.select(col("doc_id").as("doc_b"), sh2.as("sh_b"))
+      a.join(b, col("doc_a") === col("doc_b") + 1000000)
+        .select(col("doc_a"), col("doc_b"),
+          containment(col("sh_a"), col("sh_b")).as("containment"),
+          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .orderBy(col("doc_a"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      pl AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
+        FROM (SELECT doc_id, t FROM toks ORDER BY doc_id LIMIT 20)),
+      corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM pl),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 0)),
+            i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                 regexp_split_to_array(trim(text), '\s+')[i+1])) AS grams
+        FROM corpus)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CASE WHEN len(a.grams) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(a.grams) END AS containment,
+        CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(list_distinct(a.grams || b.grams)) END AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id = b.doc_id + 1000000
+      ORDER BY doc_a"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qMinhashCanonical,
       qDedupClusters, qSimhashDedup, qSourceSketch, qSubstringDedup,
-      qRemoveSpans)
+      qRemoveSpans, qContainment)
 }

@@ -55,6 +55,24 @@ class TextSpec extends SparkSpec {
     assert(df.collect()(0).getDouble(0) == 0.5) // |{b,c}| / |{a,b,c,d}|
   }
 
+  test("containment: asymmetric, 1.0 for a subset, 0 guard on empty") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b", "c", "d")),   // A ⊆ B
+      (Seq("a", "b", "c", "d"), Seq("a", "b")),   // reverse: 2/4
+      (Seq.empty[String], Seq("a"))
+    ).toDF("a", "b")
+      .select(TextDedup.containment(col("a"), col("b")).as("c"))
+      .as[Double].collect().toSeq
+    assert(df == Seq(1.0, 0.5, 0.0))
+    // the quote-detection property: containment sees what Jaccard misses
+    val quote = Seq((Seq("a", "b"), (1 to 40).map("t" + _) ++ Seq("a", "b")))
+      .toDF("a", "b")
+      .select(TextDedup.containment(col("a"), col("b")).as("c"),
+        TextDedup.jaccard(col("a"), col("b")).as("j"))
+      .as[(Double, Double)].collect().head
+    assert(quote._1 == 1.0 && quote._2 < 0.1)
+  }
+
   test("minhash LSH finds a planted near-duplicate pair") {
     val base = (1 to 60).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 57).map(i => s"token$i").mkString(" ") + " x y z"
