@@ -22,6 +22,7 @@ object SparkEntry {
       relational.BloomJoin.queries ++
       relational.SkewTools.queries ++
       relational.ZOrder.queries ++
+      relational.Funnels.queries ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       text.LineDedup.queries ++
