@@ -23,12 +23,14 @@ object SparkEntry {
       relational.SkewTools.queries ++
       relational.ZOrder.queries ++
       relational.Funnels.queries ++
+      relational.Basket.queries ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       text.LineDedup.queries ++
       text.LmScore.queries ++
       text.InvertedIndex.queries ++
       text.QuantileNorm.queries ++
+      text.Collocations.queries ++
       text.Repetition.queries ++
       text.CorpusPrep.queries ++
       text.CorpusOps.queries ++

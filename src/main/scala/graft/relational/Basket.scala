@@ -1,0 +1,52 @@
+package graft.relational
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence: pairs of parts appearing in the same order,
+  * with support counts — the candidate-generation step of association-rule
+  * mining (and the bipartite-projection primitive behind "customers who
+  * bought X also bought Y").
+  *
+  * Scale shape: the self-join is keyed on the ORDER id, so the pair
+  * expansion per order is bounded by basket size squared — a data-model
+  * constant (TPC-H ≤ 7 lineitems/order; retail baskets tens) — never a
+  * corpus-size term. The (a, b) count aggregate is map-side combinable and
+  * its output is the co-occurrence matrix itself. a < b keeps each
+  * unordered pair once.
+  */
+object Basket {
+
+  def copurchasePairs(lineitem: DataFrame, minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    // distinct first: multiple lineitems of the same part in one order are
+    // one basket membership, not several
+    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+  }
+
+  // ---- queries -------------------------------------------------------------
+
+  val qCopurchase = GraftQuery(
+    "q87_copurchase",
+    (s, dir) => copurchasePairs(Tables.lineitem(s, dir), minSupport = 2),
+    Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+      HAVING count(*) >= 2
+      ORDER BY support DESC, part_a, part_b"""))
+
+  val queries: Seq[GraftQuery] = Seq(qCopurchase)
+}

@@ -56,6 +56,25 @@ object Funnels {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Telemetry gap detection: per-entity silences longer than `thresholdUs`
+    * (sensor dropouts, churn windows). One lag window PARTITIONED by the
+    * entity — per-partition work is that entity's event count, the same
+    * accepted bound as every per-key window in the engine. Gap width is
+    * exact integer microseconds.
+    */
+  def eventGaps(events: DataFrame, thresholdUs: Long): DataFrame = {
+    require(thresholdUs > 0, s"thresholdUs must be > 0, got $thresholdUs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events.select(col("user_id"), col("ts"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("prev")) > thresholdUs)
+      .select(col("user_id"), col("prev").as("gap_start"), col("ts").as("gap_end"),
+        (unix_micros(col("ts")) - unix_micros(col("prev"))).as("gap_us"))
+      .orderBy(col("user_id"), col("gap_start"))
+  }
+
   // ---- queries -------------------------------------------------------------
 
   val qFunnel = GraftQuery(
@@ -91,5 +110,19 @@ object Funnels {
       GROUP BY f.cohort_week, week_offset
       ORDER BY f.cohort_week, week_offset"""))
 
-  val queries: Seq[GraftQuery] = Seq(qFunnel, qCohort)
+  val qGaps = GraftQuery(
+    "q89_event_gaps",
+    (s, dir) => eventGaps(Tables.events(s, dir), thresholdUs = 86400000000L),
+    Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      l AS (SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+            FROM e)
+      SELECT user_id, prev AS gap_start, ts AS gap_end,
+             epoch_us(ts) - epoch_us(prev) AS gap_us
+      FROM l
+      WHERE prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) > 86400000000
+      ORDER BY user_id, gap_start"""))
+
+  val queries: Seq[GraftQuery] = Seq(qFunnel, qCohort, qGaps)
 }

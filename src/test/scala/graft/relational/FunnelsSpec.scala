@@ -29,6 +29,19 @@ class FunnelsSpec extends SparkSpec {
     assert(out == Seq((1L, 3), (2L, 1), (3L, 2)))
   }
 
+  test("event gaps: only silences above the threshold, exact micros") {
+    val events = Seq(
+      (1L, "e", ts("2024-01-01 00:00:00")),
+      (1L, "e", ts("2024-01-01 01:00:00")), // 1h gap: below 2h threshold
+      (1L, "e", ts("2024-01-01 04:00:00")), // 3h gap: reported
+      (2L, "e", ts("2024-01-01 00:00:00"))  // single event: no gap
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnels.eventGaps(events, thresholdUs = 2L * 3600 * 1000000)
+      .select("user_id", "gap_us").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L * 3600 * 1000000)))
+    intercept[IllegalArgumentException] { Funnels.eventGaps(events, 0) }
+  }
+
   test("cohort retention: offsets count distinct active users per week") {
     val events = Seq(
       (1L, "e", ts("2024-01-01 10:00:00")), // cohort week of Jan 1 (Monday)
