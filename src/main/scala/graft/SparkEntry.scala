@@ -24,6 +24,7 @@ object SparkEntry {
       relational.ZOrder.queries ++
       relational.Funnels.queries ++
       relational.Basket.queries ++
+      relational.Quality.queries ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       text.LineDedup.queries ++
