@@ -110,6 +110,30 @@ object Repetition {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document token-distribution entropy H = −Σ p·ln p (p = token
+    * frequency within the doc) — the information-theoretic summary of the
+    * repetition fractions: degenerate/boilerplate text scores near 0,
+    * diverse text near ln(n_tokens). Per-term values are rounded then
+    * accumulated as DECIMAL (the q74 idiom) so the per-doc sum is
+    * partitioning-independent; the shuffles are the (doc, token) count
+    * aggregate and an O(docs) total-join.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val totals = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    counts.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n"),
+        round((p * log(p)) * lit(-1.0), 8).cast("decimal(28,8)").as("term"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"),
+        sum(col("term")).cast("double").as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   val qRepetitionSignals = GraftQuery(
     "q62_repetition_signals",
     (s, dir) => repetitionSignals(Tables.documents(s, dir)),
@@ -160,5 +184,25 @@ object Repetition {
              len(toks) - len(kept) AS n_removed
       FROM keptt ORDER BY doc_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qRepetitionSignals, qRemoveTopTokens)
+  val qTokenEntropy = GraftQuery(
+    "q92_token_entropy",
+    (s, dir) => tokenEntropy(Tables.documents(s, dir)),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      counts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+      totals AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+      terms AS (
+        SELECT c.doc_id, t.n,
+               CAST(round(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) *
+                          ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 8)
+                    AS DECIMAL(28,8)) AS term
+        FROM counts c JOIN totals t ON c.doc_id = t.doc_id)
+      SELECT doc_id, max(n) AS n_tokens,
+             CAST(sum(term) AS DOUBLE) AS entropy
+      FROM terms GROUP BY doc_id ORDER BY doc_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qRepetitionSignals, qRemoveTopTokens,
+    qTokenEntropy)
 }

@@ -19,6 +19,23 @@ class RepetitionSpec extends SparkSpec {
       (3L, 1, 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("token entropy: 0 for degenerate, ln(n) for all-distinct") {
+    val docs = Seq(
+      (1L, "a a a a"),      // single symbol: H = 0
+      (2L, "w x y z"),      // uniform over 4: H = ln 4
+      (3L, "a a b b")       // uniform over 2: H = ln 2
+    ).toDF("doc_id", "text")
+    val out = Repetition.tokenEntropy(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    def h(ps: Seq[Double]): Double =
+      ps.map(p => BigDecimal(-p * math.log(p))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(out == Seq(
+      (1L, 4L, h(Seq(1.0))),
+      (2L, 4L, h(Seq(0.25, 0.25, 0.25, 0.25))),
+      (3L, 4L, h(Seq(0.5, 0.5)))))
+  }
+
   test("stoplist removal: top-k by doc-frequency, lexicographic tiebreak") {
     // df: zz in 3 docs; aa and bb in 2 docs each (tie -> aa wins slot 2);
     // cc/dd/ee singletons
