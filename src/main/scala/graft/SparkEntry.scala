@@ -25,6 +25,7 @@ object SparkEntry {
       relational.Funnels.queries ++
       relational.Basket.queries ++
       relational.Quality.queries ++
+      relational.PageRank.queries ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       text.LineDedup.queries ++

@@ -1,0 +1,106 @@
+package graft.relational
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank over an edge list — the second graph operator next to
+  * the q51 connected components: importance scores over the co-purchase
+  * graph ("which parts anchor the catalog"), fixed iteration count.
+  *
+  * Determinism design: each iteration's per-edge contribution
+  * pr·w/wsum is rounded to 8 dp and accumulated as DECIMAL, so the
+  * per-node sum — the only place addition order could leak in — is exact
+  * and partitioning-independent; everything else is scalar double
+  * arithmetic evaluated in the same order in both engines. The oracle
+  * unrolls the iterations as CTE stages GENERATED FROM THE SAME LOOP as
+  * the Spark plan (the q83 generate-both-sides idiom).
+  *
+  * Scale shape per iteration: one edges⋈scores equi-join on src (scores is
+  * O(nodes) — AQE picks the side), one (dst)-keyed decimal aggregate, one
+  * O(nodes) left join. Symmetric edges mean no dangling-mass term. Scores
+  * never leave the cluster; iteration count is a constant.
+  */
+object PageRank {
+
+  val Damping = 0.85
+  val Iters = 3
+
+  /** edges: (src, dst, w) — directed; pass both directions for an
+    * undirected graph. Returns (node, pagerank) with round-8 scores.
+    */
+  def pageRank(edges: DataFrame, iters: Int = Iters, d: Double = Damping): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters must be in [1, 10], got $iters")
+    require(d > 0.0 && d < 1.0, s"damping must be in (0, 1), got $d")
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    (1 to iters).foreach { _ =>
+      val contribs = edges
+        .join(pr, col("src") === col("node"))
+        .join(deg, Seq("src"))
+        .select(col("dst"),
+          round(col("pr") * col("w") / col("wsum"), 8)
+            .cast("decimal(28,8)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      pr = nodes.crossJoin(broadcast(nn))
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - d) / col("n") +
+            lit(d) * coalesce(col("c"), lit(0).cast("decimal(28,8)"))
+              .cast("double")).as("pr"))
+    }
+    pr.select(col("node"), round(col("pr"), 8).as("pagerank"))
+      .orderBy(col("node"))
+  }
+
+  /** The oracle's iteration CTEs, generated from the same loop. */
+  private def duckIters(iters: Int, d: Double): String =
+    (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n0.node,
+         |         CAST(${1.0 - d} AS DOUBLE) / nn.n
+         |           + CAST($d AS DOUBLE) * CAST(coalesce(s.c, 0) AS DOUBLE) AS pr
+         |  FROM nodes n0 CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           sum(CAST(round(p.pr * e.w / dg.wsum, 8) AS DECIMAL(28,8))) AS c
+         |    FROM edges e
+         |    JOIN pr${i - 1} p ON e.src = p.node
+         |    JOIN deg dg ON e.src = dg.src
+         |    GROUP BY e.dst) s ON s.node = n0.node)""".stripMargin
+    }.mkString(",\n")
+
+  // ---- queries -------------------------------------------------------------
+
+  /** q93: PageRank over the symmetric q87 co-purchase graph. */
+  val qPageRank = GraftQuery(
+    "q93_pagerank",
+    (s, dir) => {
+      val pairs = Basket.copurchasePairs(Tables.lineitem(s, dir), minSupport = 2)
+      val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"), col("support").as("w"))
+        .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst"), col("support").as("w")))
+      pageRank(edges)
+    },
+    Some(s"""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb HAVING count(*) >= 2),
+      edges AS (
+        SELECT pa AS src, pb AS dst, w FROM pairs
+        UNION ALL SELECT pb, pa, w FROM pairs),
+      deg AS (SELECT src, sum(w) AS wsum FROM edges GROUP BY src),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+      ${duckIters(Iters, Damping)}
+      SELECT node, round(pr, 8) AS pagerank
+      FROM pr$Iters ORDER BY node"""))
+
+  val queries: Seq[GraftQuery] = Seq(qPageRank)
+}
