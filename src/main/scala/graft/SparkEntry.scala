@@ -26,6 +26,7 @@ object SparkEntry {
       relational.Basket.queries ++
       relational.Quality.queries ++
       relational.PageRank.queries ++
+      relational.Triangles.queries ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       text.LineDedup.queries ++
