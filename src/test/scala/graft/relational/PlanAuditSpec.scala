@@ -85,7 +85,11 @@ class PlanAuditSpec extends SparkSpec {
       "q58_contamination" -> "eval-benchmark grams (fixed set, corpus-independent)",
       // centroid/stats broadcasts sit over a (dim)-grouped aggregate —
       // dim is the embedding dimensionality (64), a schema constant
-      "q76_embedding_outliers" -> "grouped by dim (schema-bounded, 64 values)")
+      "q76_embedding_outliers" -> "grouped by dim (schema-bounded, 64 values)",
+      // the hint wraps a GLOBAL 1-row node count; the grouped aggregate the
+      // walk finds below it is the co-purchase edge input's support counts —
+      // part of the count's lineage, never the broadcast payload
+      "q93_pagerank" -> "hinted relation is a global count (1 row by construction)")
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
     graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
