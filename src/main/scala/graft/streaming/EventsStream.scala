@@ -48,7 +48,17 @@ object EventsStream {
        AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
       ORDER BY purchase_id, view_id"""))
 
-  def queries: Seq[GraftQuery] = Seq(qStreamHourly, qStreamLatest, qStreamJoin)
+  /** Streaming session windows — the streaming dual of q45, checked
+    * against the SAME oracle: session identity is event-time-derived, so
+    * the final table is micro-batch-composition-independent.
+    */
+  val qStreamSessions = GraftQuery(
+    "stream_session_window",
+    (s, dir) => runSessionWindowStream(s, dir),
+    graft.relational.SessionQueries.q45.oracle)
+
+  def queries: Seq[GraftQuery] =
+    Seq(qStreamHourly, qStreamLatest, qStreamJoin, qStreamSessions)
 
   final case class Event(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -192,6 +202,33 @@ object EventsStream {
     q.awaitTermination()
     spark.table(name).orderBy(col("hour_start"))
   }
+
+  /** Run 30-minute-gap session windows as a real streaming query
+    * (complete mode: merging session state emits its final merged form
+    * every batch, so the last table IS the batch q45 answer). At
+    * production volume this runs append-mode with the watermark closing
+    * sessions incrementally — same operator, bounded state; complete mode
+    * here is what makes the one-shot run oracle-comparable.
+    */
+  def runSessionWindowStream(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
+      val name = s"stream_session_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = stagedEventStream(spark, sfDir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("session_value"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .option("checkpointLocation", shmTempDir(name))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).orderBy(col("user_id"), col("session_start"))
+    }
 
   /** Run latest-per-user as a stateful streaming query (update mode) and
     * reduce the update log to final state — oracle-identical to batch q06.

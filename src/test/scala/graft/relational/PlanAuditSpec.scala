@@ -19,7 +19,8 @@ class PlanAuditSpec extends SparkSpec {
   // spec's assertion is still about the RETURNED plan.)
   private val skip = Set(
     "stream_hourly_window", "stream_latest_per_user",
-    "stream_purchase_view_join", "stream_doc_dedup", "stream_token_topk")
+    "stream_purchase_view_join", "stream_doc_dedup", "stream_token_topk",
+    "stream_session_window")
 
   test("registry names are unique (SparkEntry.queries is a Map — a duplicate would silently shadow)") {
     val names = graft.SparkEntry.registry.map(_.name)

@@ -112,6 +112,38 @@ class StreamingSpec extends SparkSpec {
     assert(winners == Set(3L, 11L, 12L))
   }
 
+  test("streaming session windows merge across micro-batches") {
+    // one user's events split across two files: the later batch extends
+    // the open session, so the final table must hold ONE merged session
+    val dir = Files.createTempDirectory("sess_stream")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, t("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, t("2024-01-01 10:10:00"), 7L, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(dir.resolve("a").toString)
+    Seq((3L, t("2024-01-01 10:20:00"), 7L, "click", 4.0),
+      (4L, t("2024-01-01 12:00:00"), 7L, "click", 8.0)) // > 30 min gap: new session
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(dir.resolve("b").toString)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/a").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+    val q = streamed
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("n"), col("v"))
+      .writeStream.outputMode("complete").format("memory").queryName("sess")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sess").orderBy("s")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (7L, t("2024-01-01 10:00:00"), 3L, 7.0), // merged across batches
+      (7L, t("2024-01-01 12:00:00"), 1L, 8.0)))
+  }
+
   test("streaming token counts accumulate across micro-batches") {
     // the same token arrives in two separate files -> its final count must
     // come from cross-batch state, not within-batch grouping
