@@ -27,6 +27,7 @@ object SparkEntry {
       relational.Quality.queries ++
       relational.PageRank.queries ++
       relational.Triangles.queries ++
+      relational.Communities.queries ++
       text.TextAnalysis.queries ++
       text.TextDedup.queries ++
       text.LineDedup.queries ++

@@ -1,0 +1,91 @@
+package graft.relational
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Community detection by synchronous label propagation (Raghavan et al.
+  * 2007) — the fourth graph operator: each node repeatedly adopts the
+  * label carrying the highest incident edge weight among its neighbors
+  * (ties to the smallest label), a fixed number of rounds. Weighted-modular
+  * structure emerges without any global objective.
+  *
+  * Everything is integer arithmetic — labels are node ids, scores are
+  * weight sums — so synchronous updates with a deterministic tie-break are
+  * bit-reproducible at any partitioning with NO rounding machinery, and
+  * the oracle unrolls the rounds as CTE stages generated from the same
+  * loop (the q93 idiom).
+  *
+  * Scale shape per round: one edges⋈labels equi-join on src, one
+  * (node, label) weight aggregate, one argmax window partitioned by node
+  * (bounded by that node's distinct neighbor labels ≤ degree).
+  */
+object Communities {
+
+  val Iters = 3
+
+  /** edges: (src, dst, w) directed — pass both directions for undirected.
+    * Returns (node, community).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = Iters): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters must be in [1, 10], got $iters")
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    val wArg = Window.partitionBy(col("node")).orderBy(col("s").desc, col("label"))
+    (1 to iters).foreach { _ =>
+      labels = edges
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(sum(col("w")).as("s"))
+        .withColumn("rn", row_number().over(wArg))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+    }
+    labels.select(col("node"), col("label").as("community"))
+      .orderBy(col("node"))
+  }
+
+  /** Oracle rounds, generated from the same loop. */
+  private def duckIters(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""lab$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, p.label,
+         |           sum(e.w) AS s,
+         |           row_number() OVER (PARTITION BY e.dst
+         |             ORDER BY sum(e.w) DESC, p.label) AS rn
+         |    FROM edges e JOIN lab${i - 1} p ON e.src = p.node
+         |    GROUP BY e.dst, p.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  // ---- queries -------------------------------------------------------------
+
+  /** q95: communities of the q87 co-purchase graph. */
+  val qCommunities = GraftQuery(
+    "q95_communities",
+    (s, dir) => {
+      val pairs = Basket.copurchasePairs(Tables.lineitem(s, dir), minSupport = 2)
+      val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"),
+        col("support").as("w"))
+        .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst"),
+          col("support").as("w")))
+      labelPropagation(edges)
+    },
+    Some(s"""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      edges AS (
+        SELECT pa AS src, pb AS dst, w FROM pairs
+        UNION ALL SELECT pb, pa, w FROM pairs),
+      lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+      ${duckIters(Iters)}
+      SELECT node, label AS community FROM lab$Iters ORDER BY node"""))
+
+  val queries: Seq[GraftQuery] = Seq(qCommunities)
+}
