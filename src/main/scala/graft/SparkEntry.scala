@@ -35,6 +35,7 @@ object SparkEntry {
       text.InvertedIndex.queries ++
       text.QuantileNorm.queries ++
       text.Collocations.queries ++
+      text.Mixture.queries ++
       text.Repetition.queries ++
       text.CorpusPrep.queries ++
       text.CorpusOps.queries ++

@@ -90,7 +90,10 @@ class PlanAuditSpec extends SparkSpec {
       // the hint wraps a GLOBAL 1-row node count; the grouped aggregate the
       // walk finds below it is the co-purchase edge input's support counts —
       // part of the count's lineage, never the broadcast payload
-      "q93_pagerank" -> "hinted relation is a global count (1 row by construction)")
+      "q93_pagerank" -> "hinted relation is a global count (1 row by construction)",
+      // the hint wraps the global 1-row scale = min(c/w); the per-source
+      // count aggregate the walk finds is the min's input, not the payload
+      "q96_mixture_resample" -> "hinted relation is a global min (1 row by construction)")
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
     graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
