@@ -23,6 +23,8 @@ object SparkEntry {
       relational.SkewTools.queries ++
       relational.ZOrder.queries ++
       relational.Funnels.queries ++
+      relational.Olap.queries ++
+      relational.Cdc.queries ++
       relational.Basket.queries ++
       relational.Quality.queries ++
       relational.PageRank.queries ++

@@ -1,0 +1,129 @@
+package graft.relational
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** OLAP reporting surface: ROLLUP grouping sets, wide pivot tables, and
+  * equi-width histograms — the classic BI layer over the fact table.
+  *
+  * Scale shapes:
+  *  - ROLLUP plans as Expand + one hash aggregate: each row is replicated
+  *    once per grouping set BEFORE the shuffle, but partial aggregation
+  *    collapses the expansion map-side, so the exchange carries
+  *    O(sets x distinct keys) rows — here domain-bounded (flag x status).
+  *  - The pivot uses an EXPLICIT value list: Spark's `pivot(col)` overload
+  *    first runs a driver-side distinct collect to discover the columns —
+  *    a hidden job and an unbounded driver payload at corpus scale. With
+  *    the values supplied, the pivot is one conditional aggregate, no
+  *    driver involvement; the output width is a declared constant.
+  *  - The histogram's min/max is a global 1-row aggregate broadcast to the
+  *    bucket map (the accepted global-scalar class); bucketing itself is a
+  *    narrow map and the final aggregate is O(buckets).
+  */
+object Olap {
+
+  private val dec = DecimalType(18, 2)
+  private def d2(c: Column): Column = c.cast(dec)
+
+  /** ROLLUP over (l_returnflag, l_linestatus): per-group, per-flag subtotal
+    * and grand-total rows, tagged by grouping_id — bit i set means grouping
+    * column i is rolled up (Postgres/DuckDB-compatible bit order).
+    */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(d2(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  val PivotPriorities: Seq[(String, String)] = Seq(
+    "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high", "3-MEDIUM" -> "p3_medium",
+    "4-NOT SPECIFIED" -> "p4_not_specified", "5-LOW" -> "p5_low")
+
+  /** Order counts per status, one column per priority (explicit value list —
+    * see the scale note above). Missing combinations surface as 0, not null
+    * (pivot-count's null means "group absent", which IS a zero count).
+    * Columns are renamed to parquet-safe snake case ("4-NOT SPECIFIED"
+    * contains a space, which Spark's parquet writer rejects).
+    */
+  def pivotPriorityCounts(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", PivotPriorities.map(_._1))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +:
+        PivotPriorities.map { case (v, alias) =>
+          coalesce(col(s"`$v`"), lit(0L)).as(alias)
+        }: _*)
+      .orderBy(col("o_orderstatus"))
+
+  /** Equi-width histogram of `valueCol` in `nBuckets` buckets spanning the
+    * observed [min, max]. The top edge folds into the last bucket. Bucket
+    * arithmetic is scalar double math evaluated identically in both engines
+    * (no accumulation-order sensitivity); counts/sums are exact.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val bounds = df.agg(
+      min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    df.select(col(valueCol).as("x"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        least(
+          floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / nBuckets)),
+          lit(nBuckets - 1L)).cast("int").as("bucket"),
+        col("x"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(d2(col("x"))).cast("double").as("sum_x"))
+      .orderBy(col("bucket"))
+  }
+
+  // ---- queries -------------------------------------------------------------
+
+  val qRollup = GraftQuery(
+    "q97_rollup",
+    (s, dir) => rollupSummary(Tables.lineitem(s, dir)),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             GROUPING(l_returnflag, l_linestatus) AS gid,
+             sum(l_quantity) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag, l_linestatus"""))
+
+  val qPivot = GraftQuery(
+    "q98_pivot",
+    (s, dir) => pivotPriorityCounts(Tables.orders(s, dir)),
+    Some("""
+      SELECT o_orderstatus,
+             count(*) FILTER (o_orderpriority = '1-URGENT') AS p1_urgent,
+             count(*) FILTER (o_orderpriority = '2-HIGH') AS p2_high,
+             count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3_medium,
+             count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+             count(*) FILTER (o_orderpriority = '5-LOW') AS p5_low
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
+  val qHistogram = GraftQuery(
+    "q99_histogram",
+    (s, dir) => histogram(Tables.lineitem(s, dir), "l_extendedprice", nBuckets = 32),
+    Some("""
+      WITH bounds AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+                      FROM lineitem)
+      SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 32)), 31) AS INTEGER) AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x
+      FROM lineitem CROSS JOIN bounds
+      GROUP BY bucket
+      ORDER BY bucket"""))
+
+  val queries: Seq[GraftQuery] = Seq(qRollup, qPivot, qHistogram)
+}
