@@ -25,6 +25,7 @@ object SparkEntry {
       relational.Funnels.queries ++
       relational.Olap.queries ++
       relational.Cdc.queries ++
+      relational.TimeSeries.queries ++
       relational.Basket.queries ++
       relational.Quality.queries ++
       relational.PageRank.queries ++
