@@ -26,6 +26,8 @@ object SparkEntry {
       relational.Olap.queries ++
       relational.Cdc.queries ++
       relational.TimeSeries.queries ++
+      relational.FuzzyJoin.queries ++
+      relational.Paths.queries ++
       relational.Basket.queries ++
       relational.Quality.queries ++
       relational.PageRank.queries ++

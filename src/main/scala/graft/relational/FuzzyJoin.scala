@@ -1,0 +1,65 @@
+package graft.relational
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy join (record linkage): near-matching names via edit
+  * distance, with a BLOCKING key so the candidate set is never all-pairs.
+  *
+  * Scale shape: fuzzy matching is inherently quadratic per block — the
+  * design lever is block granularity. Blocking on (last name token, brand)
+  * bounds each block at catalog-constant size; the join is a plain
+  * shuffled equi-join on the block key, pair expansion O(Σ block²), and a
+  * cheap length-difference guard prunes before the O(len²) levenshtein
+  * kernel runs (edit distance ≥ length difference, so the guard is exact,
+  * not a heuristic). Skewed blocks would salt exactly like any hot join
+  * key. All-pairs levenshtein — the naive shape — is banned by
+  * construction, not by configuration.
+  */
+object FuzzyJoin {
+
+  /** Near-duplicate (a, b) name pairs within (last-token, brand) blocks,
+    * edit distance ≤ maxDist, each unordered pair once (key_a < key_b).
+    */
+  def blockedFuzzyPairs(part: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val p = part.select(
+      element_at(split(col("p_name"), " "), -1).as("blk_tok"),
+      col("p_brand").as("blk_brand"),
+      col("p_partkey"), col("p_name"))
+    val a = p.select(col("blk_tok"), col("blk_brand"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("blk_tok"), col("blk_brand"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("blk_tok", "blk_brand"))
+      .filter(col("key_a") < col("key_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"), col("dist"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
+  // ---- queries -------------------------------------------------------------
+
+  val qFuzzy = GraftQuery(
+    "q105_fuzzy_join",
+    (s, dir) => blockedFuzzyPairs(Tables.part(s, dir), maxDist = 3),
+    Some("""
+      WITH p AS (
+        SELECT string_split(p_name, ' ')[-1] AS blk_tok, p_brand AS blk_brand,
+               p_partkey, p_name
+        FROM part)
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             a.p_name AS name_a, b.p_name AS name_b,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM p a JOIN p b
+        ON a.blk_tok = b.blk_tok AND a.blk_brand = b.blk_brand
+       AND a.p_partkey < b.p_partkey
+       AND abs(length(a.p_name) - length(b.p_name)) <= 3
+       AND levenshtein(a.p_name, b.p_name) <= 3
+      ORDER BY key_a, key_b"""))
+
+  val queries: Seq[GraftQuery] = Seq(qFuzzy)
+}

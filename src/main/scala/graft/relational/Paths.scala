@@ -1,0 +1,85 @@
+package graft.relational
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-hop BFS: shortest hop distance from a seed set, the reachability
+  * primitive behind "related items within k links" and taint/impact
+  * analysis over entity graphs.
+  *
+  * Scale shape per round: one edges⋈dist equi-join on src plus a (node)
+  * min-aggregate — O(edges) shuffled rows per round, never a transitive
+  * closure blow-up; round count is the constant k. (A frontier-delta
+  * variant would join only newly-discovered nodes — cheaper on high-
+  * diameter graphs but the same asymptotic bound per round; on the dense
+  * small-diameter graphs this targets, the relax form trades at most one
+  * extra O(edges) round for a plan with no anti-join.) Distances are small
+  * integers — partitioning-independent by min's commutativity, which is
+  * also what makes the unrolled-CTE oracle exact. The oracle stages are
+  * GENERATED FROM THE SAME LOOP as the Spark plan (the q83/q93 idiom).
+  */
+object Paths {
+
+  val Hops = 3
+  val SeedMod = 97
+
+  /** edges: (src, dst) directed (pass both directions for undirected);
+    * seeds: (node). Returns (node, dist) for every node within `hops`.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1 && hops <= 10, s"hops must be in [1, 10], got $hops")
+    var dist = seeds.distinct().select(col("node"), lit(0).as("dist"))
+    (1 to hops).foreach { i =>
+      val relaxed = edges.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), lit(i).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist.orderBy(col("node"))
+  }
+
+  private def duckRounds(hops: Int): String =
+    (1 to hops).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, $i AS dist
+         |    FROM edges e JOIN d${i - 1} p ON e.src = p.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+
+  // ---- queries -------------------------------------------------------------
+
+  /** q106: hop distances from parts with key ≡ 0 (mod 97) over the
+    * symmetric q87 co-purchase graph.
+    */
+  val qBfs = GraftQuery(
+    "q106_bfs_hops",
+    (s, dir) => {
+      val pairs = Basket.copurchasePairs(Tables.lineitem(s, dir), minSupport = 2)
+      val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
+        .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+      val seeds = edges.select(col("src").as("node"))
+        .filter(col("node") % SeedMod === 0)
+      bfsHops(edges, seeds, Hops)
+    },
+    Some(s"""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb HAVING count(*) >= 2),
+      edges AS (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs),
+      d0 AS (
+        SELECT DISTINCT src AS node, 0 AS dist FROM edges
+        WHERE src % $SeedMod = 0),
+      ${duckRounds(Hops)}
+      SELECT node, dist FROM d$Hops ORDER BY node"""))
+
+  val queries: Seq[GraftQuery] = Seq(qBfs)
+}
