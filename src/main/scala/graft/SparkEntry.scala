@@ -28,6 +28,8 @@ object SparkEntry {
       relational.TimeSeries.queries ++
       relational.FuzzyJoin.queries ++
       relational.Paths.queries ++
+      relational.SemiStructured.queries ++
+      text.Readability.queries ++
       relational.Basket.queries ++
       relational.Quality.queries ++
       relational.PageRank.queries ++
