@@ -30,6 +30,8 @@ object SparkEntry {
       relational.Paths.queries ++
       relational.SemiStructured.queries ++
       text.Readability.queries ++
+      relational.Attribution.queries ++
+      relational.Quantiles.queries ++
       relational.Basket.queries ++
       relational.Quality.queries ++
       relational.PageRank.queries ++
