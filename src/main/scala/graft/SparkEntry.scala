@@ -55,6 +55,7 @@ object SparkEntry {
       vector.IvfIndex.queries ++
       vector.Outliers.queries ++
       vector.SemDedup.queries ++
+      vector.Mmr.queries ++
       sources.CsvFolderSource.queries ++
       wrm.WrmQueries.queries ++
       multimodal.Multimodal.queries ++
