@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Basket {
 
-  def copurchasePairs(lineitem: DataFrame, minSupport: Long): DataFrame = {
+  /** Unordered co-purchase pairs — the graph-construction form. The graph
+    * operators (q93-q95, q106) consume this and `localCheckpoint` it, so a
+    * presentation sort here would be materialized as a real range shuffle
+    * the consumer never needed; output order is left to the caller.
+    */
+  def copurchasePairsUnsorted(lineitem: DataFrame, minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     // distinct first: multiple lineitems of the same part in one order are
     // one basket membership, not several
@@ -30,8 +35,11 @@ object Basket {
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-      .orderBy(col("support").desc, col("part_a"), col("part_b"))
   }
+
+  def copurchasePairs(lineitem: DataFrame, minSupport: Long): DataFrame =
+    copurchasePairsUnsorted(lineitem, minSupport)
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
 
   // ---- queries -------------------------------------------------------------
 

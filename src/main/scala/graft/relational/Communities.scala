@@ -30,17 +30,23 @@ object Communities {
     */
   def labelPropagation(edges: DataFrame, iters: Int = Iters): DataFrame = {
     require(iters >= 1 && iters <= 10, s"iters must be in [1, 10], got $iters")
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // Materialize the derived edge set once and cut per-round lineage
+    // (TextDedup.connectedComponents pattern) — otherwise round k's plan
+    // re-executes rounds 1..k-1 plus the upstream graph construction.
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
     val wArg = Window.partitionBy(col("node")).orderBy(col("s").desc, col("label"))
     (1 to iters).foreach { _ =>
-      labels = edges
+      labels = e
         .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(sum(col("w")).as("s"))
         .withColumn("rn", row_number().over(wArg))
         .filter(col("rn") === 1)
         .select(col("node"), col("label"))
+        .localCheckpoint() // O(nodes) rows
     }
     labels.select(col("node"), col("label").as("community"))
       .orderBy(col("node"))
@@ -66,7 +72,7 @@ object Communities {
   val qCommunities = GraftQuery(
     "q95_communities",
     (s, dir) => {
-      val pairs = Basket.copurchasePairs(Tables.lineitem(s, dir), minSupport = 2)
+      val pairs = Basket.copurchasePairsUnsorted(Tables.lineitem(s, dir), minSupport = 2)
       val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"),
         col("support").as("w"))
         .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst"),

@@ -21,6 +21,16 @@ object FuzzyJoin {
 
   /** Near-duplicate (a, b) name pairs within (last-token, brand) blocks,
     * edit distance ≤ maxDist, each unordered pair once (key_a < key_b).
+    *
+    * The edit-distance kernel runs once per DISTINCT (name_a, name_b) pair,
+    * not per candidate row: catalog-style name columns have cardinality far
+    * below row count, so Σ block² candidate pairs collapse to a small
+    * distinct-pair set (here ≤ |names|²), and the kernel cost drops by the
+    * duplication factor. The join-back is AQE-broadcast when the distinct
+    * set is small; with high-cardinality names the distinct set approaches
+    * the candidate count and this degrades gracefully to one kernel eval
+    * per pair — never more, unlike a join-condition levenshtein which
+    * Catalyst re-evaluates per conjunct and again in the projection.
     */
   def blockedFuzzyPairs(part: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
@@ -32,11 +42,26 @@ object FuzzyJoin {
       col("p_partkey").as("key_a"), col("p_name").as("name_a"))
     val b = p.select(col("blk_tok"), col("blk_brand"),
       col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    // Kernel over distinct names only: block-join the per-block distinct
+    // name sets, prune with the exact length guard (edit distance >= length
+    // difference), then run the threshold form of the kernel — the banded
+    // DP early-exits (returns -1) once the minimum exceeds maxDist, so it
+    // is O(maxDist·len) not O(len²). Computed above a distinct
+    // (= aggregate) barrier, so Catalyst cannot push the dist filter back
+    // into a join condition and re-evaluate the kernel per conjunct.
+    val names = p.select(col("blk_tok"), col("blk_brand"), col("p_name")).distinct()
+    val pairDist = names.select(col("blk_tok"), col("blk_brand"), col("p_name").as("name_a"))
+      .join(names.select(col("blk_tok"), col("blk_brand"), col("p_name").as("name_b")),
+        Seq("blk_tok", "blk_brand"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .select(col("name_a"), col("name_b")).distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
+    // single candidate expansion; the inner join against the surviving
+    // name pairs IS the distance filter (AQE broadcasts the small side)
     a.join(b, Seq("blk_tok", "blk_brand"))
       .filter(col("key_a") < col("key_b"))
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      .join(pairDist, Seq("name_a", "name_b"))
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"), col("dist"))
       .orderBy(col("key_a"), col("key_b"))
   }

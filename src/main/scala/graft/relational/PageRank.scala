@@ -32,13 +32,19 @@ object PageRank {
   def pageRank(edges: DataFrame, iters: Int = Iters, d: Double = Damping): DataFrame = {
     require(iters >= 1 && iters <= 10, s"iters must be in [1, 10], got $iters")
     require(d > 0.0 && d < 1.0, s"damping must be in (0, 1), got $d")
-    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // Materialize the (possibly expensive) derived edge set ONCE and cut
+    // lineage each round — without this, iteration k's plan re-executes
+    // iterations 1..k-1 AND the upstream graph construction on every
+    // reference to `edges` (the q51 connected-components pattern,
+    // TextDedup.connectedComponents).
+    val e = edges.localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum")).localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
     val nn = nodes.agg(count(lit(1)).as("n"))
     var pr = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
     (1 to iters).foreach { _ =>
-      val contribs = edges
+      val contribs = e
         .join(pr, col("src") === col("node"))
         .join(deg, Seq("src"))
         .select(col("dst"),
@@ -51,6 +57,7 @@ object PageRank {
           (lit(1.0 - d) / col("n") +
             lit(d) * coalesce(col("c"), lit(0).cast("decimal(28,8)"))
               .cast("double")).as("pr"))
+        .localCheckpoint() // O(nodes) rows; truncates the per-round lineage
     }
     pr.select(col("node"), round(col("pr"), 8).as("pagerank"))
       .orderBy(col("node"))
@@ -79,7 +86,7 @@ object PageRank {
   val qPageRank = GraftQuery(
     "q93_pagerank",
     (s, dir) => {
-      val pairs = Basket.copurchasePairs(Tables.lineitem(s, dir), minSupport = 2)
+      val pairs = Basket.copurchasePairsUnsorted(Tables.lineitem(s, dir), minSupport = 2)
       val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"), col("support").as("w"))
         .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst"), col("support").as("w")))
       pageRank(edges)

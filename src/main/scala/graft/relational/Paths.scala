@@ -29,12 +29,19 @@ object Paths {
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
     require(hops >= 1 && hops <= 10, s"hops must be in [1, 10], got $hops")
+    // Materialize the derived edge set once and cut per-round lineage:
+    // `dist` is referenced twice per round (union + join), so without the
+    // checkpoint the unexecuted plan — including the co-purchase aggregate
+    // feeding `edges` — roughly doubles per hop (~2^hops subtree copies).
+    val e = edges.localCheckpoint()
     var dist = seeds.distinct().select(col("node"), lit(0).as("dist"))
+      .localCheckpoint()
     (1 to hops).foreach { i =>
-      val relaxed = edges.join(dist, col("src") === col("node"))
+      val relaxed = e.join(dist, col("src") === col("node"))
         .select(col("dst").as("node"), lit(i).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint() // O(nodes) rows
     }
     dist.orderBy(col("node"))
   }
@@ -58,7 +65,7 @@ object Paths {
   val qBfs = GraftQuery(
     "q106_bfs_hops",
     (s, dir) => {
-      val pairs = Basket.copurchasePairs(Tables.lineitem(s, dir), minSupport = 2)
+      val pairs = Basket.copurchasePairsUnsorted(Tables.lineitem(s, dir), minSupport = 2)
       val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
         .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
       val seeds = edges.select(col("src").as("node"))

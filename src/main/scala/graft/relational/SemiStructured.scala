@@ -52,7 +52,7 @@ object SemiStructured {
              count(*) - count(k) AS n_null,
              min(k) AS k_min,
              max(k) AS k_max,
-             sum(k) AS k_sum,
+             CAST(sum(k) AS BIGINT) AS k_sum,
              count(DISTINCT k) AS k_distinct
       FROM e GROUP BY event_type
       ORDER BY event_type"""))

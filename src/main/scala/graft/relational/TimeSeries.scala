@@ -107,10 +107,10 @@ object TimeSeries {
       deltas AS (
         SELECT s AS d, CAST(1 AS BIGINT) AS delta FROM iv
         UNION ALL SELECT e, -1 FROM iv),
-      net AS (SELECT d, sum(delta) AS net FROM deltas GROUP BY d)
+      net AS (SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY d)
       SELECT CAST(d AS TIMESTAMP) AS d, net,
-             sum(net) OVER (ORDER BY d
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrent
+             CAST(sum(net) OVER (ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrent
       FROM net ORDER BY d"""))
 
   val qGapFill = GraftQuery(

@@ -22,11 +22,16 @@ object Triangles {
     * Returns (node, n_triangles) for every node incident to an edge.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // `und` feeds deg + the orientation join and `oriented` is referenced
+    // three times (two wedge sides + the closing edge): materialize each
+    // once so the upstream graph construction runs once, not 3×.
     val und = edges.select(least(col("a"), col("b")).as("a"),
       greatest(col("a"), col("b")).as("b")).distinct()
+      .localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
 
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
@@ -38,6 +43,7 @@ object Triangles {
       when(lowFirst, col("b")).otherwise(col("a")).as("dst"),
       when(lowFirst, col("da")).otherwise(col("db")).as("ds"),
       when(lowFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint()
 
     // wedges at the lowest vertex: two out-edges, second strictly above
     // the first in orientation order — each triangle enumerated once
@@ -63,7 +69,7 @@ object Triangles {
   val qTriangles = GraftQuery(
     "q94_triangles",
     (s, dir) => {
-      val pairs = Basket.copurchasePairs(Tables.lineitem(s, dir), minSupport = 2)
+      val pairs = Basket.copurchasePairsUnsorted(Tables.lineitem(s, dir), minSupport = 2)
       triangleCounts(pairs.select(col("part_a").as("a"), col("part_b").as("b")))
     },
     Some("""
