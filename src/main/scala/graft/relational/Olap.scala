@@ -83,6 +83,57 @@ object Olap {
       .orderBy(col("bucket"))
   }
 
+  /** Wide→long melt of the lineitem measure columns via the native
+    * `Dataset.unpivot` (Expand under the hood: each row fans out to one row
+    * per measure BEFORE any shuffle — a narrow map, no exchange at all;
+    * the output sort is presentation-only). The measure list is explicit
+    * and typed: unpivot requires a common value type, so every measure is
+    * cast to double up front rather than letting coercion pick.
+    */
+  def meltMeasures(lineitem: DataFrame, keyMod: Long): DataFrame = {
+    val base = lineitem
+      .filter(col("l_orderkey") % keyMod === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"),
+        col("l_discount").cast("double").as("l_discount"),
+        col("l_tax").cast("double").as("l_tax"))
+    base.unpivot(
+      Array(col("l_orderkey"), col("l_linenumber")),
+      Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax")),
+      "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+  }
+
+  /** Equi-depth (equal-frequency) histogram per group — the DB-statistics
+    * complement to the equi-width `histogram`. Buckets are assigned on the
+    * per-(group, value) COUNT TABLE, not per row (the q110 count-table
+    * idiom): the window sorts |distinct values| rows per group, never the
+    * fact table, so the single-partition-window trap is bounded by value
+    * cardinality at any corpus size. All rows of one value land in one
+    * bucket (the standard equi-depth statistics semantic: bucket by the
+    * value's LAST row's 0-indexed global rank, floor(((cum-1)·k)/n) — all
+    * integer math, bit-identical in any engine).
+    */
+  def equidepthHistogram(lineitem: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = lineitem
+      .groupBy(col("l_returnflag").as("grp"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    counts
+      .withColumn("cum", sum(col("c")).over(byV))
+      .withColumn("n", sum(col("c")).over(whole))
+      .withColumn("bucket", floor((col("cum") - 1) * k / col("n")))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(sum(col("c")).as("n_rows"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("grp"), col("bucket"))
+  }
+
   // ---- queries -------------------------------------------------------------
 
   val qRollup = GraftQuery(
@@ -125,5 +176,41 @@ object Olap {
       GROUP BY bucket
       ORDER BY bucket"""))
 
-  val queries: Seq[GraftQuery] = Seq(qRollup, qPivot, qHistogram)
+  val qUnpivot = GraftQuery(
+    "q113_unpivot",
+    (s, dir) => meltMeasures(Tables.lineitem(s, dir), keyMod = 500L),
+    Some("""
+      WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 500 = 0),
+      m AS (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS value FROM f
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM f
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+               CAST(l_discount AS DOUBLE) FROM f
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+               CAST(l_tax AS DOUBLE) FROM f)
+      SELECT l_orderkey, l_linenumber, measure, value
+      FROM m ORDER BY l_orderkey, l_linenumber, measure"""))
+
+  val qEquidepth = GraftQuery(
+    "q114_equidepth_bins",
+    (s, dir) => equidepthHistogram(Tables.lineitem(s, dir), k = 10),
+    Some("""
+      WITH counts AS (
+        SELECT l_returnflag AS grp, l_quantity AS v, count(*) AS c
+        FROM lineitem GROUP BY grp, v),
+      cum AS (
+        SELECT grp, v, c,
+               sum(c) OVER (PARTITION BY grp ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY grp) AS n
+        FROM counts)
+      SELECT grp, CAST(floor((cum - 1) * 10 / n) AS BIGINT) AS bucket,
+             CAST(sum(c) AS BIGINT) AS n_rows, min(v) AS lo, max(v) AS hi
+      FROM cum GROUP BY grp, bucket
+      ORDER BY grp, bucket"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qRollup, qPivot, qHistogram, qUnpivot, qEquidepth)
 }

@@ -26,8 +26,19 @@ object Paths {
 
   /** edges: (src, dst) directed (pass both directions for undirected);
     * seeds: (node). Returns (node, dist) for every node within `hops`.
+    *
+    * `frontier = true` switches to the frontier-delta form: round i joins
+    * only the nodes FIRST discovered in round i-1 (anti-joined against all
+    * known nodes) instead of re-relaxing the whole dist set. Per-round
+    * shuffle drops from O(edges incident to all known nodes) to O(edges
+    * incident to the frontier) — the win on high-diameter graphs where the
+    * frontier is a thin shell of the reachable set — and an empty frontier
+    * short-circuits the remaining rounds. Both forms produce identical
+    * (node, dist): BFS layers mean a node's first discovery round IS its
+    * min hop distance (PathsSpec pins the equivalence differentially).
     */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, hops: Int,
+              frontier: Boolean = false): DataFrame = {
     require(hops >= 1 && hops <= 10, s"hops must be in [1, 10], got $hops")
     // Materialize the derived edge set once and cut per-round lineage:
     // `dist` is referenced twice per round (union + join), so without the
@@ -36,12 +47,27 @@ object Paths {
     val e = edges.localCheckpoint()
     var dist = seeds.distinct().select(col("node"), lit(0).as("dist"))
       .localCheckpoint()
-    (1 to hops).foreach { i =>
-      val relaxed = e.join(dist, col("src") === col("node"))
-        .select(col("dst").as("node"), lit(i).as("dist"))
-      dist = dist.unionAll(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint() // O(nodes) rows
+    if (frontier) {
+      var front = dist.select(col("node"))
+      var i = 1
+      while (i <= hops && !front.isEmpty) {
+        val discovered = e.join(front, col("src") === col("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .localCheckpoint() // O(frontier) rows
+        dist = dist.unionAll(discovered.select(col("node"), lit(i).as("dist")))
+          .localCheckpoint()
+        front = discovered
+        i += 1
+      }
+    } else {
+      (1 to hops).foreach { i =>
+        val relaxed = e.join(dist, col("src") === col("node"))
+          .select(col("dst").as("node"), lit(i).as("dist"))
+        dist = dist.unionAll(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint() // O(nodes) rows
+      }
     }
     dist.orderBy(col("node"))
   }

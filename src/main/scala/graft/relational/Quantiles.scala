@@ -48,6 +48,52 @@ object Quantiles {
       .orderBy(col(groupCol), col("probe"))
   }
 
+  /** Smallest value whose cumulative count reaches ceil(n/2) — the exact
+    * discrete median over a (group, v, c) count table. Rank arithmetic on
+    * exact integers (DECIMAL 0.5 so ceil is never off by an ulp); the
+    * window runs over O(distinct values) aggregated rows per group.
+    */
+  private def discreteMedian(counts: DataFrame, groupCol: String,
+                             outCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val totals = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    cum.join(totals, Seq(groupCol))
+      .filter(col("cum") >= ceil(lit(BigDecimal("0.5")) * col("n")))
+      .groupBy(col(groupCol)).agg(min(col("v")).as(outCol))
+  }
+
+  /** Robust per-group outlier stats: median, MAD (median absolute
+    * deviation), and the count of rows whose deviation exceeds z·MAD — the
+    * median/MAD robust z-score screen that, unlike mean/stddev, a few
+    * extreme rows cannot drag.
+    *
+    * Both medians are the exact DISCRETE quantile over count tables (no
+    * interpolation — interpolated medians differ across engines in the
+    * last ulp; rank arithmetic cannot). Three aggregates over the same
+    * group key plus two O(groups) joins back; per-group window cost is
+    * bounded by distinct-value count, never row count.
+    */
+  def madOutlierStats(df: DataFrame, groupCol: String, valueCol: String,
+                      z: Double): DataFrame = {
+    require(z > 0, s"z must be > 0, got $z")
+    val counts = df.groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val med = discreteMedian(counts, groupCol, "med")
+    val devCounts = counts.join(med, Seq(groupCol))
+      .groupBy(col(groupCol), abs(col("v") - col("med")).as("v"))
+      .agg(sum(col("c")).as("c"))
+    val mad = discreteMedian(devCounts, groupCol, "mad")
+    counts.join(med, Seq(groupCol)).join(mad, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(col("c")).as("n_rows"),
+        sum(when(abs(col("v") - col("med")) > col("mad") * z, col("c"))
+          .otherwise(lit(0L))).as("n_outliers"))
+      .orderBy(col(groupCol))
+  }
+
   // ---- queries -------------------------------------------------------------
 
   val qQuantiles = GraftQuery(
@@ -73,5 +119,53 @@ object Quantiles {
       GROUP BY c.event_type, p.probe
       ORDER BY c.event_type, p.probe"""))
 
-  val queries: Seq[GraftQuery] = Seq(qQuantiles)
+  /** Grouped by l_partkey, NOT a low-cardinality key: l_extendedprice is
+    * near-unique (59,821 distinct of 60,000 rows at sf0.01), so its count
+    * table is ~the fact table — a 3-group partitionBy would funnel a third
+    * of the corpus through each window partition at scale. Per-part the
+    * window sorts ~30 rows; group count grows with the data, per-group
+    * work stays bounded.
+    */
+  val qMadOutliers = GraftQuery(
+    "q116_mad_outliers",
+    (s, dir) => madOutlierStats(Tables.lineitem(s, dir),
+      "l_partkey", "l_extendedprice", z = 3.0),
+    Some("""
+      WITH counts AS (
+        SELECT l_partkey AS grp, l_extendedprice AS v, count(*) AS c
+        FROM lineitem GROUP BY grp, v),
+      cum AS (
+        SELECT grp, v, c,
+               sum(c) OVER (PARTITION BY grp ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM counts),
+      tot AS (SELECT grp, sum(c) AS n FROM counts GROUP BY grp),
+      med AS (
+        SELECT c.grp, min(c.v) AS med
+        FROM cum c JOIN tot t ON c.grp = t.grp
+        WHERE c.cum >= ceil(0.5 * t.n) GROUP BY c.grp),
+      dcounts AS (
+        SELECT k.grp AS grp, abs(k.v - m.med) AS v, sum(k.c) AS c
+        FROM counts k JOIN med m ON k.grp = m.grp
+        GROUP BY k.grp, abs(k.v - m.med)),
+      dcum AS (
+        SELECT grp, v, c,
+               sum(c) OVER (PARTITION BY grp ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM dcounts),
+      dtot AS (SELECT grp, sum(c) AS n FROM dcounts GROUP BY grp),
+      mad AS (
+        SELECT d.grp, min(d.v) AS mad
+        FROM dcum d JOIN dtot t ON d.grp = t.grp
+        WHERE d.cum >= ceil(0.5 * t.n) GROUP BY d.grp)
+      SELECT k.grp AS l_partkey, max(m.med) AS med, max(a.mad) AS mad,
+             CAST(sum(k.c) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN abs(k.v - m.med) > a.mad * CAST(3.0 AS DOUBLE)
+                           THEN k.c ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM counts k
+      JOIN med m ON k.grp = m.grp
+      JOIN mad a ON k.grp = a.grp
+      GROUP BY k.grp ORDER BY l_partkey"""))
+
+  val queries: Seq[GraftQuery] = Seq(qQuantiles, qMadOutliers)
 }

@@ -362,6 +362,49 @@ object CorpusPrep {
              string_agg(tok, ' ' ORDER BY gpos) AS text
       FROM tok GROUP BY 1 ORDER BY window_id"""))
 
+  /** Per-source adaptive quota (the Common-Crawl-style domain cap): keep
+    * each source's top documents ranked by (n_chars DESC, doc_id), capped
+    * at max(minCap, floor(sqrt(n_source))) — a sublinear share, so no
+    * single domain dominates the training mix while small sources keep a
+    * floor.
+    *
+    * ONE shuffle on source: both window passes (rank and group count)
+    * share the partitioning, and the cap is computed per row from the
+    * windowed count — no second aggregate, no join. At web scale the
+    * source key is the classic skew candidate; the [[relational.SkewTools]]
+    * salting pattern applies when one domain is a constant fraction of the
+    * corpus (the cap itself then bounds the kept output regardless).
+    */
+  def sourceCaps(docs: DataFrame, minCap: Int): DataFrame = {
+    require(minCap >= 1, s"minCap must be >= 1, got $minCap")
+    val byLen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    docs.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(byLen).cast("long"))
+      .withColumn("cap",
+        greatest(lit(minCap.toLong),
+          floor(sqrt(count(lit(1)).over(whole)))))
+      .filter(col("rn") <= col("cap"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  val qSourceCaps = GraftQuery(
+    "q112_source_caps",
+    (s, dir) => sourceCaps(Tables.documents(s, dir), minCap = 5),
+    Some("""
+      WITH r AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n_docs
+        FROM documents)
+      SELECT source, doc_id, n_chars, rn,
+             greatest(CAST(5 AS BIGINT), CAST(floor(sqrt(n_docs)) AS BIGINT)) AS cap
+      FROM r
+      WHERE rn <= greatest(CAST(5 AS BIGINT), CAST(floor(sqrt(n_docs)) AS BIGINT))
+      ORDER BY source, rn"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qChunk, qRarity, qPack, qShuffle, qTrainingWindows)
+    Seq(qChunk, qRarity, qPack, qShuffle, qTrainingWindows, qSourceCaps)
 }

@@ -57,4 +57,39 @@ class OlapSpec extends SparkSpec {
       .select("bucket", "n").as[(Int, Long)].collect().toMap
     assert(out === Map(0 -> 2L, 1 -> 1L, 3 -> 2L)) // 10.0 clamps to bucket 3
   }
+
+  test("unpivot: one row per (row, measure), key filter applied first") {
+    val li = Seq(
+      (500L, 1, 10.0, 100.0, 0.1, 0.02),
+      (500L, 2, 20.0, 200.0, 0.2, 0.04),
+      (501L, 1, 30.0, 300.0, 0.3, 0.06)) // dropped by keyMod
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+    val out = Olap.meltMeasures(li, keyMod = 500L)
+      .as[(Long, Int, String, Double)].collect()
+    assert(out.length == 8) // 2 surviving rows x 4 measures
+    assert(out.take(4).toSeq == Seq( // sorted by (key, line, measure)
+      (500L, 1, "l_discount", 0.1), (500L, 1, "l_extendedprice", 100.0),
+      (500L, 1, "l_quantity", 10.0), (500L, 1, "l_tax", 0.02)))
+    assert(!out.exists(_._1 == 501L))
+  }
+
+  test("equi-depth bins: near-equal frequency, all rows of one value share a bucket") {
+    // 100 rows of v=1..10 (10 each) in one group, k=5 -> 2 values per bucket
+    val rows = for (v <- 1 to 10; _ <- 1 to 10) yield ("A", v.toDouble)
+    val li = rows.toDF("l_returnflag", "l_quantity")
+    val out = Olap.equidepthHistogram(li, k = 5)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("A", 0L, 20L, 1.0, 2.0), ("A", 1L, 20L, 3.0, 4.0),
+      ("A", 2L, 20L, 5.0, 6.0), ("A", 3L, 20L, 7.0, 8.0),
+      ("A", 4L, 20L, 9.0, 10.0)))
+    // skewed: one value holds 90% of rows -> lands wholly in one bucket
+    val skew = (Seq.fill(90)(("B", 5.0)) ++ (1 to 10).map(i => ("B", i + 100.0)))
+      .toDF("l_returnflag", "l_quantity")
+    val sk = Olap.equidepthHistogram(skew, k = 4)
+      .as[(String, Long, Long, Double, Double)].collect()
+    val heavy = sk.filter(r => r._4 <= 5.0 && 5.0 <= r._5)
+    assert(heavy.length == 1 && heavy.head._3 >= 90L)
+  }
 }

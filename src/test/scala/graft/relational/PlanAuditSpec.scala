@@ -31,10 +31,14 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("every registry query carries a DuckDB oracle (no rows-only checks)") {
-    // CORRECTNESS has been 0-rows-only since round 5 — every operator is
-    // hash-checked against an independent engine. Pin it so a future
-    // operator can't quietly ship with the weaker rows>0 check.
+    // Every operator is hash-checked against an independent engine — pin it
+    // so a future operator can't quietly ship with the weaker rows>0 check.
+    // The ONLY deliberate exception: the IVF index BUILD surface (iterative
+    // k-means has no single-query SQL equivalent; its output quality is
+    // pinned by the exact-probe oracle q38_ann_ivf + IvfSpec identity).
+    val allowed = Set("q38_ivf_build")
     val missing = graft.SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+      .filterNot(allowed)
     assert(missing.isEmpty, s"oracle-less registry queries: ${missing.mkString(", ")}")
   }
 

@@ -43,4 +43,23 @@ class QuantilesSpec extends SparkSpec {
       }.nonEmpty, s"window over non-aggregated input:\n$w")
     }
   }
+
+  test("mad outliers: median/MAD exact, only >z·MAD rows flagged") {
+    // group a: 1..9 plus an extreme 1000 -> med is rank ceil(10/2)=5 -> 5.0;
+    // deviations {4,3,2,1,0,1,2,3,4,995} -> sorted {0,1,1,2,2,3,3,4,4,995},
+    // MAD = rank-5 value = 2.0; threshold 6.0 -> only 1000 (dev 995) flagged
+    val df = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a" -> 1000.0))
+      .toDF("g", "v")
+    val out = Quantiles.madOutlierStats(df, "g", "v", z = 3.0)
+      .as[(String, Double, Double, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 5.0, 2.0, 10L, 1L)))
+  }
+
+  test("mad outliers: constant group has MAD 0 and flags any deviation") {
+    val df = (Seq.fill(5)(("c", 7.0)) :+ ("c" -> 7.5)).toDF("g", "v")
+    // med 7.0, deviations {0 x5, 0.5} -> MAD 0; 7.5 deviates > 0 -> flagged
+    val out = Quantiles.madOutlierStats(df, "g", "v", z = 3.0)
+      .as[(String, Double, Double, Long, Long)].collect().toSeq
+    assert(out == Seq(("c", 7.0, 0.0, 6L, 1L)))
+  }
 }

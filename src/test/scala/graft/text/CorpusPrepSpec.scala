@@ -128,4 +128,20 @@ class CorpusPrepSpec extends SparkSpec {
       (1L, 3L, 8L, 8.0 / 3),   // 3+3+2
       (2L, 3L, 6L, 2.0)))      // 3+2+1
   }
+
+  test("source caps: sqrt quota with floor, ranked by length then doc_id") {
+    // big: 100 docs -> cap floor(sqrt(100)) = 10; tiny: 3 docs -> minCap
+    // floor wins (keeps all 3); ties on n_chars break by doc_id
+    val docs = ((1 to 100).map(i => (i.toLong, "big", 1000 - i)) ++
+      Seq((200L, "tiny", 5), (201L, "tiny", 5), (202L, "tiny", 5)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = CorpusPrep.sourceCaps(docs, minCap = 5)
+      .as[(String, Long, Int, Long, Long)].collect().toSeq
+    val big = out.filter(_._1 == "big")
+    assert(big.length == 10 && big.forall(_._5 == 10L))
+    assert(big.map(_._2) == (1L to 10L)) // longest = lowest i here
+    val tiny = out.filter(_._1 == "tiny")
+    assert(tiny.length == 3 && tiny.forall(_._5 == 5L))
+    assert(tiny.map(r => (r._2, r._4)) == Seq((200L, 1L), (201L, 2L), (202L, 3L)))
+  }
 }

@@ -73,6 +73,26 @@ class IvfSpec extends SparkSpec {
       s"recall@10 too low on the far cluster: $got vs $exact")
   }
 
+  test("persisted index: probe over the parquet round-trip equals in-memory search") {
+    val dir = "/root/testdata/sf0.001"
+    val out = IvfIndex.ensurePersisted(spark, dir, nlist = 16, iters = 2)
+    // ready-marker written; a second call must reuse, not rebuild (the
+    // marker's mtime is the witness)
+    val marker = new java.io.File(out, "_GRAFT_INDEX_READY")
+    assert(marker.exists())
+    val mtime = marker.lastModified()
+    IvfIndex.ensurePersisted(spark, dir, nlist = 16, iters = 2)
+    assert(marker.lastModified() == mtime, "index rebuilt on warm call")
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val persisted = IvfIndex.loadPersisted(spark, out)
+    val got = IvfIndex.search(persisted, q, k = 20, nprobe = 16)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect().toSeq
+    val exact = Similarity.cosineTopK(e, q, 20)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect().toSeq
+    assert(got == exact, "persisted probe diverged from brute force")
+  }
+
   test("CSV folder source reads all files with lineage; most-recent helper works") {
     val prefix = graft.sources.CsvFolderSource.writeFailuresFixture()
     val df = graft.sources.CsvFolderSource.readFolder(spark, prefix,
