@@ -48,6 +48,7 @@ object SparkEntry {
       text.Repetition.queries ++
       text.CorpusPrep.queries ++
       text.CorpusOps.queries ++
+      text.HeavyHitters.queries ++
       text.CorpusSafety.queries ++
       text.Bpe.queries ++
       relational.RangeJoin.queries ++

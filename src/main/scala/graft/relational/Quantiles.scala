@@ -94,6 +94,63 @@ object Quantiles {
       .orderBy(col(groupCol))
   }
 
+  /** Approximate per-group quantiles (the mergeable Greenwald-Khanna-style
+    * sketch behind `percentile_approx`) VERIFIED against exact rank bounds
+    * — the q37 idiom applied to quantiles: the sketch estimate itself is
+    * merge-order-dependent, so the dumped rows carry the EXACT discrete
+    * quantile (count-table rank arithmetic, hash-comparable against
+    * DuckDB) plus a boolean asserting the sketch value lies between the
+    * exact values at ranks ceil(q·n) ± slack·n/accuracy. The sketch's
+    * guarantee is rank error ≤ n/accuracy; `slack`× that is the 3-sigma-
+    * style margin so an implementation change doesn't flip the harness
+    * red without a semantic bug. The oracle pins the booleans TRUE — an
+    * out-of-bound sketch fails the hash check.
+    *
+    * One scan computes the sketch (partial-aggregated map-side, O(accuracy)
+    * state per group); the exact side is the count-table shape: all three
+    * rank picks (lo/exact/hi) come from ONE conditional aggregate over the
+    * cumulative table, windows over O(distinct values) per group.
+    */
+  def approxQuantileGate(df: DataFrame, groupCol: String, valueCol: String,
+                         accuracy: Int, slack: Int): DataFrame = {
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    require(slack >= 1, s"slack must be >= 1, got $slack")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val counts = df.groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val totals = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    val probes = Probes.map { case (label, q) => (label, BigDecimal(q)) }
+      .toDF("probe", "q")
+    val ranks = totals.crossJoin(broadcast(probes))
+      .withColumn("r", ceil(col("q") * col("n")).cast("long"))
+      // bound ranks only feed the pass/fail booleans (the oracle pins them
+      // TRUE, never their numeric path), so double arithmetic is fine here
+      .withColumn("d",
+        ceil(lit(slack.toDouble) * col("n") / lit(accuracy.toDouble)).cast("long"))
+      .withColumn("rlo", greatest(lit(1L), col("r") - col("d")))
+      .withColumn("rhi", least(col("n"), col("r") + col("d")))
+    val exact = cum.join(ranks, Seq(groupCol))
+      .groupBy(col(groupCol), col("probe"))
+      .agg(
+        min(when(col("cum") >= col("r"), col("v"))).as("quantile"),
+        min(when(col("cum") >= col("rlo"), col("v"))).as("vlo"),
+        min(when(col("cum") >= col("rhi"), col("v"))).as("vhi"))
+    val qsArr = array(Probes.map { case (_, q) => lit(q.toDouble) }: _*)
+    val approx = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol), qsArr, lit(accuracy)).as("ap"))
+      .select(col(groupCol), posexplode(col("ap")).as(Seq("pos", "ap")))
+      .join(broadcast(Probes.map(_._1).zipWithIndex.map(_.swap).toDF("pos", "probe")),
+        Seq("pos"))
+    exact.join(approx, Seq(groupCol, "probe"))
+      .select(col(groupCol), col("probe"), col("quantile"),
+        (col("ap") >= col("vlo") && col("ap") <= col("vhi")).as("within_bounds"))
+      .orderBy(col(groupCol), col("probe"))
+  }
+
   // ---- queries -------------------------------------------------------------
 
   val qQuantiles = GraftQuery(
@@ -167,5 +224,30 @@ object Quantiles {
       JOIN mad a ON k.grp = a.grp
       GROUP BY k.grp ORDER BY l_partkey"""))
 
-  val queries: Seq[GraftQuery] = Seq(qQuantiles, qMadOutliers)
+  val qApproxQuantiles = GraftQuery(
+    "q119_approx_quantile_gate",
+    (s, dir) => approxQuantileGate(Tables.lineitem(s, dir),
+      "l_returnflag", "l_quantity", accuracy = 10000, slack = 4),
+    Some("""
+      WITH counts AS (
+        SELECT l_returnflag, l_quantity AS v, count(*) AS c
+        FROM lineitem GROUP BY l_returnflag, v),
+      cum AS (
+        SELECT l_returnflag, v, c,
+               sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM counts),
+      totals AS (SELECT l_returnflag, sum(c) AS n FROM counts GROUP BY l_returnflag),
+      probes AS (SELECT * FROM (VALUES ('p50', CAST(0.50 AS DECIMAL(4,2))),
+                                       ('p90', CAST(0.90 AS DECIMAL(4,2))),
+                                       ('p99', CAST(0.99 AS DECIMAL(4,2)))) AS p(probe, q))
+      SELECT c.l_returnflag, p.probe, min(c.v) AS quantile,
+             TRUE AS within_bounds
+      FROM cum c JOIN totals t ON c.l_returnflag = t.l_returnflag
+      CROSS JOIN probes p
+      WHERE c.cum >= ceil(p.q * t.n)
+      GROUP BY c.l_returnflag, p.probe
+      ORDER BY c.l_returnflag, p.probe"""))
+
+  val queries: Seq[GraftQuery] = Seq(qQuantiles, qMadOutliers, qApproxQuantiles)
 }

@@ -180,6 +180,57 @@ object CorpusOps {
       WHERE rn <= 20
       ORDER BY doc_id"""))
 
+  /** Deterministic, disjoint train/val/test assignment by document-id hash
+    * — the leakage-safe split a training pipeline needs: a document's split
+    * is a pure function of its id (md5-prefix uniform, the q47 idiom), so
+    * it never moves between splits across reruns, repartitions, engines, or
+    * corpus growth (new docs land in splits at the target rates; existing
+    * assignments are stable — the property fraction- or RNG-based splits
+    * lack). Boundaries partition [0,1): u < trainFrac → train,
+    * u < trainFrac+valFrac → val, else test.
+    *
+    * Returns the per-(split, lang) dataset card (doc count, char volume) —
+    * ONE narrow map for the assignment (no shuffle until the O(splits ×
+    * langs) aggregate, which partial-aggregates map-side).
+    */
+  def datasetSplit(docs: DataFrame, trainFrac: Double,
+                   valFrac: Double): DataFrame = {
+    require(trainFrac > 0 && valFrac > 0 && trainFrac + valFrac < 1,
+      s"fractions must be positive with trainFrac+valFrac < 1, " +
+        s"got train=$trainFrac val=$valFrac")
+    val u = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(1000000L)).cast("double") / 1000000.0
+    docs.select(
+      when(u < trainFrac, lit("train"))
+        .when(u < trainFrac + valFrac, lit("val"))
+        .otherwise(lit("test")).as("split"),
+      col("lang"), col("n_chars"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val qDatasetSplit = GraftQuery(
+    "q118_dataset_split",
+    (s, dir) => datasetSplit(Tables.documents(s, dir),
+      trainFrac = 0.9, valFrac = 0.05),
+    Some(s"""
+      WITH assigned AS (
+        SELECT CASE
+                 WHEN u < 0.9 THEN 'train'
+                 WHEN u < 0.95 THEN 'val'
+                 ELSE 'test' END AS split,
+               lang, n_chars
+        FROM (SELECT lang, n_chars,
+                     CAST(${Md5P61.duckBase("CAST(doc_id AS VARCHAR)")} % 1000000
+                          AS DOUBLE) / 1000000.0 AS u
+              FROM documents) t)
+      SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM assigned
+      GROUP BY split, lang
+      ORDER BY split, lang"""))
+
   val queries: Seq[GraftQuery] = Seq(qVocab, qStratified, qTfIdf, qArgMax,
-    qExactSample)
+    qExactSample, qDatasetSplit)
 }

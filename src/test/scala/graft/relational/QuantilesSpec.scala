@@ -44,6 +44,24 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("approx quantile gate: exact quantiles right, sketch inside bounds") {
+    // 1..1000 in one group: exact p50 = value at rank ceil(0.5*1000) = 500
+    val df = (1 to 1000).map(i => ("g", i.toLong)).toDF("grp", "v")
+    val out = Quantiles.approxQuantileGate(df, "grp", "v",
+      accuracy = 10000, slack = 4)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(out.map(r => r._2 -> r._3).toMap ==
+      Map("p50" -> 500L, "p90" -> 900L, "p99" -> 990L))
+    assert(out.forall(_._4), s"sketch outside rank bounds: $out")
+    // the sketch side must not change the exact side whatever the
+    // partitioning (merge-order independence of the dumped columns)
+    val repart = Quantiles.approxQuantileGate(df.repartition(11), "grp", "v",
+      accuracy = 10000, slack = 4)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(repart.map(r => (r._1, r._2, r._3)) == out.map(r => (r._1, r._2, r._3)))
+    assert(repart.forall(_._4))
+  }
+
   test("mad outliers: median/MAD exact, only >z·MAD rows flagged") {
     // group a: 1..9 plus an extreme 1000 -> med is rank ceil(10/2)=5 -> 5.0;
     // deviations {4,3,2,1,0,1,2,3,4,995} -> sorted {0,1,1,2,2,3,3,4,4,995},

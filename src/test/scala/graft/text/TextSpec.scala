@@ -378,6 +378,36 @@ class TextSpec extends SparkSpec {
     assert(schema.toSeq == Seq("doc_id", "source", "quality", "n_tokens"))
   }
 
+  test("dataset split: exhaustive, disjoint, proportional, stable") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val total = docs.count()
+    val card = CorpusOps.datasetSplit(docs, trainFrac = 0.9, valFrac = 0.05)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // exhaustive partition: per-split doc counts sum to the corpus
+    assert(card.map(_._3).sum == total)
+    assert(card.map(_._1).toSet == Set("train", "val", "test"))
+    val bySplit = card.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val trainRatio = bySplit("train").toDouble / total
+    assert(trainRatio > 0.85 && trainRatio < 0.95, s"train ratio $trainRatio")
+    // stability: assignment is a pure function of doc_id — identical card
+    // whatever the partitioning, and a sub-corpus (docs removed) never
+    // moves a surviving doc between splits (its per-cell counts can only
+    // shrink, never grow)
+    val repart = CorpusOps.datasetSplit(docs.repartition(7), 0.9, 0.05)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(repart == card)
+    val halfCard = CorpusOps.datasetSplit(docs.filter(col("doc_id") % 2 === 0),
+      0.9, 0.05).as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val fullCard = card.map(r => (r._1, r._2) -> r._3).toMap
+    halfCard.foreach { case (k, n) => assert(n <= fullCard(k), s"cell $k grew") }
+    // invalid fractions fail fast
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.datasetSplit(docs, trainFrac = 0.9, valFrac = 0.2)
+    }
+    assert(e.getMessage.contains("trainFrac"))
+  }
+
   test("fingerprint: deterministic, order-sensitive") {
     val out = Seq((1L, "abc"), (2L, "abc"), (3L, "acb"))
       .toDF("doc_id", "text")
