@@ -38,19 +38,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** `ts` is TIMESTAMP(NANOS) in parquet; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as an epoch-nano
-    * Long. Convert to a microsecond timestamp via integer division (`div`,
-    * not `/` — a double division would lose precision above 2^53 and epoch
-    * nanos are ~1.7e18). Truncation matches DuckDB's TIMESTAMP_NS cast.
+  /** Normalize `ts` to TIMESTAMP (LTZ, micros) whatever the parquet
+    * physical type of the generated data:
+    *  - TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    it arrives as an epoch-nano Long — convert via integer division
+    *    (`div`, not `/` — a double division would lose precision above
+    *    2^53 and epoch nanos are ~1.7e18). Truncation matches DuckDB's
+    *    TIMESTAMP_NS cast.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ — cast to LTZ, which under the session's fixed UTC
+    *    zone is a micros-preserving identity. Downstream code (range
+    *    windows over `unix_micros`, streaming watermarks) is written
+    *    against the LTZ type.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
+
+  /** See [[events]] — shared with the streaming staged reader. */
+  def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw // already a timestamp (micros) — nothing to do
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already TIMESTAMP — nothing to do
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

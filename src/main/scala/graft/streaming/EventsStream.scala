@@ -83,8 +83,9 @@ object EventsStream {
 
   /** Stage the events parquet into a directory (streaming file sources
     * require directories) and return a micro-batch stream of it with the
-    * ns→µs conversion applied. The staged copy + inferred schema are
-    * memoized per source dir — the copy and footer read are setup, not
+    * `ts` normalization applied (nanos-as-long or NTZ → LTZ micros, the
+    * [[graft.Tables.normalizeTs]] rule). The staged copy + inferred schema
+    * are memoized per source dir — the copy and footer read are setup, not
     * part of any streaming operator's work.
     */
   private val staged =
@@ -98,10 +99,10 @@ object EventsStream {
       java.nio.file.Files.copy(src, d.resolve("events.parquet"))
       (d.toString, spark.read.parquet(d.toString).schema)
     })
-    spark.readStream
-      .schema(schema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(dir))
   }
 
   /** Stateful-operator parallelism for these single-batch AvailableNow

@@ -23,10 +23,9 @@ class StreamingSpec extends SparkSpec {
   test("streaming hourly agg matches the batch q18 result (T6)") {
     val batchEvents = Tables.events(spark, "/root/testdata/sf0.001")
     // stream the same parquet through a file source (schema from batch read)
-    val streamed = spark.readStream
+    val streamed = Tables.normalizeTs(spark.readStream
       .schema(spark.read.parquet(eventsDir).schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(eventsDir))
     val q = EventsStream.hourlyAgg(streamed)
       .writeStream.outputMode("append").format("memory").queryName("hourly")
       .start()
@@ -45,10 +44,9 @@ class StreamingSpec extends SparkSpec {
 
   test("stateful latest-per-user matches the batch q06 winners (T7)") {
     val ds = Tables.events(spark, "/root/testdata/sf0.001").as[EventsStream.Event]
-    val streamed = spark.readStream
+    val streamed = Tables.normalizeTs(spark.readStream
       .schema(spark.read.parquet(eventsDir).schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(eventsDir))
       .as[EventsStream.Event]
     val q = EventsStream.latestPerUser(streamed)
       .writeStream.outputMode("update").format("memory").queryName("latest")
@@ -68,10 +66,9 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-stream interval join matches its batch equivalent") {
     val batchEvents = Tables.events(spark, "/root/testdata/sf0.001")
-    val streamed = spark.readStream
+    val streamed = Tables.normalizeTs(spark.readStream
       .schema(spark.read.parquet(eventsDir).schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(eventsDir))
     val q = EventsStream.purchaseViewJoin(streamed)
       .writeStream.outputMode("append").format("memory").queryName("ssjoin")
       .start()
