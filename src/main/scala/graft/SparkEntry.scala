@@ -29,6 +29,7 @@ object SparkEntry {
       relational.FuzzyJoin.queries ++
       relational.Paths.queries ++
       relational.SemiStructured.queries ++
+      relational.Regression.queries ++
       text.Readability.queries ++
       relational.Attribution.queries ++
       relational.Quantiles.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       text.HeavyHitters.queries ++
       text.CorpusSafety.queries ++
       text.Bpe.queries ++
+      text.TrainingBatch.queries ++
       relational.RangeJoin.queries ++
       vector.Similarity.queries ++
       vector.IvfIndex.queries ++

@@ -94,6 +94,45 @@ object Quantiles {
       .orderBy(col(groupCol))
   }
 
+  /** Winsorized per-group stats: clamp values into [p05, p95] (exact
+    * discrete quantiles from the count table) and report the clipped
+    * mean plus how many rows each tail clipped — the robust-mean screen
+    * that bounds the influence of any single extreme row, companion to
+    * [[madOutlierStats]].
+    *
+    * Scale shape: same as the quantile family — one count-table
+    * aggregate, cumulative windows over O(distinct values) per group,
+    * O(groups) quantile joins back, then one final aggregate. Values are
+    * DECIMAL(18,2) throughout so the clipped sum is exact and order-
+    * independent; quantile probes are DECIMAL literals so the rank
+    * arithmetic is ulp-exact (see [[groupQuantiles]]).
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df
+      .groupBy(col(groupCol), col(valueCol).cast("decimal(18,2)").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = counts.withColumn("cum", sum(col("c")).over(w))
+      .join(counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n")), Seq(groupCol))
+    def pick(q: String, out: String): DataFrame = joined
+      .filter(col("cum") >= ceil(lit(BigDecimal(q)) * col("n")))
+      .groupBy(col(groupCol)).agg(min(col("v")).as(out))
+    counts.join(pick("0.05", "qlo"), Seq(groupCol))
+      .join(pick("0.95", "qhi"), Seq(groupCol))
+      .withColumn("clipped", least(greatest(col("v"), col("qlo")), col("qhi")))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("c")).as("n_rows"),
+        sum(when(col("v") < col("qlo"), col("c")).otherwise(lit(0L))).as("n_clip_lo"),
+        sum(when(col("v") > col("qhi"), col("c")).otherwise(lit(0L))).as("n_clip_hi"),
+        (sum(col("clipped") * col("c")).cast("double") /
+          sum(col("c")).cast("double")).as("winsorized_mean"),
+        max(col("qlo")).cast("double").as("p05"),
+        max(col("qhi")).cast("double").as("p95"))
+      .orderBy(col(groupCol))
+  }
+
   /** Approximate per-group quantiles (the mergeable Greenwald-Khanna-style
     * sketch behind `percentile_approx`) VERIFIED against exact rank bounds
     * — the q37 idiom applied to quantiles: the sketch estimate itself is
@@ -249,5 +288,51 @@ object Quantiles {
       GROUP BY c.l_returnflag, p.probe
       ORDER BY c.l_returnflag, p.probe"""))
 
-  val queries: Seq[GraftQuery] = Seq(qQuantiles, qMadOutliers, qApproxQuantiles)
+  /** q123: same grouping rationale as q116 — per-part windows stay
+    * bounded by the ~30 distinct prices per part, never corpus size.
+    */
+  val qWinsorized = GraftQuery(
+    "q123_winsorized_stats",
+    (s, dir) => winsorizedStats(Tables.lineitem(s, dir),
+      "l_partkey", "l_extendedprice"),
+    Some("""
+      WITH counts AS (
+        SELECT l_partkey AS grp, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+               count(*) AS c
+        FROM lineitem GROUP BY grp, v),
+      cum AS (
+        SELECT grp, v, c,
+               sum(c) OVER (PARTITION BY grp ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM counts),
+      tot AS (SELECT grp, sum(c) AS n FROM counts GROUP BY grp),
+      qlo AS (
+        SELECT c.grp, min(c.v) AS qlo
+        FROM cum c JOIN tot t ON c.grp = t.grp
+        WHERE c.cum >= ceil(CAST(0.05 AS DECIMAL(4,2)) * t.n) GROUP BY c.grp),
+      qhi AS (
+        SELECT c.grp, min(c.v) AS qhi
+        FROM cum c JOIN tot t ON c.grp = t.grp
+        WHERE c.cum >= ceil(CAST(0.95 AS DECIMAL(4,2)) * t.n) GROUP BY c.grp)
+      SELECT k.grp AS l_partkey,
+             CAST(sum(k.c) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN k.v < lo.qlo THEN k.c ELSE 0 END) AS BIGINT)
+               AS n_clip_lo,
+             CAST(sum(CASE WHEN k.v > hi.qhi THEN k.c ELSE 0 END) AS BIGINT)
+               AS n_clip_hi,
+             -- CASE, not least/greatest: DuckDB's least/greatest coerce
+             -- DECIMAL args to DOUBLE, which makes the sum order-dependent
+             CAST(sum((CASE WHEN k.v < lo.qlo THEN lo.qlo
+                            WHEN k.v > hi.qhi THEN hi.qhi
+                            ELSE k.v END) * k.c) AS DOUBLE) /
+               CAST(sum(k.c) AS DOUBLE) AS winsorized_mean,
+             CAST(max(lo.qlo) AS DOUBLE) AS p05,
+             CAST(max(hi.qhi) AS DOUBLE) AS p95
+      FROM counts k
+      JOIN qlo lo ON k.grp = lo.grp
+      JOIN qhi hi ON k.grp = hi.grp
+      GROUP BY k.grp ORDER BY l_partkey"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qQuantiles, qMadOutliers, qApproxQuantiles, qWinsorized)
 }

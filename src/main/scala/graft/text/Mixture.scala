@@ -41,6 +41,39 @@ object Mixture {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language source-concentration card: how dominated each language
+    * slice is by its biggest sources — the mixture-audit companion to
+    * [[mixtureResample]] (a language whose effective source count is ~1 is
+    * a single-crawl monoculture however many rows it has). Reports the
+    * top-source share, the Herfindahl index Σpᵢ², and its inverse (the
+    * "effective number of sources").
+    *
+    * Scale shape: one (lang, source) count aggregate, then an O(langs ×
+    * sources) reduction — both partial-aggregate map-side; no windows, no
+    * per-row work after the first groupBy. Determinism: every input to the
+    * double divisions is an exact BIGINT (counts and Σc² — never a float
+    * sum), so the derived ratios are bit-identical across engines and
+    * partitionings; a float Σp·ln p entropy would not be, which is why the
+    * card uses the Herfindahl family.
+    */
+  def sourceDiversity(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        max(col("c")).as("max_c"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        (col("max_c").cast("double") / col("n_docs").cast("double"))
+          .as("top_share"),
+        (col("sum_c2").cast("double") /
+          (col("n_docs").cast("double") * col("n_docs").cast("double")))
+          .as("hhi"),
+        ((col("n_docs").cast("double") * col("n_docs").cast("double")) /
+          col("sum_c2").cast("double")).as("effective_sources"))
+      .orderBy(col("lang"))
+
   // ---- queries -------------------------------------------------------------
 
   /** q96: rebalance the 20-source corpus to weight 3 for src0/src1 and 1
@@ -71,5 +104,27 @@ object Mixture {
       WHERE u.u < (CAST(${duckWgt("u.source")} AS DOUBLE) * sc.scale) / counts.c
       ORDER BY u.doc_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qMixture)
+  val qDiversity = GraftQuery(
+    "q122_source_diversity",
+    (s, dir) => sourceDiversity(Tables.documents(s, dir)),
+    Some("""
+      WITH counts AS (
+        SELECT lang, source, count(*) AS c
+        FROM documents GROUP BY lang, source),
+      agg AS (
+        SELECT lang,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(sum(c * c) AS BIGINT) AS sum_c2,
+               CAST(max(c) AS BIGINT) AS max_c
+        FROM counts GROUP BY lang)
+      SELECT lang, n_docs, n_sources,
+             CAST(max_c AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share,
+             CAST(sum_c2 AS DOUBLE) /
+               (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS hhi,
+             (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) /
+               CAST(sum_c2 AS DOUBLE) AS effective_sources
+      FROM agg ORDER BY lang"""))
+
+  val queries: Seq[GraftQuery] = Seq(qMixture, qDiversity)
 }

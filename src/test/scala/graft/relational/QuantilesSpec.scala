@@ -80,4 +80,22 @@ class QuantilesSpec extends SparkSpec {
       .as[(String, Double, Double, Long, Long)].collect().toSeq
     assert(out == Seq(("c", 7.0, 0.0, 6L, 1L)))
   }
+
+  test("winsorized stats: tails clamp to the exact p05/p95 rank values") {
+    // 1..20 in one group: p05 rank ceil(0.05*20)=1 -> 1.0; p95 rank 19 ->
+    // 19.0; clipping moves only value 20 -> 19 (one high clip, no low
+    // clip: nothing sits BELOW rank-1's value), mean = (sum(1..19)+19)/20
+    val df = (1 to 20).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val out = Quantiles.winsorizedStats(df, "g", "v")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    val expectedMean = ((1 to 19).sum + 19).toDouble / 20
+    assert(out == Seq(("a", 20L, 0L, 1L, expectedMean, 1.0, 19.0)))
+  }
+
+  test("winsorized stats: single-value group clips nothing") {
+    val df = Seq.fill(4)(("b", 3.5)).toDF("g", "v")
+    val out = Quantiles.winsorizedStats(df, "g", "v")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("b", 4L, 0L, 0L, 3.5, 3.5, 3.5)))
+  }
 }

@@ -36,4 +36,17 @@ class MixtureSpec extends SparkSpec {
       Mixture.mixtureResample(docs, Map("a" -> 0.0))
     }
   }
+
+  test("source diversity: monoculture vs uniform mixture") {
+    // lang "mono": one source -> hhi 1, effective 1, top share 1
+    // lang "mix": 4 sources x 2 docs -> hhi 1/4, effective 4, top 1/4
+    val docs = (Seq.fill(3)(("mono", "only")) ++
+      (for (s <- 1 to 4; _ <- 1 to 2) yield ("mix", s"s$s")))
+      .toDF("lang", "source")
+    val out = Mixture.sourceDiversity(docs)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("mono") == (("mono", 3L, 1L, 1.0, 1.0, 1.0)))
+    assert(out("mix") == (("mix", 8L, 4L, 0.25, 0.25, 4.0)))
+  }
 }
