@@ -30,6 +30,8 @@ object SparkEntry {
       relational.Paths.queries ++
       relational.SemiStructured.queries ++
       relational.Regression.queries ++
+      relational.SqlSurface.queries ++
+      relational.AbTest.queries ++
       text.Readability.queries ++
       relational.Attribution.queries ++
       relational.Quantiles.queries ++

@@ -470,6 +470,40 @@ object Similarity {
       .orderBy(col("vec_id"), col("out_dim"))
   }
 
+  /** Mutual-kNN graph over LSH-blocked candidates: every vector ranks its
+    * bucket-mates by cosine, keeps its top `k`, and an undirected edge
+    * survives only when BOTH endpoints keep each other — the
+    * hub-suppressing graph construction semantic-dedup clustering and
+    * manifold methods start from (a hub that everyone ranks but that
+    * ranks nobody back gets no edges, instead of degree n).
+    *
+    * Scale shape: the pair space is bucket-local ([[embeddingDupPairs]]'s
+    * blocking + hot-bucket cap — never all-pairs), the top-k window
+    * partitions on the source vector with fan-in bounded by the bucket
+    * cap, and mutuality is one self-join of two already-k-bounded sides
+    * (≤ n·k rows each).
+    */
+  def knnGraph(corpus: DataFrame, k: Int, planes: Int = 6,
+               maxBucketSize: Int = 1000, hashMode: String = "xx"): DataFrame = {
+    require(k >= 1, s"knnGraph needs k >= 1, got $k")
+    val pairs = embeddingDupPairs(corpus, threshold = -1.0, planes,
+      maxBucketSize, hashMode)
+    val directed = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos_sim"))
+      .unionByName(pairs
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos_sim")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    val topk = directed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("dst"), col("cos_sim"))
+    topk.join(topk.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val qRandomProjection = GraftQuery(
     "q69_random_projection",
     (s, dir) => randomProjection(Tables.embeddings(s, dir), inDim = 64, outDim = 8),
@@ -489,7 +523,45 @@ object Similarity {
       WHERE len(e.embedding) = 64
       ORDER BY vec_id, out_dim"""))
 
+  /** Mutual-kNN graph in md5 mode so the whole pipeline — blocking,
+    * per-source ranking, mutuality join — gets a DuckDB transliteration
+    * (the q30 oracle extended by a QUALIFY rank and a reverse self-join).
+    */
+  val qKnnGraph = GraftQuery(
+    "q126_knn_graph",
+    (s, dir) => knnGraph(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      k = 5, hashMode = "md5"),
+    Some(s"""
+      WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+      ${duckCoefs(6)},
+      ${duckBuckets(6)},
+      capped AS (SELECT vec_id, bucket FROM buckets
+        QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM capped a JOIN capped b ON a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id),
+      scored AS (
+        SELECT p.id_a, p.id_b,
+               ${duckCosine("va.embedding", "vb.embedding")} AS cos_sim
+        FROM pairs p
+        JOIN vecs va ON va.vec_id = p.id_a
+        JOIN vecs vb ON vb.vec_id = p.id_b),
+      directed AS (
+        SELECT id_a AS src, id_b AS dst, cos_sim FROM scored
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst, cos_sim FROM scored),
+      topk AS (
+        SELECT src, dst, cos_sim FROM directed
+        QUALIFY row_number() OVER (PARTITION BY src
+                                   ORDER BY cos_sim DESC, dst) <= 5)
+      SELECT t.src AS id_a, t.dst AS id_b, t.cos_sim
+      FROM topk t JOIN topk r ON t.src = r.dst AND t.dst = r.src
+      WHERE t.src < t.dst
+      ORDER BY id_a, id_b"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qBruteForce, qBatchTopK, qAnnLsh, qEmbeddingDedup, qEmbeddingCanonical,
-      qRandomProjection)
+      qRandomProjection, qKnnGraph)
 }

@@ -158,4 +158,26 @@ class SimilaritySpec extends SparkSpec {
       assert(pairs.contains((i.toLong, i + 1000L)), s"missing planted pair $i")
     }
   }
+
+  test("knn graph: edges are mutual — a one-way top-k pick gets no edge") {
+    // Tiny perturbations of one base direction + a single hyperplane so
+    // every vector keeps the same projection sign (= same bucket).
+    // Geometry at k=1:
+    //   a and b are near-identical -> each other's top-1 -> edge (a,b)
+    //   c is near b but b prefers a -> (b,c) is one-way -> NO edge
+    def vec(d: Float): Seq[Float] = Seq.fill(63)(1.0f) :+ d
+    val vecs = Seq(
+      (1L, vec(0.00f)),   // a
+      (2L, vec(0.01f)),   // b ~ a
+      (3L, vec(0.03f)))   // c closer to b than to a
+      .toDF("vec_id", "embedding")
+    val edges = Similarity.knnGraph(vecs, k = 1, planes = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(edges == Set((1L, 2L)))
+    // at k = 2 every pair is in both top-2 lists -> the full triangle
+    val edges2 = Similarity.knnGraph(vecs, k = 2, planes = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(edges2 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    intercept[IllegalArgumentException] { Similarity.knnGraph(vecs, 0) }
+  }
 }
