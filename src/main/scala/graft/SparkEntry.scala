@@ -55,6 +55,7 @@ object SparkEntry {
       text.CorpusSafety.queries ++
       text.Bpe.queries ++
       text.TrainingBatch.queries ++
+      text.PrefixJoin.queries ++
       relational.RangeJoin.queries ++
       vector.Similarity.queries ++
       vector.IvfIndex.queries ++

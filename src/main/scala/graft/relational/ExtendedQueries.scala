@@ -270,5 +270,37 @@ object ExtendedQueries {
         RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
       ORDER BY user_id, ts, event_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q16, q19, q33, q34, q35, q36, q37, q60)
+  /** q128: distribution-rank window family (ntile / percent_rank /
+    * cume_dist) — the q19 suite's missing members, run over the
+    * AGGREGATED per-(priority, day) count table so each window partition
+    * holds O(dates) rows whatever the fact-table size (the q110 count-
+    * table rule). percent_rank and cume_dist divide exact integer ranks,
+    * so the doubles are engine-identical.
+    */
+  val q128 = GraftQuery(
+    "q128_rank_suite",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"), col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("n_orders"), col("d"))
+      daily.select(col("o_orderpriority"), col("d"), col("n_orders"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+        .orderBy(col("o_orderpriority"), col("n_orders"), col("d"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT o_orderpriority, o_orderdate AS d, count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority, d)
+      SELECT o_orderpriority, d, CAST(n_orders AS BIGINT) AS n_orders,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM daily
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY n_orders, d)
+      ORDER BY o_orderpriority, n_orders, d"""))
+
+  val all: Seq[GraftQuery] = Seq(q16, q19, q33, q34, q35, q36, q37, q60, q128)
 }

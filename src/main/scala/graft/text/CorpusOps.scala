@@ -210,6 +210,31 @@ object CorpusOps {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    * Spirakis exponential race): rank every row by ln(u)/w — u a pure
+    * md5-hash uniform in (0,1], w the row's weight — and keep the top k.
+    * Inclusion probability is proportional to weight, the chosen set is a
+    * pure function of the ids (reproducible across engines, partitionings
+    * and reruns), and the selection is one TakeOrdered pass: no global
+    * sort, no sequential cumulative-weight scan.
+    *
+    * The only non-integer step is ln(u) on a well-separated uniform —
+    * adjacent race keys differ by ~1e-5 at corpus scale, 10 orders above
+    * any libm ulp disagreement, so the boundary is engine-stable.
+    */
+  def weightedSample(docs: DataFrame, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"weightedSample needs k >= 1, got $k")
+    val h = conv(substring(md5(concat(lit("graft_ws:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val u = (pmod(h, lit(1000000L)).cast("double") + lit(1.0)) / lit(1000001.0)
+    docs.filter(col(weightCol) > 0)
+      .withColumn("__race", log(u) / col(weightCol))
+      .orderBy(col("__race").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col(weightCol))
+      .orderBy(col("doc_id"))
+  }
+
   val qDatasetSplit = GraftQuery(
     "q118_dataset_split",
     (s, dir) => datasetSplit(Tables.documents(s, dir),
@@ -231,6 +256,19 @@ object CorpusOps {
       GROUP BY split, lang
       ORDER BY split, lang"""))
 
+  val qWeightedSample = GraftQuery(
+    "q127_weighted_sample",
+    (s, dir) => weightedSample(Tables.documents(s, dir), "n_chars", k = 100),
+    Some(s"""
+      WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((CAST(${Md5P61.duckBase("concat('graft_ws:', CAST(doc_id AS VARCHAR))")}
+                     % 1000000 AS DOUBLE) + 1.0) / 1000001.0) / n_chars AS race
+        FROM documents WHERE n_chars > 0),
+      top AS (SELECT doc_id, source, n_chars FROM keyed
+              ORDER BY race DESC, doc_id LIMIT 100)
+      SELECT doc_id, source, n_chars FROM top ORDER BY doc_id"""))
+
   val queries: Seq[GraftQuery] = Seq(qVocab, qStratified, qTfIdf, qArgMax,
-    qExactSample, qDatasetSplit)
+    qExactSample, qDatasetSplit, qWeightedSample)
 }

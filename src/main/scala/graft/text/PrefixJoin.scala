@@ -1,0 +1,118 @@
+package graft.text
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Prefix-filtered set-similarity self-join (the AllPairs/PPJoin family):
+  * exact thresholded Jaccard pairs WITHOUT hashing approximation and
+  * without the all-pairs product. Tokens get a global rarest-first
+  * canonical order (by document frequency); a document of n distinct
+  * tokens exposes only its first n − ⌈t·n⌉ + 1 tokens as join keys — any
+  * pair with Jaccard ≥ t provably shares a token inside BOTH prefixes, so
+  * candidate generation is complete while common tokens (which would
+  * explode a plain token join) almost never appear in prefixes.
+  *
+  * Complements the MinHash path (q26): LSH trades recall for speed;
+  * prefix filtering is EXACT — the candidate set provably contains every
+  * qualifying pair, and the verify step removes nothing but false
+  * candidates.
+  *
+  * Scale shape: token-df aggregate + per-doc rank window (bounded by doc
+  * length), prefix-token equi-join with the [[TextDedup.capBuckets]]
+  * hot-key cap, then a verify join fetching the two token sets per
+  * candidate. The threshold compare is integer cross-multiplication
+  * (inter·den ≥ num·union) — no float boundary.
+  */
+object PrefixJoin {
+
+  /** Exact Jaccard-≥(num/den) pairs over distinct-token sets.
+    *
+    * @param maxTokenDocs drop prefix-join blocks larger than this (the
+    *   capBuckets contract: a token this common in PREFIXES means a
+    *   pathological df distribution; candidates it would generate are
+    *   dropped with a logged warning, mirrored in the oracle).
+    */
+  def jaccardPairs(docs: DataFrame, num: Int, den: Int,
+                   maxTokenDocs: Int = 1000): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"threshold must satisfy 0 < num/den <= 1, got $num/$den")
+    val t = BigDecimal(num) / BigDecimal(den)
+    val toks = docs
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.tokens(col("text"))).as("ts"))
+      .filter(length(trim(col("text"))) > 0)
+    val tok = toks.select(col("doc_id"), explode(col("ts")).as("token"))
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = tok.join(dfreq, "token")
+      .withColumn("rnk", row_number().over(
+        wDoc.orderBy(col("df"), col("token"))))
+      .withColumn("n", count(lit(1)).over(wDoc))
+    val prefix = ranked
+      .filter(col("rnk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select(col("doc_id"), col("token"))
+    val capped = TextDedup.capBuckets(prefix, Seq("token"), maxTokenDocs,
+      "prefixJoin")
+    val cand = capped.select(col("token"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("token"), col("doc_id").as("doc_b")), "token")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+      .withColumn("un", size(array_union(col("ts_a"), col("ts_b"))))
+      .filter(col("inter") * den >= col("un") * num)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("un").cast("double")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- queries -------------------------------------------------------------
+
+  /** q129: Jaccard ≥ 3/5 over the documents corpus; the oracle replays
+    * df-ranking, prefix slicing, the hot-token cap and the integer
+    * cross-multiplied verify.
+    */
+  val qPrefixJoin = GraftQuery(
+    "q129_prefix_filter_join",
+    (s, dir) => jaccardPairs(Tables.documents(s, dir), num = 3, den = 5),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts
+        FROM documents WHERE length(trim(text)) > 0),
+      tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+      dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+      ranked AS (
+        SELECT t.doc_id, t.token,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY d.df, t.token) AS rnk,
+               count(*) OVER (PARTITION BY t.doc_id) AS n
+        FROM tok t JOIN dfreq d USING (token)),
+      prefix AS (
+        SELECT doc_id, token FROM ranked
+        WHERE rnk <= n - ceil(CAST(0.60 AS DECIMAL(4,2)) * n) + 1),
+      capped AS (
+        SELECT doc_id, token FROM prefix
+        QUALIFY count(*) OVER (PARTITION BY token) <= 1000),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b USING (token)
+        WHERE a.doc_id < b.doc_id),
+      verified AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(x.ts, y.ts)) AS inter,
+               len(list_distinct(x.ts || y.ts)) AS un
+        FROM cand c
+        JOIN toks x ON x.doc_id = c.doc_a
+        JOIN toks y ON y.doc_id = c.doc_b)
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard
+      FROM verified
+      WHERE inter * 5 >= un * 3
+      ORDER BY doc_a, doc_b"""))
+
+  val queries: Seq[GraftQuery] = Seq(qPrefixJoin)
+}

@@ -419,4 +419,40 @@ class TextSpec extends SparkSpec {
     val expected = ((97L * 31 + 98) * 31 + 99) % 1000000007L
     assert(out(0) == expected)
   }
+
+  test("weighted sample: dominant weight always selected, k >= n keeps all") {
+    // doc 5's weight dwarfs the rest: its race key ln(u)/w is ~0 while
+    // every unit-weight doc sits around ln(u) — selection is certain
+    // unless another doc's uniform lands within ~1e-6 of 1 (fixed ids:
+    // deterministic, and they don't)
+    val docs = (0 until 10).map(i =>
+      (i.toLong, "src", if (i == 5) 1000000L else 1L))
+      .toDF("doc_id", "source", "n_chars")
+    val top3 = CorpusOps.weightedSample(docs, "n_chars", k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top3.contains(5L))
+    assert(top3.size == 3)
+    val all = CorpusOps.weightedSample(docs, "n_chars", k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == (0 until 10).map(_.toLong).toSet)
+    // zero/negative weights are excluded, invalid k fails fast
+    val withZero = (0 until 3).map(i => (i.toLong, "src", i.toLong))
+      .toDF("doc_id", "source", "n_chars")
+    val kept = CorpusOps.weightedSample(withZero, "n_chars", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      CorpusOps.weightedSample(docs, "n_chars", 0)
+    }
+  }
+
+  test("weighted sample: reproducible across partitionings") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = CorpusOps.weightedSample(docs, "n_chars", 50)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = CorpusOps.weightedSample(docs.repartition(7), "n_chars", 50)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b)
+    assert(a.size == 50)
+  }
 }
