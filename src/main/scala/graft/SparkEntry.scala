@@ -60,6 +60,7 @@ object SparkEntry {
       vector.Similarity.queries ++
       vector.IvfIndex.queries ++
       vector.Outliers.queries ++
+      vector.Quantize.queries ++
       vector.SemDedup.queries ++
       vector.Mmr.queries ++
       sources.CsvFolderSource.queries ++

@@ -337,6 +337,62 @@ object TextAnalysis {
       WHERE rn = 1
       ORDER BY doc_id"""))
 
+  /** q131: the language-ID EVALUATION — confusion cells (labeled ×
+    * predicted) with each cell's share of its labeled row, i.e. the
+    * per-language recall diagonal a model card reports. Reuses the q23
+    * scorer verbatim; the extra work over q23 is one O(langs²) aggregate,
+    * so the whole evaluation costs one corpus scan.
+    */
+  val qLangConfusion = GraftQuery(
+    "q131_langid_confusion",
+    (s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(
+          (Seq(col("lang"), tokens(col("text")).as("toks")): Seq[Column]): _*)
+        .select(
+          (Seq(col("lang")) ++
+            LangMarkers.map { case (l, words) =>
+              TextExprs.tokenSetCount(s, col("toks"), words).as(s"score_$l")
+            }): _*)
+      val predicted = languageIdFromScores(
+        LangMarkers.map { case (l, _) => l -> col(s"score_$l") })
+      val cells = scored
+        .select(col("lang").as("labeled_lang"), predicted.as("predicted_lang"))
+        .groupBy(col("labeled_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy(col("labeled_lang")).agg(sum(col("n")).as("t"))
+      cells.join(totals, Seq("labeled_lang"))
+        .select(col("labeled_lang"), col("predicted_lang"), col("n"),
+          (col("n").cast("double") / col("t").cast("double")).as("share"))
+        .orderBy(col("labeled_lang"), col("predicted_lang"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT lang AS labeled_lang,
+          len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('the','and','of','to','is'))) AS score_en,
+          len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('der','die','das','und','ist'))) AS score_de,
+          len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('el','la','los','que','es'))) AS score_es,
+          len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('le','la','les','et','est'))) AS score_fr,
+          len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('de','shi','bu','le','wo'))) AS score_zh
+        FROM documents),
+      p AS (
+        SELECT labeled_lang,
+          CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) <= 0 THEN 'und'
+               WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+               WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+               WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+               WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+               ELSE 'zh' END AS predicted_lang
+        FROM s),
+      cells AS (
+        SELECT labeled_lang, predicted_lang, count(*) AS n
+        FROM p GROUP BY labeled_lang, predicted_lang),
+      tot AS (SELECT labeled_lang, sum(n) AS t FROM cells GROUP BY labeled_lang)
+      SELECT c.labeled_lang, c.predicted_lang, CAST(c.n AS BIGINT) AS n,
+             CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share
+      FROM cells c JOIN tot t USING (labeled_lang)
+      ORDER BY c.labeled_lang, c.predicted_lang"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qTokenStats, qQuality, qLangId, qFingerprint, qCuration)
+    Seq(qTokenStats, qQuality, qLangId, qFingerprint, qCuration, qLangConfusion)
 }

@@ -420,6 +420,23 @@ class TextSpec extends SparkSpec {
     assert(out(0) == expected)
   }
 
+  test("langid confusion: cells partition the corpus, shares sum to 1 per label") {
+    val dir = "/root/testdata/sf0.001"
+    val cells = TextAnalysis.qLangConfusion.run(spark, dir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val total = graft.Tables.documents(spark, dir).count()
+    assert(cells.map(_._3).sum == total)
+    cells.groupBy(_._1).foreach { case (label, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12, label)
+    }
+    // cells agree with the per-doc q23 predictions aggregated by hand
+    val byHand = TextAnalysis.qLangId.run(spark, dir)
+      .groupBy(col("labeled_lang"), col("predicted_lang")).count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(cells.map(r => (r._1, r._2) -> r._3).toMap == byHand)
+  }
+
   test("weighted sample: dominant weight always selected, k >= n keeps all") {
     // doc 5's weight dwarfs the rest: its race key ln(u)/w is ~0 while
     // every unit-weight doc sits around ln(u) — selection is certain
