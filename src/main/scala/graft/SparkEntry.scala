@@ -32,6 +32,8 @@ object SparkEntry {
       relational.Regression.queries ++
       relational.SqlSurface.queries ++
       relational.AbTest.queries ++
+      relational.Reconcile.queries ++
+      relational.Transitions.queries ++
       text.Readability.queries ++
       relational.Attribution.queries ++
       relational.Quantiles.queries ++

@@ -94,6 +94,40 @@ object TimeSeries {
       .orderBy(col("user_id"), col("d"))
   }
 
+  /** Time-weighted average value per entity (TWAP): each observation is
+    * weighted by how long it stayed current (µs until the next event);
+    * the last observation of an entity carries no interval and drops out.
+    * The unweighted mean over-counts bursts — TWAP is the standard fix
+    * for irregularly-sampled series.
+    *
+    * Scale shape: one per-entity lead window over the entity's own rows
+    * (the accepted per-key class), then one aggregate. The weighted terms
+    * accumulate as round-to-4dp DECIMALs of the double products (the q92
+    * idiom — order-independent) in SECONDS, not µs: second-scale sums
+    * keep the decimal's integer representation under 2^53, where the
+    * decimal→double cast is exact in any engine. A µs-scale sum reaches
+    * ~1e17, and DuckDB's int128→double→/10^scale cast double-rounds
+    * there while Spark's BigDecimal cast rounds once — a last-ulp
+    * mismatch class, not a value bug.
+    */
+  def twap(events: DataFrame, eventType: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val dtS = col("dt_us").cast("double") / 1000000.0
+    events.filter(col("event_type") === eventType)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("dt_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("dt_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("span_us"),
+        (sum(round(col("value") * dtS, 4).cast("decimal(28,4)")).cast("double") /
+          sum(round(dtS, 6).cast("decimal(24,6)")).cast("double")).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- queries -------------------------------------------------------------
 
   val qConcurrency = GraftQuery(
@@ -160,5 +194,28 @@ object TimeSeries {
       FROM rn GROUP BY user_id, d
       ORDER BY user_id, d"""))
 
-  val queries: Seq[GraftQuery] = Seq(qConcurrency, qGapFill, qOhlc)
+  val qTwap = GraftQuery(
+    "q132_twap",
+    (s, dir) => twap(Tables.events(s, dir), "view"),
+    Some("""
+      WITH base AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        FROM events WHERE event_type = 'view'),
+      led AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))
+                 - epoch_us(ts) AS dt_us
+        FROM base)
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(dt_us) AS BIGINT) AS span_us,
+             CAST(sum(CAST(round(value * (CAST(dt_us AS DOUBLE) / 1000000.0), 4)
+                           AS DECIMAL(28,4))) AS DOUBLE) /
+               CAST(sum(CAST(round(CAST(dt_us AS DOUBLE) / 1000000.0, 6)
+                             AS DECIMAL(24,6))) AS DOUBLE) AS twap
+      FROM led WHERE dt_us IS NOT NULL
+      GROUP BY user_id ORDER BY user_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qConcurrency, qGapFill, qOhlc, qTwap)
 }

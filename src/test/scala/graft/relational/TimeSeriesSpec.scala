@@ -55,4 +55,23 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Double, Double, Double, Double, Long, Double)].collect().toSeq
     assert(out === Seq((11.0, 11.0, 2.0, 7.0, 4L, 30.0)))
   }
+
+  test("twap: interval weights, last observation carries none") {
+    // value 10 for 3600 s, then 20 for 1800 s, final value 99 unweighted:
+    // twap = (10*3600 + 20*1800) / 5400 = 72000/5400 = 13.333...
+    val ev = Seq(
+      (1L, ts("2020-01-01 09:00:00"), "view", 10.0, 1L),
+      (1L, ts("2020-01-01 10:00:00"), "view", 20.0, 2L),
+      (1L, ts("2020-01-01 10:30:00"), "view", 99.0, 3L),
+      (2L, ts("2020-01-01 09:00:00"), "view", 5.0, 4L)) // single event: no interval
+      .toDF("user_id", "ts", "event_type", "value", "event_id")
+    val out = TimeSeries.twap(ev, "view")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L)) // user 2 has no interval -> dropped
+    val (_, n, span, twap) = out.head
+    assert(n == 2L && span == 5400L * 1000000L)
+    assert(math.abs(twap - 72000.0 / 5400.0) < 1e-9)
+    // unweighted mean would be (10+20)/2 = 15: the burst correction is real
+    assert(twap < 15.0)
+  }
 }
