@@ -87,6 +87,30 @@ object DocsStream {
       }
   }
 
+  /** Live per-source ingest card: running (docs, chars, short-docs) per
+    * source as the crawl streams in — the mixture monitor a training-data
+    * pipeline keeps on screen ("is source X flooding us with stubs?").
+    * Unlike [[tokenCounts]]' single long, state is a 3-field record per
+    * source (the O(sources) bound — tiny); every field is a commutative
+    * SUM, so the final state is arrival-order-independent and the batch
+    * oracle is exact.
+    */
+  def sourceCards(docs: Dataset[(String, Long)], shortLen: Long): Dataset[(String, Long, Long, Long)] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (source: String, batch: Iterator[(String, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val (n0, c0, s0) = state.getOption.getOrElse((0L, 0L, 0L))
+          var n = n0; var c = c0; var sh = s0
+          batch.foreach { case (_, nChars) =>
+            n += 1; c += nChars; if (nChars < shortLen) sh += 1
+          }
+          state.update((n, c, sh))
+          (source, n, c, sh)
+      }
+  }
+
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
 
@@ -169,5 +193,42 @@ object DocsStream {
       ORDER BY cnt DESC, token
       LIMIT 50"""))
 
-  val queries: Seq[GraftQuery] = Seq(qDocDedup, qTokenTopK)
+  /** Run the source-card monitor as a real streaming query; every metric
+    * only grows, so max-over-updates per source IS the final state.
+    */
+  def runSourceCardsStream(spark: SparkSession, sfDir: String,
+                           shortLen: Long): DataFrame =
+    EventsStream.withStreamPartitions(spark) {
+      import spark.implicits._
+      val name = s"stream_cards_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = sourceCards(
+        stagedDocStream(spark, sfDir)
+          .select(col("source"), col("n_chars")).as[(String, Long)], shortLen)
+        .toDF("source", "n_docs", "n_chars", "n_short")
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .option("checkpointLocation", EventsStream.shmTempDir(name))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"), max(col("n_chars")).as("n_chars"),
+          max(col("n_short")).as("n_short"))
+        .orderBy(col("source"))
+    }
+
+  val qSourceCards = GraftQuery(
+    "stream_source_cards",
+    (s, dir) => runSourceCardsStream(s, dir, shortLen = 200L),
+    Some("""
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""))
+
+  val queries: Seq[GraftQuery] = Seq(qDocDedup, qTokenTopK, qSourceCards)
 }

@@ -109,6 +109,35 @@ class StreamingSpec extends SparkSpec {
     assert(winners == Set(3L, 11L, 12L))
   }
 
+  test("streaming source cards accumulate state across micro-batches") {
+    // the same source appears in both files: its card must merge counts
+    // from two micro-batches, not reset per batch
+    val dir = Files.createTempDirectory("docs_cards")
+    Seq(("web", 100L), ("web", 500L), ("books", 900L))
+      .toDF("source", "n_chars")
+      .coalesce(1).write.parquet(dir.resolve("a").toString)
+    Seq(("web", 150L), ("books", 50L))
+      .toDF("source", "n_chars")
+      .coalesce(1).write.parquet(dir.resolve("b").toString)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/a").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+      .as[(String, Long)]
+    val q = DocsStream.sourceCards(streamed, shortLen = 200L)
+      .toDF("source", "n_docs", "n_chars", "n_short")
+      .writeStream.outputMode("update").format("memory").queryName("cards")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val finalCards = spark.table("cards")
+      .groupBy("source")
+      .agg(max("n_docs").as("n"), max("n_chars").as("c"), max("n_short").as("s"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(finalCards("web") == ((3L, 750L, 2L)))
+    assert(finalCards("books") == ((2L, 950L, 1L)))
+  }
+
   test("streaming session windows merge across micro-batches") {
     // one user's events split across two files: the later batch extends
     // the open session, so the final table must hold ONE merged session
