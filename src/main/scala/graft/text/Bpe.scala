@@ -243,5 +243,54 @@ object Bpe {
       FROM docw d JOIN cnts c ON d.doc_id = c.doc_id
       ORDER BY d.doc_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qBpe)
+  /** q135: tokenizer fertility per language — BPE tokens per word under
+    * the learned merge chain, the tokenizer-evaluation number a
+    * multilingual training recipe budgets by (a language with fertility
+    * 2× pays 2× the sequence length for the same text). Same learned
+    * tokenizer as q72; the extra work is one lang join + O(langs)
+    * aggregate, and every ratio divides exact BIGINT sums.
+    */
+  val qFertility = GraftQuery(
+    "q135_tokenizer_fertility",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val perDoc = bpeTokenCounts(docs, learnMergesCapped(docs, MergeRounds))
+      perDoc.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+          (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH wf AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                  FROM documents),
+      w0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seg,
+                    count(*) AS cnt
+             FROM wf GROUP BY 1),
+      ${duckStages(MergeRounds)},
+      docw AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS words
+               FROM documents),
+      wordsr AS (SELECT doc_id, unnest(words) AS w FROM docw),
+      encr AS (SELECT doc_id,
+                      regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seg
+               FROM wordsr),
+      finr AS (SELECT doc_id, ${duckApplyChain(MergeRounds)} AS seg FROM encr),
+      cnts AS (SELECT doc_id,
+                      CAST(sum(len(seg) - len(replace(seg, chr(1), ''))) AS BIGINT)
+                        AS n_bpe_tokens
+               FROM finr GROUP BY doc_id)
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(d.words)) AS BIGINT) AS n_words,
+             CAST(sum(c.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+             CAST(sum(c.n_bpe_tokens) AS DOUBLE) / CAST(sum(len(d.words)) AS DOUBLE)
+               AS fertility
+      FROM docw d JOIN cnts c ON d.doc_id = c.doc_id
+      GROUP BY d.lang
+      ORDER BY d.lang"""))
+
+  val queries: Seq[GraftQuery] = Seq(qBpe, qFertility)
 }

@@ -464,6 +464,62 @@ object TextDedup {
       GROUP BY md5(text)
       ORDER BY canonical_id"""))
 
+  /** q136: the dedup SAVINGS report — duplicate-cluster size histogram
+    * with the redundancy each size class carries (docs and chars that
+    * dedup removes when one representative is kept per content hash).
+    * The "was the dedup pass worth it" number every corpus card reports.
+    *
+    * Scale shape: the content groupBy is q20's one shuffle; the
+    * histogram is a second aggregate over O(distinct contents) rows
+    * keyed by cluster size — O(size classes) output. Redundant chars
+    * per group = group char volume minus one copy (copies share one
+    * text, so any copy's length is the kept length). All-BIGINT.
+    */
+  val qDedupReport = GraftQuery(
+    "q136_dedup_report",
+    (s, dir) => {
+      // plant two extra copies of the first 10 docs (the q30 idiom) so
+      // the histogram exercises multi-size classes on any corpus
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("text"), col("n_chars"))
+      val planted = d.filter(col("doc_id") < 10)
+      val corpus = d
+        .unionByName(planted.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text"), col("n_chars")))
+        .unionByName(planted.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            col("text"), col("n_chars")))
+      val groups = corpus
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"),
+          sum(col("n_chars")).as("chars_total"),
+          max(col("n_chars")).as("chars_one"))
+      groups.groupBy(col("n_copies").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n_copies")).as("n_docs"),
+          sum(col("n_copies") - 1).as("n_redundant_docs"),
+          sum(col("chars_total") - col("chars_one")).as("redundant_chars"))
+        .orderBy(col("cluster_size"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, n_chars FROM documents WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id + 2000000, text, n_chars FROM documents WHERE doc_id < 5),
+      groups AS (
+        SELECT md5(text) AS text_hash, count(*) AS n_copies,
+               sum(n_chars) AS chars_total, max(n_chars) AS chars_one
+        FROM corpus GROUP BY md5(text))
+      SELECT CAST(n_copies AS BIGINT) AS cluster_size,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(n_copies) AS BIGINT) AS n_docs,
+             CAST(sum(n_copies - 1) AS BIGINT) AS n_redundant_docs,
+             CAST(sum(chars_total - chars_one) AS BIGINT) AS redundant_chars
+      FROM groups GROUP BY n_copies
+      ORDER BY cluster_size"""))
+
   /** n-gram Jaccard similarity on deterministic candidate pairs (adjacent
     * doc_ids within a source) — the verification kernel of MinHash dedup,
     * oracle-checkable in ANSI SQL.
@@ -1045,5 +1101,5 @@ object TextDedup {
   val queries: Seq[GraftQuery] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qMinhashCanonical,
       qDedupClusters, qSimhashDedup, qSourceSketch, qSubstringDedup,
-      qRemoveSpans, qContainment)
+      qRemoveSpans, qContainment, qDedupReport)
 }

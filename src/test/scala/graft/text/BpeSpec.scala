@@ -60,4 +60,23 @@ class BpeSpec extends SparkSpec {
     val capped = Bpe.learnMergesCapped(docs, 2, vocabCap = 1)
     assert(capped.map(m => show(m._1)) == Seq("<a><a>", "<aa><a>"))
   }
+
+  test("tokenizer fertility aggregates q72's per-doc counts by language") {
+    val out = Bpe.qFertility.run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (lang, nDocs, nWords, nBpe, fert) =>
+      assert(nDocs > 0 && nWords > 0, lang)
+      // each word is at least one BPE token; merges only ever reduce
+      assert(nBpe >= nWords, lang)
+      assert(fert == nBpe.toDouble / nWords.toDouble, lang)
+    }
+    // totals must agree with the per-doc q72 surface under the same merges
+    val perDoc = Bpe.qBpe.run(spark, "/root/testdata/sf0.001")
+      .agg(org.apache.spark.sql.functions.sum("n_words"),
+        org.apache.spark.sql.functions.sum("n_bpe_tokens"))
+      .as[(Long, Long)].collect().head
+    assert(out.map(_._3).sum == perDoc._1)
+    assert(out.map(_._4).sum == perDoc._2)
+  }
 }

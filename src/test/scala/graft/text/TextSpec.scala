@@ -420,6 +420,22 @@ class TextSpec extends SparkSpec {
     assert(out(0) == expected)
   }
 
+  test("dedup report: cluster histogram accounts every doc and redundant char") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextDedup.qDedupReport.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val base = graft.Tables.documents(spark, dir).count()
+    // corpus = base + 10 planted + 5 planted (the query's fixed planting)
+    assert(out.map(_._3).sum == base + 15)
+    out.foreach { case (size, nClusters, nDocs, nRedundant, redChars) =>
+      assert(nDocs == size * nClusters)
+      assert(nRedundant == (size - 1) * nClusters)
+      if (size == 1) assert(redChars == 0)
+    }
+    // the planting guarantees size-2 and size-3 classes exist
+    assert(out.map(_._1).toSet.intersect(Set(2L, 3L)) == Set(2L, 3L))
+  }
+
   test("langid confusion: cells partition the corpus, shares sum to 1 per label") {
     val dir = "/root/testdata/sf0.001"
     val cells = TextAnalysis.qLangConfusion.run(spark, dir)
