@@ -92,8 +92,12 @@ object Paths {
     "q106_bfs_hops",
     (s, dir) => {
       val pairs = Basket.copurchasePairsUnsorted(Tables.lineitem(s, dir), minSupport = 2)
+      // checkpoint HERE, not just inside bfsHops: seeds also derive from
+      // edges, and an uncheckpointed reference would execute the whole
+      // co-purchase self-join a second time just to pick seed nodes
       val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
         .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+        .localCheckpoint()
       val seeds = edges.select(col("src").as("node"))
         .filter(col("node") % SeedMod === 0)
       bfsHops(edges, seeds, Hops)
