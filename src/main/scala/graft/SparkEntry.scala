@@ -63,6 +63,7 @@ object SparkEntry {
       vector.IvfIndex.queries ++
       vector.Outliers.queries ++
       vector.Quantize.queries ++
+      vector.Centroids.queries ++
       vector.SemDedup.queries ++
       vector.Mmr.queries ++
       sources.CsvFolderSource.queries ++

@@ -97,7 +97,11 @@ class PlanAuditSpec extends SparkSpec {
       "q93_pagerank" -> "hinted relation is a global count (1 row by construction)",
       // the hint wraps the global 1-row scale = min(c/w); the per-source
       // count aggregate the walk finds is the min's input, not the payload
-      "q96_mixture_resample" -> "hinted relation is a global min (1 row by construction)")
+      "q96_mixture_resample" -> "hinted relation is a global min (1 row by construction)",
+      // label is a classification-taxonomy key (like l_returnflag): the
+      // centroid table is O(labels × dims), bounded by the label domain
+      // and the schema dim constant, not corpus size
+      "q137_class_separation" -> "grouped by label (taxonomy-bounded domain) × dim (schema constant)")
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
     graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
