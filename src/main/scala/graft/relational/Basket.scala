@@ -56,5 +56,54 @@ object Basket {
       HAVING count(*) >= 2
       ORDER BY support DESC, part_a, part_b"""))
 
-  val queries: Seq[GraftQuery] = Seq(qCopurchase)
+  /** Top-k recommendations per item ("customers also bought"): the
+    * symmetric co-purchase neighbors of each part ranked by support with
+    * a deterministic (support DESC, neighbor ASC) tie-break — the
+    * serving table an item-to-item recommender precomputes.
+    *
+    * Scale shape: the q87 pair aggregate is the only corpus-scale work;
+    * the rank window partitions on the item over its own neighbor rows
+    * (bounded by the item's co-purchase degree, never corpus size), and
+    * WindowGroupLimit pushes the rn <= k filter below the sort.
+    */
+  def alsoBought(lineitem: DataFrame, minSupport: Long, k: Int): DataFrame = {
+    require(k >= 1, s"alsoBought needs k >= 1, got $k")
+    val pairs = copurchasePairsUnsorted(lineitem, minSupport)
+    val sym = pairs
+      .select(col("part_a").as("item"), col("part_b").as("rec"), col("support"))
+      .unionAll(pairs
+        .select(col("part_b").as("item"), col("part_a").as("rec"), col("support")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("support").desc, col("rec"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("item"), col("rank"))
+  }
+
+  val qAlsoBought = GraftQuery(
+    "q138_also_bought",
+    (s, dir) => alsoBought(Tables.lineitem(s, dir), minSupport = 2, k = 3),
+    Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        HAVING count(*) >= 2),
+      sym AS (
+        SELECT part_a AS item, part_b AS rec, support FROM pairs
+        UNION ALL
+        SELECT part_b AS item, part_a AS rec, support FROM pairs),
+      ranked AS (
+        SELECT item, rec, CAST(support AS BIGINT) AS support,
+               CAST(row_number() OVER (PARTITION BY item
+                 ORDER BY support DESC, rec) AS INT) AS rank
+        FROM sym)
+      SELECT item, rec, support, rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY item, rank"""))
+
+  val queries: Seq[GraftQuery] = Seq(qCopurchase, qAlsoBought)
 }

@@ -17,4 +17,23 @@ class BasketSpec extends SparkSpec {
     assert(out == Seq((10L, 20L, 2L))) // (10,30) support 1 filtered
     intercept[IllegalArgumentException] { Basket.copurchasePairs(li, 0) }
   }
+
+  test("also-bought: symmetric neighbors ranked by support, ties on id") {
+    // baskets make supports: (10,20)=3, (10,30)=2, (20,30)=2
+    val li = (1L to 3L).flatMap(o => Seq((o, 10L), (o, 20L))) ++
+      Seq((4L, 10L), (4L, 30L), (5L, 10L), (5L, 30L),
+        (6L, 20L), (6L, 30L), (7L, 20L), (7L, 30L))
+    val out = Basket.alsoBought(li.toDF("l_orderkey", "l_partkey"),
+      minSupport = 2, k = 2)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // item 10: rec 20 (support 3) then 30 (2); item 30: tie support 2 ->
+    // lower id 10 first
+    assert(out == Seq(
+      (10L, 20L, 3L, 1), (10L, 30L, 2L, 2),
+      (20L, 10L, 3L, 1), (20L, 30L, 2L, 2),
+      (30L, 10L, 2L, 1), (30L, 20L, 2L, 2)))
+    intercept[IllegalArgumentException] {
+      Basket.alsoBought(li.toDF("l_orderkey", "l_partkey"), 2, 0)
+    }
+  }
 }
