@@ -33,6 +33,7 @@ object SparkEntry {
       relational.SqlSurface.queries ++
       relational.AbTest.queries ++
       relational.Reconcile.queries ++
+      relational.Growth.queries ++
       relational.Transitions.queries ++
       text.Readability.queries ++
       relational.Attribution.queries ++

@@ -44,7 +44,77 @@ object Quality {
       .orderBy(col("metric"))
   }
 
+  /** Fact-vs-header consistency audit: recompute each order's total from
+    * its lines (the TPC-H price formula) and reconcile against
+    * o_totalprice per order status — the referential-quality join a
+    * warehouse runs after every load. Per-line totals round to 2dp
+    * DECIMAL before summing (exact, order-independent); the tolerance
+    * compare happens on exact decimals so the matched/mismatched split
+    * is engine-stable.
+    *
+    * Scale shape: one per-order aggregate of the fact table, one
+    * orders⋈recomputed equi-join on the key, one O(statuses) rollup.
+    * Orders with no lines are their own bucket via the left join.
+    */
+  def orderConsistencyAudit(orders: DataFrame, lineitem: DataFrame,
+                            tolerance: String = "0.02"): DataFrame = {
+    val lineTotal = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      (lit(1.0) + col("l_tax")), 2).cast("decimal(18,2)")
+    val recomputed = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(lineTotal).as("line_total"))
+    val tol = lit(BigDecimal(tolerance))
+    orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("header_total"))
+      .join(recomputed, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("line_total").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when(col("line_total").isNotNull &&
+          abs(col("line_total") - col("header_total")) <= tol, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("line_total").isNotNull &&
+          abs(col("line_total") - col("header_total")) > tol, 1L)
+          .otherwise(0L)).as("n_mismatched"),
+        max(when(col("line_total").isNotNull,
+          abs(col("line_total") - col("header_total")))).cast("double")
+          .as("max_abs_diff"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ---- queries -------------------------------------------------------------
+
+  val qOrderConsistency = GraftQuery(
+    "q141_order_consistency",
+    (s, dir) => orderConsistencyAudit(Tables.orders(s, dir), Tables.lineitem(s, dir)),
+    Some("""
+      WITH recomputed AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                              * (1.0 + l_tax), 2) AS DECIMAL(18,2)))
+                 AS line_total
+        FROM lineitem GROUP BY l_orderkey)
+      SELECT o.o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CASE WHEN r.line_total IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_no_lines,
+             CAST(sum(CASE WHEN r.line_total IS NOT NULL
+                            AND abs(r.line_total
+                                    - CAST(o.o_totalprice AS DECIMAL(18,2)))
+                                <= CAST(0.02 AS DECIMAL(4,2))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             CAST(sum(CASE WHEN r.line_total IS NOT NULL
+                            AND abs(r.line_total
+                                    - CAST(o.o_totalprice AS DECIMAL(18,2)))
+                                > CAST(0.02 AS DECIMAL(4,2))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+             CAST(max(CASE WHEN r.line_total IS NOT NULL
+                           THEN abs(r.line_total
+                                    - CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      END) AS DOUBLE) AS max_abs_diff
+      FROM orders o LEFT JOIN recomputed r ON o.o_orderkey = r.l_orderkey
+      GROUP BY o.o_orderstatus
+      ORDER BY o.o_orderstatus"""))
 
   val qQualityReport = GraftQuery(
     "q90_quality_report",
@@ -109,5 +179,5 @@ object Quality {
              count(*) AS n_events
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qQualityReport, qIncrementalAgg)
+  val queries: Seq[GraftQuery] = Seq(qQualityReport, qIncrementalAgg, qOrderConsistency)
 }

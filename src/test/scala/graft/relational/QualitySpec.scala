@@ -34,4 +34,21 @@ class QualitySpec extends SparkSpec {
       .as[(Long, Double, Long)].collect().toSet
     assert(merged == Set((1L, 10.0, 1L), (2L, 12.0, 2L), (3L, 2.0, 1L)))
   }
+
+  test("order consistency: matched, mismatched, and line-less orders") {
+    val orders = Seq(
+      (1L, "O", 110.0),   // lines recompute to 110.00 -> matched
+      (2L, "O", 999.0),   // lines recompute to 50.00 -> mismatched
+      (3L, "F", 42.0))    // no lines
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val lineitem = Seq(
+      (1L, 100.0, 0.0, 0.10),  // 100 * 1.0 * 1.1 = 110.00
+      (2L, 50.0, 0.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val out = Quality.orderConsistencyAudit(orders, lineitem)
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("O") == (("O", 2L, 0L, 1L, 1L, Some(949.0))))
+    assert(out("F") == (("F", 1L, 1L, 0L, 0L, None)))
+  }
 }
