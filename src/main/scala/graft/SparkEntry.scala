@@ -34,6 +34,7 @@ object SparkEntry {
       relational.AbTest.queries ++
       relational.Reconcile.queries ++
       relational.Growth.queries ++
+      relational.ShareReport.queries ++
       relational.Transitions.queries ++
       text.Readability.queries ++
       relational.Attribution.queries ++
