@@ -35,6 +35,7 @@ object SparkEntry {
       relational.Reconcile.queries ++
       relational.Growth.queries ++
       relational.ShareReport.queries ++
+      relational.Temporal.queries ++
       relational.Transitions.queries ++
       text.Readability.queries ++
       relational.Attribution.queries ++

@@ -1,0 +1,45 @@
+package graft.relational
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, t: String, typ: String = "view") =
+    (id, Timestamp.valueOf(t), user, typ, 1.0, "{}")
+
+  private val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("gap histogram: per-user gaps, power-of-two second buckets") {
+    // user 1: gaps of 1s (bucket 1), 3s (bucket 4); user 2: no gap
+    val rows = Seq(
+      ev(1, 1, "2020-01-01 00:00:00"),
+      ev(2, 1, "2020-01-01 00:00:01"),
+      ev(3, 1, "2020-01-01 00:00:04"),
+      ev(4, 2, "2020-01-01 09:00:00"))
+    val out = Temporal.gapHistogram(rows.toDF(cols: _*))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("view", 1L, 1L), ("view", 4L, 1L)))
+  }
+
+  test("gap histogram: zero gaps land in bucket 1, type from the earlier event") {
+    val rows = Seq(
+      ev(1, 1, "2020-01-01 00:00:00", "a"),
+      ev(2, 1, "2020-01-01 00:00:00", "b")) // tie -> order by event_id
+    val out = Temporal.gapHistogram(rows.toDF(cols: _*))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 1L, 1L)))
+  }
+
+  test("weekly profile: weekday 0 is Monday, hours split correctly") {
+    // 2020-01-06 is a Monday
+    val rows = Seq(
+      ev(1, 1, "2020-01-06 09:30:00"),
+      ev(2, 2, "2020-01-06 09:45:00"),
+      ev(3, 1, "2020-01-12 23:00:00")) // Sunday
+    val out = Temporal.weeklyProfile(rows.toDF(cols: _*))
+      .as[(Int, Int, Long, Long)].collect().toSet
+    assert(out == Set((0, 9, 2L, 2L), (6, 23, 1L, 1L)))
+  }
+}
