@@ -105,5 +105,65 @@ object Basket {
       FROM ranked WHERE rank <= 3
       ORDER BY item, rank"""))
 
-  val queries: Seq[GraftQuery] = Seq(qCopurchase, qAlsoBought)
+  /** Association-rule lift for co-purchase pairs:
+    * lift(A,B) = P(A,B) / (P(A)·P(B)) over baskets — >1 means the pair
+    * attracts, <1 repels; the score that separates "popular with
+    * everything" from "actually bought together".
+    *
+    * Scale shape: q87's pair aggregate + one per-part basket-count
+    * aggregate joined in twice (slim key+count projections, AQE
+    * broadcasts them), one 1-row basket total. Every probability
+    * divides exact BIGINTs, so lift is engine-identical.
+    */
+  def pairLift(lineitem: DataFrame, minSupport: Long): DataFrame = {
+    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint() // referenced three times (pairs + two margins)
+    val pairs = {
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, Seq("l_orderkey"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+    }
+    val perPart = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val totals = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(perPart.select(col("l_partkey").as("part_a"),
+        col("n_part").as("n_a")), Seq("part_a"))
+      .join(perPart.select(col("l_partkey").as("part_b"),
+        col("n_part").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("part_a"), col("part_b"), col("support"),
+        ((col("support").cast("double") * col("n_baskets").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  val qPairLift = GraftQuery(
+    "q146_pair_lift",
+    (s, dir) => pairLift(Tables.lineitem(s, dir), minSupport = 3),
+    Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        HAVING count(*) >= 3),
+      per_part AS (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey),
+      totals AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items)
+      SELECT p.part_a, p.part_b, CAST(p.support AS BIGINT) AS support,
+             (CAST(p.support AS DOUBLE) * CAST(t.n_baskets AS DOUBLE)) /
+               (CAST(pa.n_part AS DOUBLE) * CAST(pb.n_part AS DOUBLE)) AS lift
+      FROM pairs p
+      JOIN per_part pa ON p.part_a = pa.l_partkey
+      JOIN per_part pb ON p.part_b = pb.l_partkey
+      CROSS JOIN totals t
+      ORDER BY part_a, part_b"""))
+
+  val queries: Seq[GraftQuery] = Seq(qCopurchase, qAlsoBought, qPairLift)
 }

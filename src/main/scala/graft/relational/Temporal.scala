@@ -84,5 +84,64 @@ object Temporal {
       GROUP BY wd, h
       ORDER BY wd, h"""))
 
-  val queries: Seq[GraftQuery] = Seq(qGapHistogram, qWeeklyProfile)
+  /** Anomalous-day screen: per event type, flag days whose event count
+    * deviates from the type's median by more than z·MAD — operator
+    * COMPOSITION, not new machinery: the daily count table feeds
+    * [[Quantiles.madOutlierStats]] unchanged, demonstrating that the
+    * robust-stats family composes over derived frames. Everything after
+    * the daily aggregate is O(types × days).
+    */
+  def dailyAnomalies(events: DataFrame, z: Double): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).cast("double").as("n_day"))
+    Quantiles.madOutlierStats(daily, "event_type", "n_day", z)
+  }
+
+  val qDailyAnomalies = GraftQuery(
+    "q147_daily_anomalies",
+    (s, dir) => dailyAnomalies(Tables.events(s, dir), z = 3.0),
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY event_type, d),
+      counts AS (
+        SELECT event_type AS grp, v, count(*) AS c
+        FROM daily GROUP BY grp, v),
+      cum AS (
+        SELECT grp, v, c,
+               sum(c) OVER (PARTITION BY grp ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM counts),
+      tot AS (SELECT grp, sum(c) AS n FROM counts GROUP BY grp),
+      med AS (
+        SELECT c.grp, min(c.v) AS med
+        FROM cum c JOIN tot t ON c.grp = t.grp
+        WHERE c.cum >= ceil(CAST(0.5 AS DECIMAL(2,1)) * t.n) GROUP BY c.grp),
+      dcounts AS (
+        SELECT k.grp AS grp, abs(k.v - m.med) AS v, sum(k.c) AS c
+        FROM counts k JOIN med m ON k.grp = m.grp
+        GROUP BY k.grp, abs(k.v - m.med)),
+      dcum AS (
+        SELECT grp, v, c,
+               sum(c) OVER (PARTITION BY grp ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM dcounts),
+      dtot AS (SELECT grp, sum(c) AS n FROM dcounts GROUP BY grp),
+      mad AS (
+        SELECT d.grp, min(d.v) AS mad
+        FROM dcum d JOIN dtot t ON d.grp = t.grp
+        WHERE d.cum >= ceil(CAST(0.5 AS DECIMAL(2,1)) * t.n) GROUP BY d.grp)
+      SELECT k.grp AS event_type, max(m.med) AS med, max(a.mad) AS mad,
+             CAST(sum(k.c) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN abs(k.v - m.med) > a.mad * CAST(3.0 AS DOUBLE)
+                           THEN k.c ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM counts k
+      JOIN med m ON k.grp = m.grp
+      JOIN mad a ON k.grp = a.grp
+      GROUP BY k.grp ORDER BY event_type"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qGapHistogram, qWeeklyProfile, qDailyAnomalies)
 }

@@ -520,6 +520,48 @@ object TextDedup {
       FROM groups GROUP BY n_copies
       ORDER BY cluster_size"""))
 
+  /** q148: per-source novelty KPI — how much of each source's volume is
+    * actually new content vs exact re-crawls of text seen ANYWHERE in
+    * the corpus (a doc is novel only if it is the minimum doc_id of its
+    * corpus-wide content cluster). The ingest dashboard number that
+    * catches a mirror site: high volume, near-zero novelty.
+    *
+    * Scale shape: the q20 content groupBy computes each cluster's
+    * min-doc winner once; one slim (hash, winner) join back tags every
+    * doc, then an O(sources) rollup. All-BIGINT; the rate divides exact
+    * counts.
+    */
+  val qSourceNovelty = GraftQuery(
+    "q148_source_novelty",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val winners = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
+      docs.join(winners, Seq("h"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") === col("keep"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("source"), col("n_docs"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_docs").cast("double"))
+            .as("novelty_rate"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents),
+      winners AS (SELECT h, min(doc_id) AS keep FROM docs GROUP BY h)
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN d.doc_id = w.keep THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+             CAST(sum(CASE WHEN d.doc_id = w.keep THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_rate
+      FROM docs d JOIN winners w ON d.h = w.h
+      GROUP BY d.source
+      ORDER BY d.source"""))
+
   /** n-gram Jaccard similarity on deterministic candidate pairs (adjacent
     * doc_ids within a source) — the verification kernel of MinHash dedup,
     * oracle-checkable in ANSI SQL.
@@ -1101,5 +1143,5 @@ object TextDedup {
   val queries: Seq[GraftQuery] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qMinhashCanonical,
       qDedupClusters, qSimhashDedup, qSourceSketch, qSubstringDedup,
-      qRemoveSpans, qContainment, qDedupReport)
+      qRemoveSpans, qContainment, qDedupReport, qSourceNovelty)
 }

@@ -36,4 +36,23 @@ class BasketSpec extends SparkSpec {
       Basket.alsoBought(li.toDF("l_orderkey", "l_partkey"), 2, 0)
     }
   }
+
+  test("pair lift: hand-computed attraction and repulsion") {
+    // 4 baskets; parts 10, 20 always together (lift = 4*4/(4*4) = 1? no:
+    // both in all 4 baskets, support 4 -> lift = 4*4/(4*4) = 1.0)
+    // part 30 in 2 baskets always with 10 -> lift(10,30) = 2*4/(4*2) = 1.0
+    // make attraction: 40,50 only in basket 4 together, each n=1:
+    // lift = 1*4/(1*1) = 4.0
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L),
+      (4L, 10L), (4L, 20L), (4L, 30L), (4L, 40L), (4L, 50L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Basket.pairLift(li, minSupport = 1)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out((10L, 20L)) == ((4L, 1.0)))
+    assert(out((10L, 30L)) == ((2L, 1.0)))
+    assert(out((40L, 50L)) == ((1L, 4.0)))
+  }
 }

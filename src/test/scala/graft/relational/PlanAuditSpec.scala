@@ -101,7 +101,11 @@ class PlanAuditSpec extends SparkSpec {
       // label is a classification-taxonomy key (like l_returnflag): the
       // centroid table is O(labels × dims), bounded by the label domain
       // and the schema dim constant, not corpus size
-      "q137_class_separation" -> "grouped by label (taxonomy-bounded domain) × dim (schema constant)")
+      "q137_class_separation" -> "grouped by label (taxonomy-bounded domain) × dim (schema constant)",
+      // the hint wraps a GLOBAL 1-row basket count; the grouped aggregate
+      // the walk finds below it is the distinct-items input of that
+      // count's lineage, never the broadcast payload (the q93 class)
+      "q146_pair_lift" -> "hinted relation is a global count (1 row by construction)")
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
     graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>

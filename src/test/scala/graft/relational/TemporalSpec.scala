@@ -32,6 +32,19 @@ class TemporalSpec extends SparkSpec {
     assert(out == Seq(("a", 1L, 1L)))
   }
 
+  test("daily anomalies: a spike day is flagged against median/MAD") {
+    // type "a": 5 normal days of ~2 events + one 40-event day
+    val normal = for (d <- 1 to 5; i <- 1 to 2)
+      yield ev((d * 10 + i).toLong, i.toLong, f"2020-01-0$d 09:00:$i%02d", "a")
+    val spike = (1 to 40).map(i =>
+      ev((1000 + i).toLong, i.toLong, f"2020-01-06 10:00:${i % 60}%02d", "a"))
+    val out = Temporal.dailyAnomalies((normal ++ spike).toDF(cols: _*), z = 3.0)
+      .as[(String, Double, Double, Long, Long)].collect().toSeq
+    assert(out.size == 1)
+    val (_, med, _, nRows, nOutliers) = out.head
+    assert(med == 2.0 && nRows == 6L && nOutliers == 1L)
+  }
+
   test("weekly profile: weekday 0 is Monday, hours split correctly") {
     // 2020-01-06 is a Monday
     val rows = Seq(

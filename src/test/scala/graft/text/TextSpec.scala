@@ -436,6 +436,17 @@ class TextSpec extends SparkSpec {
     assert(out.map(_._1).toSet.intersect(Set(2L, 3L)) == Set(2L, 3L))
   }
 
+  test("source novelty: mirror source scores near zero, originals near one") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextDedup.qSourceNovelty.run(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val base = graft.Tables.documents(spark, dir).count()
+    assert(out.map(_._2).sum == base) // every doc attributed to a source
+    out.foreach { case (src, n, novel, rate) =>
+      assert(novel <= n && rate == novel.toDouble / n, src)
+    }
+  }
+
   test("langid confusion: cells partition the corpus, shares sum to 1 per label") {
     val dir = "/root/testdata/sf0.001"
     val cells = TextAnalysis.qLangConfusion.run(spark, dir)
