@@ -141,5 +141,63 @@ object CorpusSafety {
       FROM f
       ORDER BY doc_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qContamination, qPiiRedact)
+  /** q149: cross-source n-gram containment matrix — for every ordered
+    * source pair, the fraction of A's distinct token bigrams that also
+    * appear anywhere in B. The corpus-level contamination/provenance map
+    * (a mirror or heavy quoter lights up as a high-containment cell)
+    * next to q58's corpus-vs-benchmark check.
+    *
+    * Scale shape: the (source, gram) distinct table is the only
+    * corpus-scale frame; the matrix join is gram-keyed with fan-out
+    * bounded by sources² per gram (a domain constant), and the output is
+    * O(sources²). Containment divides exact BIGINTs.
+    */
+  val qSourceOverlap = GraftQuery(
+    "q149_source_overlap",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val g0 = docs.select(col("source"),
+          explode(TextExprs.tokenShingles(s,
+            TextAnalysis.tokens(col("text")), 2)).as("g"))
+        .distinct()
+        .localCheckpoint() // referenced three times (sizes + both join sides)
+      val sizes = g0.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      val inter = g0.select(col("source").as("source_a"), col("g"))
+        .join(g0.select(col("source").as("source_b"), col("g")), "g")
+        .filter(col("source_a") =!= col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select(col("source").as("source_a"),
+          col("n_grams").as("n_grams_a")), Seq("source_a"))
+        .select(col("source_a"), col("source_b"), col("n_common"),
+          col("n_grams_a"),
+          (col("n_common").cast("double") / col("n_grams_a").cast("double"))
+            .as("containment"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""
+      WITH g0 AS (
+        SELECT DISTINCT source, g FROM (
+          SELECT source,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i + 1]))) AS g
+          FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents) t) u),
+      sizes AS (SELECT source, count(*) AS n_grams FROM g0 GROUP BY source),
+      inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_common
+        FROM g0 a JOIN g0 b ON a.g = b.g AND a.source <> b.source
+        GROUP BY source_a, source_b)
+      SELECT i.source_a, i.source_b,
+             CAST(i.n_common AS BIGINT) AS n_common,
+             CAST(sz.n_grams AS BIGINT) AS n_grams_a,
+             CAST(i.n_common AS DOUBLE) / CAST(sz.n_grams AS DOUBLE)
+               AS containment
+      FROM inter i JOIN sizes sz ON i.source_a = sz.source
+      ORDER BY i.source_a, i.source_b"""))
+
+  val queries: Seq[GraftQuery] = Seq(qContamination, qPiiRedact, qSourceOverlap)
 }

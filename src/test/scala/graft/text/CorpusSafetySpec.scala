@@ -46,4 +46,19 @@ class CorpusSafetySpec extends SparkSpec {
     assert(got(2)._2 == 2 && got(2)._3 == 1)
     assert(got(2)._4 == "two mails <EMAIL> <EMAIL> one phone <PHONE>")
   }
+
+  test("source overlap: containment is asymmetric and self pairs excluded") {
+    val dir = "/root/testdata/sf0.001"
+    val cells = CorpusSafety.qSourceOverlap.run(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(cells.nonEmpty)
+    cells.foreach { case (a, b, common, na, c) =>
+      assert(a != b)
+      assert(common <= na && c == common.toDouble / na, s"$a->$b")
+    }
+    // the matrix is direction-sensitive: n_common(a,b) == n_common(b,a)
+    // but containment divides by the SOURCE side's gram count
+    val byPair = cells.map(r => (r._1, r._2) -> r._3).toMap
+    byPair.foreach { case ((a, b), n) => assert(byPair((b, a)) == n) }
+  }
 }
