@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => text.TextExprs.GramWindowHashes(es.head,
         intArg("graft_gram_hashes", es(1)))))
     ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[text.JaroWinkler.JaroWinklerSim].getName, "graft_jaro_winkler"),
+      (es: Seq[Expression]) => text.JaroWinkler.JaroWinklerSim(es.head, es(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[vector.VectorExprs.CosineSim].getName, "graft_cosine"),
       (es: Seq[Expression]) => vector.VectorExprs.CosineSim(es.head, es(1))))

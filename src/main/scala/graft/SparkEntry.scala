@@ -27,6 +27,8 @@ object SparkEntry {
       relational.Cdc.queries ++
       relational.TimeSeries.queries ++
       relational.FuzzyJoin.queries ++
+      relational.Skyline.queries ++
+      relational.Distributions.queries ++
       relational.Paths.queries ++
       relational.SemiStructured.queries ++
       relational.Regression.queries ++

@@ -66,6 +66,42 @@ object FuzzyJoin {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** Near-but-not-exact name matches by Jaro-Winkler similarity ≥ minSim,
+    * same blocking scheme as [[blockedFuzzyPairs]]. Exact duplicates are
+    * excluded — the linkage-review shape: "names that look like the same
+    * entity but don't string-match".
+    *
+    * The kernel is the native codegen'd [[graft.text.JaroWinkler]]
+    * expression (semantics differentially pinned to DuckDB's
+    * `jaro_winkler_similarity`), evaluated once per distinct in-block name
+    * pair behind the same aggregate barrier as the levenshtein variant.
+    */
+  def jaroWinklerPairs(part: DataFrame, minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0, s"minSim in (0,1], got $minSim")
+    val p = part.select(
+      element_at(split(col("p_name"), " "), -1).as("blk_tok"),
+      col("p_brand").as("blk_brand"),
+      col("p_partkey"), col("p_name"))
+    val names = p.select(col("blk_tok"), col("blk_brand"), col("p_name")).distinct()
+    val pairSim = names.select(col("blk_tok"), col("blk_brand"), col("p_name").as("name_a"))
+      .join(names.select(col("blk_tok"), col("blk_brand"), col("p_name").as("name_b")),
+        Seq("blk_tok", "blk_brand"))
+      .filter(col("name_a") =!= col("name_b"))
+      .select(col("name_a"), col("name_b")).distinct()
+      .withColumn("jw", graft.text.JaroWinkler.jaroWinkler(col("name_a"), col("name_b")))
+      .filter(col("jw") >= minSim)
+    val a = p.select(col("blk_tok"), col("blk_brand"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("blk_tok"), col("blk_brand"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("blk_tok", "blk_brand"))
+      .filter(col("key_a") < col("key_b"))
+      .join(pairSim, Seq("name_a", "name_b"))
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+        round(col("jw"), 5).as("jw"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
   // ---- queries -------------------------------------------------------------
 
   val qFuzzy = GraftQuery(
@@ -86,5 +122,23 @@ object FuzzyJoin {
        AND levenshtein(a.p_name, b.p_name) <= 3
       ORDER BY key_a, key_b"""))
 
-  val queries: Seq[GraftQuery] = Seq(qFuzzy)
+  val qJaroWinkler = GraftQuery(
+    "q150_jaro_winkler",
+    (s, dir) => jaroWinklerPairs(Tables.part(s, dir), minSim = 0.95),
+    Some("""
+      WITH p AS (
+        SELECT string_split(p_name, ' ')[-1] AS blk_tok, p_brand AS blk_brand,
+               p_partkey, p_name
+        FROM part)
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             a.p_name AS name_a, b.p_name AS name_b,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 5) AS jw
+      FROM p a JOIN p b
+        ON a.blk_tok = b.blk_tok AND a.blk_brand = b.blk_brand
+       AND a.p_partkey < b.p_partkey
+       AND a.p_name <> b.p_name
+       AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.95
+      ORDER BY key_a, key_b"""))
+
+  val queries: Seq[GraftQuery] = Seq(qFuzzy, qJaroWinkler)
 }

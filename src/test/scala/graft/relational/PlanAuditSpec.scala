@@ -105,7 +105,10 @@ class PlanAuditSpec extends SparkSpec {
       // the hint wraps a GLOBAL 1-row basket count; the grouped aggregate
       // the walk finds below it is the distinct-items input of that
       // count's lineage, never the broadcast payload (the q93 class)
-      "q146_pair_lift" -> "hinted relation is a global count (1 row by construction)")
+      "q146_pair_lift" -> "hinted relation is a global count (1 row by construction)",
+      // the cross-bucket prune table is grouped by the price range bucket —
+      // construction-bounded at nBuckets (32) rows whatever the data size
+      "q151_skyline" -> "grouped by range bucket (construction-bounded, <= nBuckets=32)")
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
     graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
