@@ -28,6 +28,8 @@ object SparkEntry {
       relational.TimeSeries.queries ++
       relational.FuzzyJoin.queries ++
       relational.Skyline.queries ++
+      relational.Bucketing.queries ++
+      text.Topics.queries ++
       relational.Distributions.queries ++
       relational.Paths.queries ++
       relational.SemiStructured.queries ++
