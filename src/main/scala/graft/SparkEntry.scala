@@ -29,6 +29,7 @@ object SparkEntry {
       relational.FuzzyJoin.queries ++
       relational.Skyline.queries ++
       relational.Bucketing.queries ++
+      relational.EntityResolution.queries ++
       text.Topics.queries ++
       relational.Distributions.queries ++
       relational.Paths.queries ++
