@@ -108,7 +108,14 @@ class PlanAuditSpec extends SparkSpec {
       "q146_pair_lift" -> "hinted relation is a global count (1 row by construction)",
       // the cross-bucket prune table is grouped by the price range bucket —
       // construction-bounded at nBuckets (32) rows whatever the data size
-      "q151_skyline" -> "grouped by range bucket (construction-bounded, <= nBuckets=32)")
+      "q151_skyline" -> "grouped by range bucket (construction-bounded, <= nBuckets=32)",
+      // the hint wraps the GLOBAL 1-row total count; the digit-grouped
+      // aggregate the walk finds below it is that total's lineage (and is
+      // itself domain-bounded at 9 digits), never the broadcast payload
+      "q152_benford" -> "hinted relation is a global count (1 row by construction)",
+      // the hint wraps the GLOBAL 1-row mean of the daily-count series; the
+      // date-grouped aggregate below is the mean's lineage, not the payload
+      "q154_cusum" -> "hinted relation is a global mean (1 row by construction)")
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
     graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
