@@ -26,6 +26,9 @@ object SparkEntry {
       relational.Olap.queries ++
       relational.Cdc.queries ++
       relational.TimeSeries.queries ++
+      relational.Islands.queries ++
+      relational.Proration.queries ++
+      relational.Seasonal.queries ++
       relational.FuzzyJoin.queries ++
       relational.Skyline.queries ++
       relational.Bucketing.queries ++
@@ -73,6 +76,7 @@ object SparkEntry {
       vector.Quantize.queries ++
       vector.Centroids.queries ++
       vector.SemDedup.queries ++
+      vector.Pca.queries ++
       vector.Mmr.queries ++
       sources.CsvFolderSource.queries ++
       wrm.WrmQueries.queries ++

@@ -134,6 +134,30 @@ object Olap {
       .orderBy(col("grp"), col("bucket"))
   }
 
+  /** GROUPING SETS over (market segment, order priority): the full cross
+    * plus the two one-dimension marginals — the exact-set form of
+    * rollup/cube for reports that want specific margins only (a CUBE here
+    * would also emit the grand total nobody asked for). Plans as Expand +
+    * one hash aggregate like ROLLUP (see the scale note above); both
+    * grouping columns are domain-bounded, so the exchange carries
+    * O(sets × segments × priorities) rows.
+    */
+  def segmentPriorityGroupingSets(orders: DataFrame,
+                                  customer: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"), col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("segment"), col("priority")),
+          Seq(col("segment")), Seq(col("priority"))),
+        col("segment"), col("priority"))
+      .agg(
+        grouping_id().as("gid"),
+        sum(d2(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("gid"), col("segment"), col("priority"))
+
   // ---- queries -------------------------------------------------------------
 
   val qRollup = GraftQuery(
@@ -211,6 +235,21 @@ object Olap {
       FROM cum GROUP BY grp, bucket
       ORDER BY grp, bucket"""))
 
+  val qGroupingSets = GraftQuery(
+    "q164_grouping_sets",
+    (s, dir) => segmentPriorityGroupingSets(
+      Tables.orders(s, dir), Tables.customer(s, dir)),
+    Some("""
+      SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+             CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+                              (c_mktsegment), (o_orderpriority))
+      ORDER BY gid, segment, priority"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qRollup, qPivot, qHistogram, qUnpivot, qEquidepth)
+    Seq(qRollup, qPivot, qHistogram, qUnpivot, qEquidepth, qGroupingSets)
 }

@@ -92,4 +92,29 @@ class OlapSpec extends SparkSpec {
     val heavy = sk.filter(r => r._4 <= 5.0 && 5.0 <= r._5)
     assert(heavy.length == 1 && heavy.head._3 >= 90L)
   }
+
+  test("grouping sets: exact margins only — no grand total row") {
+    val orders = Seq(
+      (1L, 10L, "O", 10.0, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "1-URGENT"),
+      (2L, 10L, "O", 20.0, java.sql.Timestamp.valueOf("2020-01-02 00:00:00"), "5-LOW"),
+      (3L, 11L, "O", 40.0, java.sql.Timestamp.valueOf("2020-01-03 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val customer = Seq((10L, "a", 1, 0.0, "AUTO"), (11L, "b", 1, 0.0, "BIKE"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = Olap.segmentPriorityGroupingSets(orders, customer)
+      .as[(Option[String], Option[String], Long, Double, Long)]
+      .collect().toSeq
+    // full cross: gid 0; segment margin: gid 1 (priority rolled up);
+    // priority margin: gid 2; and NO gid=3 grand total
+    assert(out.filter(_._3 == 0L).toSet == Set(
+      (Some("AUTO"), Some("1-URGENT"), 0L, 10.0, 1L),
+      (Some("AUTO"), Some("5-LOW"), 0L, 20.0, 1L),
+      (Some("BIKE"), Some("1-URGENT"), 0L, 40.0, 1L)))
+    assert(out.filter(_._3 == 1L).toSet == Set(
+      (Some("AUTO"), None, 1L, 30.0, 2L), (Some("BIKE"), None, 1L, 40.0, 1L)))
+    assert(out.filter(_._3 == 2L).toSet == Set(
+      (None, Some("1-URGENT"), 2L, 50.0, 2L), (None, Some("5-LOW"), 2L, 20.0, 1L)))
+    assert(!out.exists(_._3 == 3L))
+  }
 }
