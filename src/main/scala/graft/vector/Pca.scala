@@ -20,53 +20,71 @@ import org.apache.spark.sql.types.DecimalType
   * (it exceeds int64 — ~1e19 at corpus scale), so the ONLY float op is
   * the final division — one rounding, identical in any engine.
   *
-  * Scale shape: one narrow flatMap expands each vector to its d(d+1)/2
-  * upper-triangle products; hash aggregation reduces every partition to
-  * ≤ d(d+1)/2 partial rows map-side, so the shuffle carries O(d²) rows
-  * per partition — constant in corpus size. No second pass for the
-  * means: S_i rides along in the same groups. The corpus is never
-  * shuffled; the collect in [[topComponentOf]] is the d×d matrix —
-  * schema-bounded (64² doubles), never data.
+  * Scale shape: the [[VectorExprs.GramMatrix]] aggregate keeps ONE
+  * O(d²) long buffer per partition and does the d² multiply-adds in a
+  * tight JIT loop per vector — no row expansion, and the shuffle
+  * carries one ~17 KB buffer per partition, constant in corpus size.
+  * No second pass for the means: S_i rides in the same buffer. The
+  * corpus is never shuffled; the collect in [[topComponentOf]] is the
+  * d×d matrix — schema-bounded (64² doubles), never data.
   */
 object Pca {
 
   private val Q = 1000000.0
   private val d38 = DecimalType(38, 0)
 
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(
+      transform(col("embedding").cast("array<double>"),
+        v => round(v * Q).cast("long")).as("qv"))
+
+  /** Shared back half: (i, j, sij, si, sj, n) long sums → covariance. */
+  private def covFromSums(sums: DataFrame): DataFrame =
+    sums.select(col("i"), col("j"),
+      round(
+        (col("n").cast(d38) * col("sij").cast(d38) -
+          col("si").cast(d38) * col("sj").cast(d38)).cast("double") /
+          ((col("n") * (col("n") - 1)).cast("double") * lit(Q * Q)),
+        10).as("cov"))
+      .orderBy(col("i"), col("j"))
+
   /** Upper-triangle sample covariance (1-based dims): (i, j, cov) for
     * i ≤ j, over ×1e6-quantized components (quantization error ~1e-6 on
     * inputs in [-1, 1] — the defined statistic, matching the oracle).
+    * The sums come from the [[VectorExprs.GramMatrix]] aggregate — one
+    * tight d² pass per vector, one O(d²) buffer per partition, no row
+    * expansion anywhere.
     */
-  def covarianceMatrix(emb: DataFrame): DataFrame = {
-    val quant = emb.select(
-      transform(col("embedding").cast("array<double>"),
-        v => round(v * Q).cast("long")).as("qv"))
-    val pairs = quant.select(explode(expr(
-      """flatten(transform(sequence(0, size(qv) - 1), i ->
-           transform(sequence(i, size(qv) - 1), j ->
-             named_struct(
-               'i', CAST(i + 1 AS BIGINT),
-               'j', CAST(j + 1 AS BIGINT),
-               'p', qv[i] * qv[j],
-               'xi', qv[i],
-               'xj', qv[j]))))""")).as("t"))
+  def covarianceMatrix(emb: DataFrame): DataFrame =
+    covFromSums(quantized(emb)
+      .agg(VectorExprs.gramMatrix(col("qv")).as("g"))
+      .select(explode(col("g")).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("sij"),
+        col("t.xi").as("si"), col("t.xj").as("sj"), col("t.n").as("n")))
+
+  /** The composable pair-explode form of the same sums — the oracle's
+    * shape, kept as the differential reference for [[covarianceMatrix]]
+    * (identical output, but materializes d(d+1)/2 rows per vector).
+    */
+  private[vector] def covarianceMatrixComposable(emb: DataFrame): DataFrame =
+    covFromSums(quantized(emb)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(qv) - 1), i ->
+             transform(sequence(i, size(qv) - 1), j ->
+               named_struct(
+                 'i', CAST(i + 1 AS BIGINT),
+                 'j', CAST(j + 1 AS BIGINT),
+                 'p', qv[i] * qv[j],
+                 'xi', qv[i],
+                 'xj', qv[j]))))""")).as("t"))
       .select(col("t.i").as("i"), col("t.j").as("j"),
         col("t.p").as("p"), col("t.xi").as("xi"), col("t.xj").as("xj"))
-    pairs
       .groupBy(col("i"), col("j"))
       .agg(
         sum(col("p")).as("sij"),
         sum(col("xi")).as("si"),
         sum(col("xj")).as("sj"),
-        count(lit(1)).as("n"))
-      .select(col("i"), col("j"),
-        round(
-          (col("n").cast(d38) * col("sij").cast(d38) -
-            col("si").cast(d38) * col("sj").cast(d38)).cast("double") /
-            ((col("n") * (col("n") - 1)).cast("double") * lit(Q * Q)),
-          10).as("cov"))
-      .orderBy(col("i"), col("j"))
-  }
+        count(lit(1)).as("n")))
 
   /** Power iteration on a symmetric matrix given as upper-triangle
     * (i, j, cov) 1-based entries. Deterministic: starts from the

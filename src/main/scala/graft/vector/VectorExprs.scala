@@ -3,7 +3,8 @@ package graft.vector
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -157,6 +158,119 @@ object VectorExprs {
       copy(child = c)
   }
 
+  /** Gram-matrix aggregate over quantized (long) vectors: ONE buffer per
+    * partition holding the full upper-triangle Σqᵢqⱼ plus the per-dim
+    * sums Σqᵢ and the row count — everything the centering-free
+    * covariance identity needs, in a single pass with no row expansion.
+    *
+    * The composable form (flatten/transform pair explode → groupBy(i,j))
+    * computes the identical sums (differential spec) but materializes
+    * d(d+1)/2 struct rows PER VECTOR before the aggregate swallows them
+    * — a constant-factor-2080 row blowup at d=64 whose per-row iterator
+    * overhead swamps the multiply-adds. This buffer does the d² loop in
+    * one tight JIT pass per vector; partial aggregation ships one
+    * O(d²)-long buffer per partition (the MinHashSketch shape).
+    *
+    * Buffer layout: [0, P) pair products row-major upper-tri, [P, P+d)
+    * per-dim sums, [P+d] count, where P = d(d+1)/2. Sized lazily on the
+    * first vector (d is data-defined); empty partitions merge as
+    * identity. All-long arithmetic — exact, order-independent,
+    * overflow-safe to ~1e7 rows of ±1e6-quantized components.
+    *
+    * Output: array<struct<i,j,p,xi,xj,n>> (1-based dims), the same rows
+    * the composable groupBy produced, so downstream cov math is shared.
+    */
+  case class GramMatrix(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("i", LongType, nullable = false),
+      StructField("j", LongType, nullable = false),
+      StructField("p", LongType, nullable = false),
+      StructField("xi", LongType, nullable = false),
+      StructField("xj", LongType, nullable = false),
+      StructField("n", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+    private def bufLen(d: Int): Int = d * (d + 1) / 2 + d + 1
+    /** Inverse of bufLen: d(d+3)/2 + 1 = L → d. */
+    private def dimOf(len: Int): Int = {
+      val d = ((math.sqrt(9.0 + 8.0 * (len - 1)) - 3.0) / 2.0).round.toInt
+      require(bufLen(d) == len, s"corrupt gram buffer length $len")
+      d
+    }
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v == null) return buf
+      val arr = v.asInstanceOf[ArrayData]
+      val d = arr.numElements()
+      val b = if (buf.isEmpty) new Array[Long](bufLen(d)) else buf
+      require(b.length == bufLen(d),
+        s"gram dim mismatch: buffer d=${dimOf(b.length)}, row d=$d")
+      val q = new Array[Long](d)
+      var i = 0
+      while (i < d) { q(i) = arr.getLong(i); i += 1 }
+      val base = d * (d + 1) / 2
+      var k = 0
+      i = 0
+      while (i < d) {
+        val qi = q(i)
+        var j = i
+        while (j < d) { b(k) += qi * q(j); k += 1; j += 1 }
+        b(base + i) += qi
+        i += 1
+      }
+      b(base + d) += 1L
+      b
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      if (b1.isEmpty) return b2
+      if (b2.isEmpty) return b1
+      require(b1.length == b2.length, "gram dim mismatch in merge")
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    override def eval(buf: Array[Long]): Any = {
+      if (buf.isEmpty) return new GenericArrayData(Array.empty[Any])
+      val d = dimOf(buf.length)
+      val base = d * (d + 1) / 2
+      val n = buf(base + d)
+      val out = new Array[Any](base)
+      var k = 0
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) {
+          out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](i + 1L, j + 1L, buf(k), buf(base + i), buf(base + j), n))
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Array.fill(bytes.length / 8)(bb.getLong())
+    }
+    override def withNewMutableAggBufferOffset(o: Int): GramMatrix =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): GramMatrix =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): GramMatrix =
+      copy(child = c)
+  }
+
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -167,4 +281,8 @@ object VectorExprs {
   def lshBucket(emb: Column, planes: Int, planeOffset: Int = 0,
                 hashMode: String = "xx"): Column =
     ColumnBridge.column(LshBucket(ColumnBridge.expression(emb), planes, planeOffset, hashMode))
+
+  def gramMatrix(qv: Column): Column =
+    ColumnBridge.column(
+      GramMatrix(ColumnBridge.expression(qv)).toAggregateExpression())
 }

@@ -29,6 +29,18 @@ class PcaSpec extends SparkSpec {
     assert(rows.forall { case (i, j, _) => i <= j && i >= 1 && j <= 3 })
   }
 
+  test("gram aggregate matches the composable pair-explode form exactly") {
+    val vecs = (0 until 50).map { k =>
+      Seq.tabulate(5)(j => (((k * 31 + j * 17) % 19) - 9) / 10.0f)
+    }
+    val fast = Pca.covarianceMatrix(df(vecs))
+      .as[(Long, Long, Double)].collect().toSeq
+    val ref = Pca.covarianceMatrixComposable(df(vecs))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(fast == ref) // exact long sums -> bit-identical covariance
+    assert(fast.size == 15)
+  }
+
   test("power iteration recovers a planted dominant direction") {
     // points spread along (3,4)/5 with tiny isotropic noise: the top
     // component must align with the planted axis
