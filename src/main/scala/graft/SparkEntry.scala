@@ -27,6 +27,7 @@ object SparkEntry {
       relational.Cdc.queries ++
       relational.TimeSeries.queries ++
       relational.Islands.queries ++
+      relational.Bootstrap.queries ++
       relational.Proration.queries ++
       relational.Seasonal.queries ++
       relational.FuzzyJoin.queries ++

@@ -69,6 +69,33 @@ object Growth {
       .orderBy(col("m"))
   }
 
+  /** Monthly revenue with month-over-month and year-over-year percent
+    * change: (m, revenue, mom_pct, yoy_pct) — the standard KPI trend
+    * report. Comparison months attach by CALENDAR self-joins on the
+    * O(months) aggregate (not lag offsets, which silently misalign when
+    * a month is empty); first month / first year rows carry nulls.
+    */
+  def periodOverPeriod(orders: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val monthly = orders
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+        col("o_totalprice").cast(dec).as("rev"))
+      .groupBy(col("m")).agg(sum(col("rev")).as("rev"))
+    def shifted(months: Int, alias: String) = monthly.select(
+      add_months(col("m"), months).as("m"), col("rev").as(alias))
+    def pct(cur: org.apache.spark.sql.Column, prev: org.apache.spark.sql.Column) =
+      round((cur.cast("double") / prev.cast("double") - 1.0) * 100.0, 6)
+    monthly
+      .join(shifted(1, "prev_m"), Seq("m"), "left")
+      .join(shifted(12, "prev_y"), Seq("m"), "left")
+      .select(
+        col("m").cast("timestamp").as("m"),
+        col("rev").cast("double").as("revenue"),
+        pct(col("rev"), col("prev_m")).as("mom_pct"),
+        pct(col("rev"), col("prev_y")).as("yoy_pct"))
+      .orderBy(col("m"))
+  }
+
   // ---- queries -------------------------------------------------------------
 
   val qCumulativeUsers = GraftQuery(
@@ -118,5 +145,25 @@ object Growth {
       FROM active a LEFT JOIN churn_base c ON a.m = c.m
       ORDER BY m"""))
 
-  val queries: Seq[GraftQuery] = Seq(qCumulativeUsers, qGrowthAccounting)
+  val qPeriodOverPeriod = GraftQuery(
+    "q166_period_over_period",
+    (s, dir) => periodOverPeriod(Tables.orders(s, dir)),
+    Some("""
+      WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1)
+      SELECT CAST(cur.m AS TIMESTAMP) AS m,
+             CAST(cur.rev AS DOUBLE) AS revenue,
+             round((CAST(cur.rev AS DOUBLE) / CAST(pm.rev AS DOUBLE) - 1.0)
+                   * 100.0, 6) AS mom_pct,
+             round((CAST(cur.rev AS DOUBLE) / CAST(py.rev AS DOUBLE) - 1.0)
+                   * 100.0, 6) AS yoy_pct
+      FROM monthly cur
+      LEFT JOIN monthly pm ON cur.m = pm.m + INTERVAL 1 MONTH
+      LEFT JOIN monthly py ON cur.m = py.m + INTERVAL 12 MONTH
+      ORDER BY m"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qCumulativeUsers, qGrowthAccounting, qPeriodOverPeriod)
 }

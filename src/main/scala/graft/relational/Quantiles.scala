@@ -48,6 +48,40 @@ object Quantiles {
       .orderBy(col(groupCol), col("probe"))
   }
 
+  /** Weighted quantiles per group (inverted-CDF, type 1): smallest value
+    * whose cumulative WEIGHT reaches ceil(q · total_weight) — the
+    * corpus-reweighting form of [[groupQuantiles]] (e.g. "token-weighted
+    * median document quality"). Same scale shape: the window runs over
+    * the O(distinct values) count table, never raw rows; rank thresholds
+    * are exact DECIMAL·integer products so ceil is never off by an ulp.
+    */
+  def weightedGroupQuantiles(df: DataFrame, groupCol: String,
+                             valueCol: String, weightCol: String): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val counts = df
+      .select(col(groupCol), col(valueCol).as("v"),
+        col(weightCol).cast("long").as("wt"))
+      .groupBy(col(groupCol), col("v"))
+      .agg(sum(col("wt")).as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val totals = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    val probes = WeightedProbes
+      .map { case (label, q) => (label, BigDecimal(q)) }
+      .toDF("probe", "q")
+    cum.join(totals, Seq(groupCol))
+      .crossJoin(broadcast(probes)) // constant 4-row probe table
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col(groupCol), col("probe"))
+      .agg(min(col("v")).as("wquantile"))
+      .orderBy(col(groupCol), col("probe"))
+  }
+
+  val WeightedProbes: Seq[(String, String)] = Seq(
+    "p25" -> "0.25", "p50" -> "0.50", "p75" -> "0.75", "p90" -> "0.90")
+
   /** Smallest value whose cumulative count reaches ceil(n/2) — the exact
     * discrete median over a (group, v, c) count table. Rank arithmetic on
     * exact integers (DECIMAL 0.5 so ceil is never off by an ulp); the
@@ -344,6 +378,43 @@ object Quantiles {
       JOIN qhi hi ON k.grp = hi.grp
       GROUP BY k.grp ORDER BY l_partkey"""))
 
+  /** Revenue-weighted quantity quantiles per return flag: each line's
+    * quantity counts round(l_extendedprice) times — "what order size
+    * does the q-th revenue dollar trade at", not "the q-th line". The
+    * VALUE column here is the domain-bounded one (quantity, ~50 values),
+    * so the count table is O(flags × quantities) whatever the data size
+    * — weighting by the high-cardinality column keeps the per-group
+    * window constant-size at any scale (the q116 cardinality rule).
+    */
+  val qWeightedQuantiles = GraftQuery(
+    "q167_weighted_quantile",
+    (s, dir) => weightedGroupQuantiles(Tables.lineitem(s, dir)
+      .withColumn("rev_w", round(col("l_extendedprice")).cast("long")),
+      "l_returnflag", "l_quantity", "rev_w"),
+    Some("""
+      WITH counts AS (
+        SELECT l_returnflag, l_quantity AS v,
+               CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)
+                 AS c
+        FROM lineitem GROUP BY l_returnflag, v),
+      cum AS (
+        SELECT l_returnflag, v, c,
+               sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM counts),
+      totals AS (
+        SELECT l_returnflag, sum(c) AS n FROM counts GROUP BY l_returnflag),
+      probes AS (
+        SELECT * FROM (VALUES ('p25', 0.25), ('p50', 0.50),
+                              ('p75', 0.75), ('p90', 0.90)) t(probe, q))
+      SELECT c.l_returnflag, p.probe, min(c.v) AS wquantile
+      FROM cum c JOIN totals t ON c.l_returnflag = t.l_returnflag
+      CROSS JOIN probes p
+      WHERE c.cum >= ceil(p.q * t.n)
+      GROUP BY c.l_returnflag, p.probe
+      ORDER BY c.l_returnflag, p.probe"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qQuantiles, qMadOutliers, qApproxQuantiles, qWinsorized)
+    Seq(qQuantiles, qMadOutliers, qApproxQuantiles, qWinsorized,
+      qWeightedQuantiles)
 }

@@ -45,4 +45,22 @@ class GrowthSpec extends SparkSpec {
     // only visible on active months by construction
     assert(!out.contains("2020-03-01"))
   }
+
+  test("period over period: calendar joins, not lag — empty months can't misalign") {
+    def ord(key: Long, date: String, total: Double) =
+      (key, 1L, "O", total, Timestamp.valueOf(date + " 00:00:00"), "1-URGENT")
+    val ordCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    // Jan-2020 100, Mar-2020 150 (Feb empty), Mar-2021 300
+    val rows = Seq(ord(1, "2020-01-15", 100.0), ord(2, "2020-03-10", 150.0),
+      ord(3, "2021-03-20", 300.0))
+    val out = Growth.periodOverPeriod(rows.toDF(ordCols: _*))
+      .selectExpr("CAST(m AS DATE)", "revenue", "mom_pct", "yoy_pct")
+      .as[(java.sql.Date, Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1.toString -> ((r._2, r._3, r._4))).toMap
+    assert(out("2020-01-01") == ((100.0, None, None)))
+    // March's MoM must be null (Feb empty), NOT computed against January
+    assert(out("2020-03-01") == ((150.0, None, None)))
+    assert(out("2021-03-01") == ((300.0, None, Some(100.0))))
+  }
 }

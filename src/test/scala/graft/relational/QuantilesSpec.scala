@@ -98,4 +98,24 @@ class QuantilesSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double, Double, Double)].collect().toSeq
     assert(out == Seq(("b", 4L, 0L, 0L, 3.5, 3.5, 3.5)))
   }
+
+  test("weighted quantiles: weight shifts the median where counts would not") {
+    // values 1..4 with weights 1,1,1,7: unweighted median is 2 (type-1
+    // over 4 rows: ceil(0.5*4)=2nd value), weighted total=10 ->
+    // ceil(0.5*10)=5 first reached at v=4 (cum 1,2,3,10)
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 1L), ("a", 4.0, 7L))
+      .toDF("g", "v", "wt")
+    val out = Quantiles.weightedGroupQuantiles(df, "g", "v", "wt")
+      .as[(String, String, Double)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(out("p25") == 3.0) // ceil(2.5)=3 -> cum 3 at v=3
+    assert(out("p50") == 4.0)
+    assert(out("p90") == 4.0)
+    // per-value weights merge before the cumulative walk
+    val dup = Seq(("a", 1.0, 2L), ("a", 1.0, 3L), ("a", 2.0, 5L))
+      .toDF("g", "v", "wt")
+    val m = Quantiles.weightedGroupQuantiles(dup, "g", "v", "wt")
+      .as[(String, String, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(m("p50") == 1.0) // cum(1.0)=5 >= ceil(5)
+  }
 }
