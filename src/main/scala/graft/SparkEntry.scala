@@ -65,6 +65,9 @@ object SparkEntry {
       text.Repetition.queries ++
       text.CorpusPrep.queries ++
       text.CorpusOps.queries ++
+      text.CorpusBudget.queries ++
+      text.FilterCascade.queries ++
+      text.Sharding.queries ++
       text.HeavyHitters.queries ++
       text.CorpusSafety.queries ++
       text.Bpe.queries ++

@@ -115,7 +115,10 @@ class PlanAuditSpec extends SparkSpec {
       "q152_benford" -> "hinted relation is a global count (1 row by construction)",
       // the hint wraps the GLOBAL 1-row mean of the daily-count series; the
       // date-grouped aggregate below is the mean's lineage, not the payload
-      "q154_cusum" -> "hinted relation is a global mean (1 row by construction)")
+      "q154_cusum" -> "hinted relation is a global mean (1 row by construction)",
+      // the hint wraps the GLOBAL 1-row byte total; the shard-grouped
+      // aggregate below is the total's lineage (itself bounded at nShards)
+      "q170_shard_balance" -> "hinted relation is a global sum (1 row by construction)")
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
     graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
