@@ -68,6 +68,7 @@ object SparkEntry {
       text.CorpusBudget.queries ++
       text.FilterCascade.queries ++
       text.Sharding.queries ++
+      text.SftPairs.queries ++
       text.HeavyHitters.queries ++
       text.CorpusSafety.queries ++
       text.Bpe.queries ++

@@ -121,5 +121,99 @@ object Cdc {
       WHERE l.key IS NULL OR l.op <> 'D'
       ORDER BY key"""))
 
-  val queries: Seq[GraftQuery] = Seq(qScd2, qCdcMerge)
+  /** SCD2 integrity audit — the data-quality gate a dimension table must
+    * pass before anything point-in-time-joins against it. Over any
+    * (user_id, version, valid_from, valid_to, is_current) frame, counts:
+    *  - inverted: valid_to ≤ valid_from (negative-duration version)
+    *  - discontiguous: next version's valid_from ≠ this valid_to
+    *    (overlap or gap — for half-open ranges both are corruption)
+    *  - keys_bad_current: keys with ≠ 1 open (is_current) version
+    *  - version_gaps: keys whose version numbers are not 1..n
+    * All-zero counts = a sound dimension. One shuffle on the entity key;
+    * per-key windows over O(that key's versions).
+    */
+  def scd2Audit(scd2: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    val flagged = scd2
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .withColumn("inverted",
+        when(col("valid_to").isNotNull &&
+          col("valid_to") <= col("valid_from"), 1L).otherwise(0L))
+      .withColumn("discontig",
+        when(col("next_from").isNotNull &&
+          (col("valid_to").isNull || col("next_from") =!= col("valid_to")),
+          1L).otherwise(0L))
+    val perKey = flagged.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_versions"),
+        sum(col("inverted")).as("inverted"),
+        sum(col("discontig")).as("discontig"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+        (max(col("version")) =!= count(lit(1)) ||
+          min(col("version")) =!= 1).as("has_version_gap"))
+    perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n_versions")).as("n_versions"),
+      sum(col("inverted")).as("inverted"),
+      sum(col("discontig")).as("discontiguous"),
+      sum(when(col("n_current") =!= 1, 1L).otherwise(0L)).as("keys_bad_current"),
+      sum(when(col("has_version_gap"), 1L).otherwise(0L)).as("version_gaps"))
+  }
+
+  val qScd2Audit = GraftQuery(
+    "q172_scd2_audit",
+    (s, dir) => scd2Audit(scd2History(Tables.events(s, dir))),
+    // the scd2 CTE is the q100 oracle verbatim; the audit runs on top
+    Some("""
+      WITH e AS (SELECT user_id, event_type AS attr,
+                        CAST(ts AS TIMESTAMP) AS ts, event_id
+                 FROM events),
+      ch AS (
+        SELECT user_id, attr, ts, event_id,
+               lag(attr) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_attr
+        FROM e),
+      v AS (
+        SELECT user_id, attr, ts, event_id
+        FROM ch WHERE prev_attr IS NULL OR prev_attr <> attr),
+      scd2 AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS version,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL AS is_current
+        FROM v),
+      flagged AS (
+        SELECT *,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                 AS next_from
+        FROM scd2),
+      per_key AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_versions,
+               CAST(sum(CASE WHEN valid_to IS NOT NULL
+                              AND valid_to <= valid_from
+                             THEN 1 ELSE 0 END) AS BIGINT) AS inverted,
+               CAST(sum(CASE WHEN next_from IS NOT NULL
+                              AND (valid_to IS NULL OR next_from <> valid_to)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS discontig,
+               CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_current,
+               (max(version) <> count(*) OR min(version) <> 1)
+                 AS has_version_gap
+        FROM flagged GROUP BY user_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n_versions) AS BIGINT) AS n_versions,
+             CAST(sum(inverted) AS BIGINT) AS inverted,
+             CAST(sum(discontig) AS BIGINT) AS discontiguous,
+             CAST(sum(CASE WHEN n_current <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS keys_bad_current,
+             CAST(sum(CASE WHEN has_version_gap THEN 1 ELSE 0 END) AS BIGINT)
+               AS version_gaps
+      FROM per_key"""))
+
+  val queries: Seq[GraftQuery] = Seq(qScd2, qCdcMerge, qScd2Audit)
 }

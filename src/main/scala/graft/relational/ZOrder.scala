@@ -70,5 +70,114 @@ object ZOrder {
       FROM lineitem
       ORDER BY zorder, l_orderkey, l_linenumber"""))
 
-  val queries: Seq[GraftQuery] = Seq(qZOrder)
+  /** Clustering-depth audit of a file layout: assign rows to "files" by
+    * range-partitioning a LAYOUT key, take each file's [min, max]
+    * footer span on a PROBE column, and sweep-line the spans — the
+    * max/avg number of files whose span covers a probe value is exactly
+    * the file-skipping quality of that layout (depth 1 = perfect
+    * clustering; depth ≈ n_files = every point lookup scans everything).
+    * The OPTIMIZE/CLUSTER BY planning metric of the lakehouse world.
+    *
+    * Scale shape: file assignment is a narrow `floor(key / width)` map
+    * (range buckets at fixed boundaries — no global row sort needed for
+    * the AUDIT; the real write would range-partition); per-file min/max
+    * is one aggregate; the sweep windows run over O(files) rows.
+    */
+  def clusteringDepth(rows: DataFrame, layoutKey: Column, probe: Column,
+                      label: String, fileWidth: Long): DataFrame = {
+    require(fileWidth >= 1, s"fileWidth must be >= 1, got $fileWidth")
+    val files = rows
+      .select(floor(layoutKey / fileWidth.toDouble).cast("long").as("file_id"),
+        probe.cast("long").as("p"))
+      .groupBy(col("file_id"))
+      .agg(min(col("p")).as("mn"), max(col("p")).as("mx"),
+        count(lit(1)).as("n_rows"))
+    // sweep: +1 at mn, -1 just past mx (inclusive spans)
+    val deltas = files.select(col("mn").as("x"), lit(1L).as("d"))
+      .unionAll(files.select((col("mx") + 1).as("x"), lit(-1L).as("d")))
+      .groupBy(col("x")).agg(sum(col("d")).as("net"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val swept = deltas.withColumn("depth", sum(col("net")).over(w))
+    val stats = swept.agg(
+      max(col("depth")).as("max_depth"),
+      (sum(when(col("depth") > 0, col("depth")).otherwise(0L)).cast("double") /
+        sum(when(col("depth") > 0, 1L).otherwise(0L)).cast("double"))
+        .as("avg_depth"))
+    files.agg(count(lit(1)).as("n_files")).crossJoin(broadcast(stats))
+      .select(lit(label).as("layout"), col("n_files"), col("max_depth"),
+        round(col("avg_depth"), 6).as("avg_depth"),
+        // fraction of files a point probe must scan — the layout-quality
+        // number that is comparable ACROSS layouts with different file counts
+        round(col("avg_depth") / col("n_files"), 6).as("scan_frac"))
+  }
+
+  /** Natural (insert-order) vs z-ordered layout, audited on the same
+    * probe column — the before/after OPTIMIZE report.
+    */
+  def layoutComparison(lineitem: DataFrame): DataFrame = {
+    val x = least(floor(col("l_extendedprice") / 16.0), lit(65535.0)).cast("long")
+    val y = least(floor(col("l_quantity")), lit(65535.0)).cast("long")
+    val probe = least(floor(col("l_extendedprice") / 16.0), lit(65535.0))
+    // widths are KEY-DOMAIN constants: ~500 orderkeys per "file" on the
+    // dense sequential key; the morton key of a ≤13-bit price bucket ×
+    // ≤6-bit quantity spans ≲2^26, carved into 128 ranges
+    val natural = clusteringDepth(lineitem, col("l_orderkey"), probe,
+      "natural", fileWidth = NaturalWidth)
+    val zed = clusteringDepth(
+      lineitem.select(morton2(x, y, Bits).as("zk"), probe.as("pr")),
+      col("zk"), col("pr"), "zorder", fileWidth = ZWidth)
+    natural.unionAll(zed).orderBy(col("layout"))
+  }
+
+  private val NaturalWidth = 500L
+  private val ZWidth = (1L << 26) / 128
+
+  private def duckDepth(src: String, keyExpr: String, probeExpr: String,
+                        label: String, width: Long): String =
+    s"""
+      SELECT '$label' AS layout, n_files, max_depth, avg_depth, scan_frac
+      FROM (
+        WITH files AS (
+          SELECT CAST(floor(($keyExpr) / $width.0) AS BIGINT) AS file_id,
+                 min(CAST($probeExpr AS BIGINT)) AS mn,
+                 max(CAST($probeExpr AS BIGINT)) AS mx
+          FROM $src GROUP BY file_id),
+        deltas AS (
+          SELECT mn AS x, 1 AS d FROM files
+          UNION ALL SELECT mx + 1, -1 FROM files),
+        net AS (SELECT x, CAST(sum(d) AS BIGINT) AS net FROM deltas GROUP BY x),
+        swept AS (
+          SELECT x, net,
+                 sum(net) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+          FROM net)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM files) AS n_files,
+               CAST(max(depth) AS BIGINT) AS max_depth,
+               round(CAST(sum(CASE WHEN depth > 0 THEN depth ELSE 0 END)
+                          AS DOUBLE)
+                     / sum(CASE WHEN depth > 0 THEN 1 ELSE 0 END), 6)
+                 AS avg_depth,
+               round((CAST(sum(CASE WHEN depth > 0 THEN depth ELSE 0 END)
+                           AS DOUBLE)
+                      / sum(CASE WHEN depth > 0 THEN 1 ELSE 0 END))
+                     / (SELECT count(*) FROM files), 6) AS scan_frac
+        FROM swept)"""
+
+  val qClusteringDepth = GraftQuery(
+    "q171_clustering_depth",
+    (s, dir) => layoutComparison(Tables.lineitem(s, dir)),
+    Some({
+      val probe = "least(floor(l_extendedprice / 16.0), 65535.0)"
+      val morton = duckMorton2(
+        "CAST(least(floor(l_extendedprice / 16.0), 65535.0) AS BIGINT)",
+        "CAST(least(floor(l_quantity), 65535.0) AS BIGINT)", Bits)
+      duckDepth("lineitem", "l_orderkey", probe, "natural", NaturalWidth) +
+        "\nUNION ALL\n" +
+        duckDepth("lineitem", morton, probe, "zorder", ZWidth) +
+        "\nORDER BY layout"
+    }))
+
+  val queries: Seq[GraftQuery] = Seq(qZOrder, qClusteringDepth)
 }

@@ -65,4 +65,33 @@ class CdcSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
+
+  test("scd2 audit: sound history is all-zero; each corruption class is caught") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val cols = Seq("user_id", "version", "valid_from", "valid_to", "is_current")
+    val sound = Seq(
+      (1L, 1, t("2020-01-01 00:00:00"), Some(t("2020-02-01 00:00:00")), false),
+      (1L, 2, t("2020-02-01 00:00:00"), None, true)).toDF(cols: _*)
+    val ok = Cdc.scd2Audit(sound)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(ok == ((1L, 2L, 0L, 0L, 0L, 0L)))
+    val broken = Seq(
+      // inverted range
+      (2L, 1, t("2020-03-01 00:00:00"), Some(t("2020-01-01 00:00:00")), false),
+      // gap: valid_to 2020-04 but next starts 2020-05; also two currents
+      (2L, 2, t("2020-03-01 00:00:00"), Some(t("2020-04-01 00:00:00")), true),
+      (2L, 3, t("2020-05-01 00:00:00"), None, true),
+      // version sequence 2..3 (no 1)
+      (3L, 2, t("2020-01-01 00:00:00"), Some(t("2020-02-01 00:00:00")), false),
+      (3L, 3, t("2020-02-01 00:00:00"), None, true)).toDF(cols: _*)
+    val bad = Cdc.scd2Audit(broken)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val (nKeys, nVer, inverted, discontig, badCurrent, verGaps) = bad
+    assert((nKeys, nVer) == ((2L, 5L)))
+    assert(inverted == 1L)
+    assert(discontig >= 1L) // the 2020-04 -> 2020-05 gap
+    assert(badCurrent == 1L) // key 2 has two open versions
+    assert(verGaps == 1L) // key 3 numbered 2..3
+  }
 }

@@ -118,7 +118,11 @@ class PlanAuditSpec extends SparkSpec {
       "q154_cusum" -> "hinted relation is a global mean (1 row by construction)",
       // the hint wraps the GLOBAL 1-row byte total; the shard-grouped
       // aggregate below is the total's lineage (itself bounded at nShards)
-      "q170_shard_balance" -> "hinted relation is a global sum (1 row by construction)")
+      "q170_shard_balance" -> "hinted relation is a global sum (1 row by construction)",
+      // the hint wraps the GLOBAL 1-row depth stats of the sweep; the
+      // grouped aggregates below (per-file spans, boundary nets) are its
+      // lineage, themselves bounded at O(files)
+      "q171_clustering_depth" -> "hinted relation is a global max/avg (1 row by construction)")
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
     graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>

@@ -37,4 +37,29 @@ class ZOrderSpec extends SparkSpec {
     }.max
     assert(worstYSpan <= 16, s"worst chunk y-span $worstYSpan") // 256 rows = a 16x16 z-block
   }
+
+  test("clustering depth: perfectly clustered key has depth 1, shuffled key overlaps") {
+    // key == probe: each 10-wide file holds one disjoint probe range
+    val clustered = (0L until 100L).map(i => (i, i)).toDF("k", "p")
+    val good = ZOrder.clusteringDepth(clustered, col("k"), col("p"),
+      "good", fileWidth = 10L)
+      .as[(String, Long, Long, Double, Double)].collect().head
+    assert(good == (("good", 10L, 1L, 1.0, 0.1)))
+    // probe uncorrelated with key (bit-reversed-ish): every file spans
+    // most of the probe domain -> depth near n_files
+    val shuffled = (0L until 100L).map(i => (i, (i * 37) % 100)).toDF("k", "p")
+    val bad = ZOrder.clusteringDepth(shuffled, col("k"), col("p"),
+      "bad", fileWidth = 10L)
+      .as[(String, Long, Long, Double, Double)].collect().head
+    assert(bad._2 == 10L && bad._3 == 10L, s"expected full overlap, got $bad")
+  }
+
+  test("layout comparison: z-order beats insert order on the probe column") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val out = ZOrder.layoutComparison(li)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(out("zorder") < out("natural"),
+      s"z-order should scan a smaller file fraction: $out")
+  }
 }
