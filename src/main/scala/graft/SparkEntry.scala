@@ -82,6 +82,8 @@ object SparkEntry {
       vector.Centroids.queries ++
       vector.SemDedup.queries ++
       vector.Pca.queries ++
+      vector.PrCurve.queries ++
+      text.SqlFunctions.queries ++
       vector.Mmr.queries ++
       sources.CsvFolderSource.queries ++
       wrm.WrmQueries.queries ++

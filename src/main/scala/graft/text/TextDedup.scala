@@ -432,7 +432,7 @@ object TextDedup {
   /** corpus(doc_id, text) → sfp(doc_id, simhash64): the 60-bit md5-mode
     * SimHash (majority vote per bit over per-token base hashes).
     */
-  private val duckSimhash: String =
+  private[text] val duckSimhash: String =
     s"""stoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus),
        |stok AS (SELECT doc_id, md5(unnest(tk)) AS __mh FROM stoks),
        |stn AS (SELECT doc_id, len(tk) AS n FROM stoks),
