@@ -165,5 +165,93 @@ object Basket {
       CROSS JOIN totals t
       ORDER BY part_a, part_b"""))
 
-  val queries: Seq[GraftQuery] = Seq(qCopurchase, qAlsoBought, qPairLift)
+  /** Full directed association rules A→B over co-purchase pairs:
+    * confidence = P(B|A), lift, and conviction = (1−P(B))/(1−conf) —
+    * the complete rule-mining metric set (conviction separates
+    * "confident because B is everywhere" from real implication; it is
+    * null for exact rules, where the denominator vanishes).
+    *
+    * Scale shape: identical to [[pairLift]] (one pair aggregate + slim
+    * margin joins + a 1-row total); the symmetric expansion to directed
+    * rules doubles only the O(pairs) aggregate, never basket rows.
+    * Probabilities divide exact BIGINTs in a fixed order, so every
+    * metric is engine-identical.
+    */
+  def assocRules(lineitem: DataFrame, minSupport: Long): DataFrame = {
+    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint() // referenced three times (pairs + margins + total)
+    val pairs = {
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, Seq("l_orderkey"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+    }
+    val sym = pairs
+      .select(col("part_a").as("antecedent"), col("part_b").as("consequent"),
+        col("support"))
+      .unionAll(pairs.select(col("part_b").as("antecedent"),
+        col("part_a").as("consequent"), col("support")))
+    val perPart = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val totals = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val conf = col("support").cast("double") / col("n_a").cast("double")
+    val pB = col("n_c").cast("double") / col("n_baskets").cast("double")
+    sym
+      .join(perPart.select(col("l_partkey").as("antecedent"),
+        col("n_part").as("n_a")), Seq("antecedent"))
+      .join(perPart.select(col("l_partkey").as("consequent"),
+        col("n_part").as("n_c")), Seq("consequent"))
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        round(conf, 6).as("confidence"),
+        round((col("support").cast("double") * col("n_baskets").cast("double")) /
+          (col("n_a").cast("double") * col("n_c").cast("double")), 6).as("lift"),
+        when(col("support") === col("n_a"), lit(null).cast("double"))
+          .otherwise(round((lit(1.0) - pB) / (lit(1.0) - conf), 6))
+          .as("conviction"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  val qAssocRules = GraftQuery(
+    "q176_assoc_rules",
+    (s, dir) => assocRules(Tables.lineitem(s, dir), minSupport = 3),
+    Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        HAVING count(*) >= 3),
+      sym AS (
+        SELECT part_a AS antecedent, part_b AS consequent, support FROM pairs
+        UNION ALL
+        SELECT part_b, part_a, support FROM pairs),
+      per_part AS (SELECT l_partkey, count(*) AS n_part FROM items
+                   GROUP BY l_partkey),
+      totals AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items)
+      SELECT s.antecedent, s.consequent, CAST(s.support AS BIGINT) AS support,
+             round(CAST(s.support AS DOUBLE) / CAST(pa.n_part AS DOUBLE), 6)
+               AS confidence,
+             round((CAST(s.support AS DOUBLE) * CAST(t.n_baskets AS DOUBLE))
+                   / (CAST(pa.n_part AS DOUBLE) * CAST(pc.n_part AS DOUBLE)),
+                   6) AS lift,
+             CASE WHEN s.support = pa.n_part THEN NULL
+                  ELSE round((1.0 - CAST(pc.n_part AS DOUBLE)
+                                / CAST(t.n_baskets AS DOUBLE))
+                             / (1.0 - CAST(s.support AS DOUBLE)
+                                / CAST(pa.n_part AS DOUBLE)), 6)
+             END AS conviction
+      FROM sym s
+      JOIN per_part pa ON s.antecedent = pa.l_partkey
+      JOIN per_part pc ON s.consequent = pc.l_partkey
+      CROSS JOIN totals t
+      ORDER BY antecedent, consequent"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qCopurchase, qAlsoBought, qPairLift, qAssocRules)
 }

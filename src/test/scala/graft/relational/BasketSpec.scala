@@ -55,4 +55,24 @@ class BasketSpec extends SparkSpec {
     assert(out((10L, 30L)) == ((2L, 1.0)))
     assert(out((40L, 50L)) == ((1L, 4.0)))
   }
+
+  test("association rules: directed confidence and the conviction null edge") {
+    // same fixture: 30 -> 10 has confidence 2/2 = 1 (exact rule, null
+    // conviction); 10 -> 30 has confidence 2/4, P(30) = 1/2 ->
+    // conviction = (1 - 0.5)/(1 - 0.5) = 1.0
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L),
+      (4L, 10L), (4L, 20L), (4L, 30L), (4L, 40L), (4L, 50L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Basket.assocRules(li, minSupport = 1)
+      .as[(Long, Long, Long, Double, Double, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._4, r._5, r._6))).toMap
+    assert(out((30L, 10L)) == ((1.0, 1.0, None)))
+    assert(out((10L, 30L)) == ((0.5, 1.0, Some(1.0))))
+    // attraction both ways for the exclusive pair
+    assert(out((40L, 50L))._2 == 4.0 && out((50L, 40L))._2 == 4.0)
+    // every pair emits both directions
+    assert(out.keySet.map { case (a, b) => (b, a) } == out.keySet)
+  }
 }

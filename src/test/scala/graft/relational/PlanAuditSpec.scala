@@ -125,7 +125,9 @@ class PlanAuditSpec extends SparkSpec {
       "q171_clustering_depth" -> "hinted relation is a global max/avg (1 row by construction)",
       // the centroid row is dim-grouped — bounded by the schema's 64
       // dims (the q76 class), collapsed to ONE row before the hint
-      "q175_pr_curve" -> "grouped by dim (schema-bounded, 64 values), 1 row after collect_list")
+      "q175_pr_curve" -> "grouped by dim (schema-bounded, 64 values), 1 row after collect_list",
+      // the hint wraps the GLOBAL 1-row basket count (the q146 class)
+      "q176_assoc_rules" -> "hinted relation is a global count (1 row by construction)")
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
     graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
