@@ -30,6 +30,8 @@ object SparkEntry {
       relational.Bootstrap.queries ++
       relational.Proration.queries ++
       relational.Seasonal.queries ++
+      relational.TopPaths.queries ++
+      relational.Profiling.queries ++
       relational.FuzzyJoin.queries ++
       relational.Skyline.queries ++
       relational.Bucketing.queries ++
