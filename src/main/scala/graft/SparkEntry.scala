@@ -71,6 +71,7 @@ object SparkEntry {
       text.FilterCascade.queries ++
       text.Sharding.queries ++
       text.SftPairs.queries ++
+      text.CorpusCard.queries ++
       text.HeavyHitters.queries ++
       text.CorpusSafety.queries ++
       text.Bpe.queries ++
@@ -85,6 +86,7 @@ object SparkEntry {
       vector.SemDedup.queries ++
       vector.Pca.queries ++
       vector.PrCurve.queries ++
+      vector.NegativeSampling.queries ++
       text.SqlFunctions.queries ++
       vector.Mmr.queries ++
       sources.CsvFolderSource.queries ++
