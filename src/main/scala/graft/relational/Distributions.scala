@@ -189,5 +189,68 @@ object Distributions {
       FROM c, tot t
       ORDER BY d"""))
 
-  val queries: Seq[GraftQuery] = Seq(qBenford, qGini, qCusum)
+  /** ABC (Pareto) classification of parts by revenue: rank descending,
+    * cumulative revenue share, class A up to 80%, B to 95%, C the tail —
+    * the inventory-analytics 80/20 cut. The cumulative and total sums
+    * ride ONE unpartitioned window pair over the O(parts) aggregate
+    * (never raw lineitem rows) in exact DECIMAL, so the share boundary
+    * compare is engine-identical.
+    */
+  def abcClassification(lineitem: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val perPart = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(dec)).as("rev"))
+    val ord = Window.orderBy(col("rev").desc, col("l_partkey"))
+    val cum = perPart
+      .withColumn("cum", sum(col("rev")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("rev")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("share", col("cum").cast("double") / col("total").cast("double"))
+      .withColumn("abc_class",
+        when(col("share") <= 0.80, "A")
+          .when(col("share") <= 0.95, "B")
+          .otherwise("C"))
+    // share denominator = the carried EXACT decimal total (a window sum
+    // of the three per-class doubles would add in partition order)
+    cum.groupBy(col("abc_class"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("rev")).cast("double").as("revenue"),
+        max(col("total")).cast("double").as("total"))
+      .select(col("abc_class"), col("n_parts"),
+        round(col("revenue"), 2).as("revenue"),
+        round(col("revenue") / col("total"), 6).as("rev_share"))
+      .orderBy(col("abc_class"))
+  }
+
+  val qAbc = GraftQuery(
+    "q181_abc_classification",
+    (s, dir) => abcClassification(Tables.lineitem(s, dir)),
+    Some("""
+      WITH per_part AS (
+        SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem GROUP BY l_partkey),
+      ranked AS (
+        SELECT l_partkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(rev) OVER () AS total
+        FROM per_part),
+      classed AS (
+        SELECT rev, total,
+               CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80
+                      THEN 'A'
+                    WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
+                      THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked)
+      SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+             round(CAST(sum(rev) AS DOUBLE), 2) AS revenue,
+             round(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+               AS rev_share
+      FROM classed GROUP BY abc_class ORDER BY abc_class"""))
+
+  val queries: Seq[GraftQuery] = Seq(qBenford, qGini, qCusum, qAbc)
 }

@@ -230,5 +230,133 @@ object DocsStream {
       GROUP BY source
       ORDER BY source"""))
 
-  val queries: Seq[GraftQuery] = Seq(qDocDedup, qTokenTopK, qSourceCards)
+  /** Live per-source quality-gate counters over the cascade's PER-ROW
+    * stages (blank → length → quality → language): counts commute, so
+    * the streaming result is bit-exact vs the batch q169 rollup
+    * (stage 5's global dedup needs cross-row state and stays batch).
+    * The flags come from [[graft.text.FilterCascade.stageFlags]] — the
+    * SAME expressions the batch report stages, so gate and report can
+    * never drift. State is six longs per source.
+    */
+  def qualityGate(rows: Dataset[(String, Long, Boolean, Boolean, Boolean, Boolean)])
+      : Dataset[(String, Long, Long, Long, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (source: String,
+         batch: Iterator[(String, Long, Boolean, Boolean, Boolean, Boolean)],
+         state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
+          var (n, s1, s2, s3, s4, tok4) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, 0L))
+          batch.foreach { case (_, nTok, p1, p2, p3, p4) =>
+            n += 1
+            if (p1) s1 += 1
+            if (p2) s2 += 1
+            if (p3) s3 += 1
+            if (p4) { s4 += 1; tok4 += nTok }
+          }
+          state.update((n, s1, s2, s3, s4, tok4))
+          (source, n, s1, s2, s3, s4, tok4)
+      }
+  }
+
+  /** Run the gate as a real streaming query; counters are monotone, so
+    * max over the update log per source is the final state.
+    */
+  def runQualityGateStream(spark: SparkSession, sfDir: String): DataFrame =
+    EventsStream.withStreamPartitions(spark) {
+      import spark.implicits._
+      val name = s"stream_gate_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val flagged = graft.text.FilterCascade.stageFlags(
+        stagedDocStream(spark, sfDir))
+        .select(col("source"), col("n_tok"),
+          col("p1"), col("p2"), col("p3"), col("p4"))
+        .as[(String, Long, Boolean, Boolean, Boolean, Boolean)]
+      val q = qualityGate(flagged)
+        .toDF("source", "n_total", "s1_nonblank", "s2_length",
+          "s3_quality", "s4_lang", "tok_s4")
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .option("checkpointLocation", EventsStream.shmTempDir(name))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .groupBy(col("source"))
+        .agg(max(col("n_total")).as("n_total"),
+          max(col("s1_nonblank")).as("s1_nonblank"),
+          max(col("s2_length")).as("s2_length"),
+          max(col("s3_quality")).as("s3_quality"),
+          max(col("s4_lang")).as("s4_lang"),
+          max(col("tok_s4")).as("tok_s4"))
+        .orderBy(col("source"))
+    }
+
+  val qQualityGate = GraftQuery(
+    "stream_quality_gate",
+    (s, dir) => runQualityGateStream(s, dir),
+    // the q169 stage-1..4 rollup (quality/lang fragments as q22/q23)
+    Some("""
+      WITH t AS (
+        SELECT source, doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS BIGINT) AS n_tok,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    w -> w IN ('the','a','an','and','or','of','to','in','is','it')))
+                 AS DOUBLE) AS n_stop,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    w -> w IN ('the','and','of','to','is'))) AS score_en,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    w -> w IN ('der','die','das','und','ist'))) AS score_de,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    w -> w IN ('el','la','los','que','es'))) AS score_es,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    w -> w IN ('le','la','les','et','est'))) AS score_fr,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    w -> w IN ('de','shi','bu','le','wo'))) AS score_zh
+        FROM documents),
+      m AS (
+        SELECT source, n_tok, n_chars,
+               least(n_chars / 500.0, 1.0) * 0.4
+                 + (CASE WHEN (CASE WHEN n_tok > 0
+                       THEN (n_chars - (n_tok - 1)) / n_tok ELSE 0.0 END) >= 3
+                     AND (CASE WHEN n_tok > 0
+                       THEN (n_chars - (n_tok - 1)) / n_tok ELSE 0.0 END) <= 10
+                    THEN 1.0 ELSE 0.5 END) * 0.3
+                 + (CASE WHEN (CASE WHEN n_tok > 0
+                       THEN n_stop / n_tok ELSE 0.0 END) > 0.01
+                     AND (CASE WHEN n_tok > 0
+                       THEN n_stop / n_tok ELSE 0.0 END) < 0.5
+                    THEN 1.0 ELSE 0.5 END) * 0.3 AS quality,
+               CASE WHEN greatest(score_en, score_de, score_es, score_fr,
+                                  score_zh) <= 0 THEN 'und'
+                    WHEN score_en = greatest(score_en, score_de, score_es,
+                                  score_fr, score_zh) THEN 'en'
+                    WHEN score_de = greatest(score_en, score_de, score_es,
+                                  score_fr, score_zh) THEN 'de'
+                    WHEN score_es = greatest(score_en, score_de, score_es,
+                                  score_fr, score_zh) THEN 'es'
+                    WHEN score_fr = greatest(score_en, score_de, score_es,
+                                  score_fr, score_zh) THEN 'fr'
+                    ELSE 'zh' END AS pred_lang
+        FROM t),
+      flagged AS (
+        SELECT source, n_tok,
+               n_tok > 0 AS p1,
+               n_tok > 0 AND n_chars >= 100 AS p2,
+               n_tok > 0 AND n_chars >= 100 AND quality >= 0.7 AS p3,
+               n_tok > 0 AND n_chars >= 100 AND quality >= 0.7
+                 AND pred_lang = 'en' AS p4
+        FROM m)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1_nonblank,
+             CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2_length,
+             CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3_quality,
+             CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS s4_lang,
+             CAST(sum(CASE WHEN p4 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_s4
+      FROM flagged GROUP BY source ORDER BY source"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qDocDedup, qTokenTopK, qSourceCards, qQualityGate)
 }

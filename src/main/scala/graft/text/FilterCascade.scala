@@ -29,21 +29,30 @@ object FilterCascade {
     * CORPUS-WIDE (a cross-source duplicate survives only in the source
     * holding its first occurrence).
     */
-  def cascadeReport(docs: DataFrame): DataFrame = {
-    val staged = docs.select(
+  /** Per-doc cumulative flags for the PER-ROW stages 1-4 (blank, length,
+    * quality, language) — shared by the batch report and the streaming
+    * gate ([[graft.streaming.DocsStream]]), so the two can never drift.
+    * Stage 5 (exact-dup) needs cross-row state and lives with each
+    * runner. Works on batch and streaming frames alike (narrow
+    * expressions only).
+    */
+  def stageFlags(docs: DataFrame): DataFrame =
+    docs.select(
       col("source"), col("doc_id"),
       length(col("text")).cast("double").as("n_chars"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
       TextAnalysis.qualityScore(col("text")).as("quality"),
       TextAnalysis.languageId(col("text")).as("pred_lang"),
       md5(col("text")).as("text_hash"))
-    val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
-    staged
-      .withColumn("first_of_hash", row_number().over(w) === 1)
       .withColumn("p1", col("n_tok") > 0)
       .withColumn("p2", col("p1") && col("n_chars") >= MinChars)
       .withColumn("p3", col("p2") && col("quality") >= MinQuality)
       .withColumn("p4", col("p3") && col("pred_lang") === KeepLang)
+
+  def cascadeReport(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+    stageFlags(docs)
+      .withColumn("first_of_hash", row_number().over(w) === 1)
       .withColumn("p5", col("p4") && col("first_of_hash"))
       .groupBy(col("source"))
       .agg(

@@ -65,4 +65,25 @@ class DistributionsSpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).toSeq === Seq(-2.0, -4.0, -2.0, 0.0))
     assert(out.map(_.getBoolean(3)).toSeq === Seq(false, true, false, false))
   }
+
+  test("abc: the 80/95 cumulative-share boundaries classify exactly") {
+    import spark.implicits._
+    // revenues 70, 20, 6, 4 (total 100): cum shares .70/.90/.96/1.00
+    // -> classes A, B, C, C
+    val li = Seq((1L, 70.0), (2L, 20.0), (3L, 6.0), (4L, 4.0))
+      .toDF("l_partkey", "l_extendedprice")
+    val out = Distributions.abcClassification(li)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("A", 1L, 70.0, 0.7), ("B", 1L, 20.0, 0.2), ("C", 2L, 10.0, 0.1)))
+  }
+
+  test("abc: a part exactly AT the 80% boundary stays in class A") {
+    import spark.implicits._
+    val li = Seq((1L, 80.0), (2L, 20.0)).toDF("l_partkey", "l_extendedprice")
+    val out = Distributions.abcClassification(li)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // part 1: cum share exactly 0.80 -> A (<=); part 2: cum 1.00 -> C
+    assert(out == Seq(("A", 1L, 80.0, 0.8), ("C", 1L, 20.0, 0.2)))
+  }
 }

@@ -138,6 +138,48 @@ class StreamingSpec extends SparkSpec {
     assert(finalCards("books") == ((2L, 950L, 1L)))
   }
 
+  test("streaming quality gate matches the batch cascade stages 1-4 across batches") {
+    val good = "the quick brown fox jumps over the lazy dog and cat " * 4
+    val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val batchA = Seq((1L, good, "en", "web", 0L), (2L, "", "en", "web", 0L))
+    val batchB = Seq((3L, "tiny", "en", "web", 0L), (4L, good, "en", "books", 0L))
+    val dir = Files.createTempDirectory("docs_gate")
+    batchA.toDF(docCols: _*).coalesce(1).write.parquet(dir.resolve("a").toString)
+    batchB.toDF(docCols: _*).coalesce(1).write.parquet(dir.resolve("b").toString)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/a").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+    val flagged = graft.text.FilterCascade.stageFlags(streamed)
+      .select(col("source"), col("n_tok"),
+        col("p1"), col("p2"), col("p3"), col("p4"))
+      .as[(String, Long, Boolean, Boolean, Boolean, Boolean)]
+    val q = DocsStream.qualityGate(flagged)
+      .toDF("source", "n_total", "s1", "s2", "s3", "s4", "tok_s4")
+      .writeStream.outputMode("update").format("memory").queryName("gate")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("gate").groupBy("source")
+      .agg(max("n_total").as("n"), max("s1").as("s1"), max("s2").as("s2"),
+        max("s3").as("s3"), max("s4").as("s4"), max("tok_s4").as("t"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    // batch reference: the SAME flags, batch-aggregated
+    val batchRef = graft.text.FilterCascade
+      .stageFlags((batchA ++ batchB).toDF(docCols: _*))
+      .groupBy(col("source"))
+      .agg(count(lit(1)), sum(when(col("p1"), 1L).otherwise(0L)),
+        sum(when(col("p2"), 1L).otherwise(0L)),
+        sum(when(col("p3"), 1L).otherwise(0L)),
+        sum(when(col("p4"), 1L).otherwise(0L)),
+        sum(when(col("p4"), col("n_tok")).otherwise(0L)))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == batchRef)
+    // web: 3 docs, only the good one reaches stage 4 (44 tokens)
+    assert(got("web")._1 == 3L && got("web")._5 == 1L && got("web")._6 == 44L)
+  }
+
   test("streaming session windows merge across micro-batches") {
     // one user's events split across two files: the later batch extends
     // the open session, so the final table must hold ONE merged session
