@@ -39,10 +39,16 @@ object PrefixJoin {
     require(num > 0 && den > 0 && num <= den,
       s"threshold must satisfy 0 < num/den <= 1, got $num/$den")
     val t = BigDecimal(num) / BigDecimal(den)
+    // referenced three times (token explode + both verify sides) —
+    // materialize once or every reference re-runs the corpus-wide regex
+    // tokenization (the q116 materialization note; the verify join
+    // dominates this query, but the recompute is still a measurable
+    // ~0.4 s at sf0.1 and a full extra scan at cluster scale)
     val toks = docs
       .select(col("doc_id"),
         array_distinct(TextAnalysis.tokens(col("text"))).as("ts"))
       .filter(length(trim(col("text"))) > 0)
+      .localCheckpoint()
     val tok = toks.select(col("doc_id"), explode(col("ts")).as("token"))
     val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
