@@ -142,6 +142,59 @@ object Temporal {
       JOIN mad a ON k.grp = a.grp
       GROUP BY k.grp ORDER BY event_type"""))
 
+  /** Per-stream freshness report: each event type's last-seen timestamp,
+    * its lag behind the freshest stream, and recent volume (events
+    * inside the trailing day of the GLOBAL watermark) — the staleness
+    * monitor every multi-source ingest dashboard runs. One O(types)
+    * aggregate; the global watermark joins back as a 1-row broadcast of
+    * a global max (no grouped payload under the hint).
+    */
+  def freshnessReport(events: DataFrame): DataFrame = {
+    val perType = events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_seen"))
+    val watermark = perType.agg(max(col("last_seen")).as("global_max"))
+    val recent = events
+      .crossJoin(broadcast(events.agg(max(col("ts")).as("gm"))))
+      .filter(col("ts") >= col("gm") - expr("INTERVAL 1 DAY"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_last_day"))
+    perType
+      .crossJoin(broadcast(watermark))
+      .join(recent, Seq("event_type"), "left")
+      .select(
+        col("event_type"), col("n_events"), col("last_seen"),
+        (unix_micros(col("global_max")) - unix_micros(col("last_seen")))
+          .as("lag_us"),
+        coalesce(col("n_last_day"), lit(0L)).as("n_last_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val qFreshness = GraftQuery(
+    "q182_freshness",
+    (s, dir) => freshnessReport(Tables.events(s, dir)),
+    Some("""
+      WITH per_type AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               max(CAST(ts AS TIMESTAMP)) AS last_seen
+        FROM events GROUP BY event_type),
+      wm AS (SELECT max(last_seen) AS global_max FROM per_type),
+      recent AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_last_day
+        FROM events, wm
+        WHERE CAST(ts AS TIMESTAMP) >= wm.global_max - INTERVAL 1 DAY
+        GROUP BY event_type)
+      SELECT p.event_type, p.n_events, p.last_seen,
+             CAST(date_diff('microseconds', p.last_seen, w.global_max)
+               AS BIGINT) AS lag_us,
+             coalesce(r.n_last_day, 0) AS n_last_day
+      FROM per_type p
+      CROSS JOIN wm w
+      LEFT JOIN recent r USING (event_type)
+      ORDER BY event_type"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qGapHistogram, qWeeklyProfile, qDailyAnomalies)
+    Seq(qGapHistogram, qWeeklyProfile, qDailyAnomalies, qFreshness)
 }

@@ -127,7 +127,10 @@ class PlanAuditSpec extends SparkSpec {
       // dims (the q76 class), collapsed to ONE row before the hint
       "q175_pr_curve" -> "grouped by dim (schema-bounded, 64 values), 1 row after collect_list",
       // the hint wraps the GLOBAL 1-row basket count (the q146 class)
-      "q176_assoc_rules" -> "hinted relation is a global count (1 row by construction)")
+      "q176_assoc_rules" -> "hinted relation is a global count (1 row by construction)",
+      // the hint wraps the GLOBAL 1-row watermark (max of per-type maxes);
+      // the type-grouped aggregate below is its lineage, bounded at O(types)
+      "q182_freshness" -> "hinted relation is a global max (1 row by construction)")
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
     graft.SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>

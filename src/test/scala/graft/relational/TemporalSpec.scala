@@ -55,4 +55,18 @@ class TemporalSpec extends SparkSpec {
       .as[(Int, Int, Long, Long)].collect().toSet
     assert(out == Set((0, 9, 2L, 2L), (6, 23, 1L, 1L)))
   }
+
+  test("freshness: lag vs the freshest stream, trailing-day volume") {
+    val rows = Seq(
+      ev(1, 1, "2020-01-10 00:00:00"),          // freshest stream (view)
+      ev(2, 1, "2020-01-09 12:00:00"),          // inside trailing day
+      ev(3, 1, "2020-01-08 00:00:00"),          // outside
+      ev(4, 1, "2020-01-09 06:00:00", "click")) // 18h stale, inside window
+    val out = Temporal.freshnessReport(rows.toDF(cols: _*))
+      .selectExpr("event_type", "n_events", "lag_us", "n_last_day")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("view") == ((3L, 0L, 2L)))
+    assert(out("click") == ((1L, 18L * 3600 * 1000000, 1L)))
+  }
 }
