@@ -156,37 +156,62 @@ object ExtendedQueries {
       val li = Tables.lineitem(s, dir)
       val m = li.groupBy(col("l_returnflag")).agg(
         count(lit(1)).as("n"),
-        sum(d2(col("l_quantity"))).cast("double").as("sx"),
-        sum(d2(col("l_extendedprice"))).cast("double").as("sy"),
-        sum(d2(col("l_quantity")) * d2(col("l_quantity"))).cast("double").as("sxx"),
-        sum(d2(col("l_extendedprice")) * d2(col("l_extendedprice"))).cast("double").as("syy"),
-        sum(d2(col("l_quantity")) * d2(col("l_extendedprice"))).cast("double").as("sxy"))
-      // round the final statistics: the moment inputs are bit-identical
-      // across engines, but the last combining ops can differ by one ULP
-      // (FMA contraction in native builds vs strict JVM fp).
+        sum(d2(col("l_quantity"))).as("sx"),
+        sum(d2(col("l_extendedprice"))).as("sy"),
+        sum(d2(col("l_quantity")) * d2(col("l_quantity"))).as("sxx"),
+        sum(d2(col("l_extendedprice")) * d2(col("l_extendedprice"))).as("syy"),
+        sum(d2(col("l_quantity")) * d2(col("l_extendedprice"))).as("sxy"))
+      // n·Σxy − Σx·Σy (and the two variance twins) in EXACT decimal,
+      // rounded to the integer before ONE double cast: the subtraction
+      // cancels ~4 digits of the 1e16-scale moments, so a raw
+      // decimal→double cast (DuckDB double-rounds via int128 then ÷10⁴
+      // above 2^53) leaves only ~1e-12 relative agreement — under the
+      // 12dp output rounding (the q121 sf0.001 failure class). The n
+      // factors cancel in corr; covar divides by n(n−1) once.
+      val ndec = col("n").cast(org.apache.spark.sql.types.DecimalType(20, 0))
+      def v(prod: String, a: String, b: String) =
+        round(ndec * col(prod) - col(a) * col(b), 0)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).cast("double")
+      val (vxy, vxx, vyy) =
+        (v("sxy", "sx", "sy"), v("sxx", "sx", "sx"), v("syy", "sy", "sy"))
       m.select(
         col("l_returnflag"), col("n"),
-        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6)
+        round(vxy / (col("n") * (col("n") - 1)).cast("double"), 6)
           .as("covar_samp"),
-        round((col("sxy") - col("sx") * col("sy") / col("n")) /
-          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
-            (col("syy") - col("sy") * col("sy") / col("n"))), 12).as("corr"))
+        round(vxy / sqrt(vxx * vyy), 12).as("corr"))
         .orderBy(col("l_returnflag"))
     },
     Some("""
       SELECT l_returnflag, n,
-             round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
-             round((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12) AS corr
+             round(vxy / CAST(n * (n - 1) AS DOUBLE), 6) AS covar_samp,
+             round(vxy / sqrt(vxx * vyy), 12) AS corr
       FROM (
-        SELECT l_returnflag,
-               count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-        FROM lineitem
-        GROUP BY l_returnflag) t
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               CAST(CAST(round(CAST(n AS DECIMAL(10,0))
+                                 * CAST(sxy AS DECIMAL(28,4))
+                               - CAST(sx AS DECIMAL(19,2))
+                                 * CAST(sy AS DECIMAL(19,2)), 0)
+                    AS DECIMAL(38,0)) AS DOUBLE) AS vxy,
+               CAST(CAST(round(CAST(n AS DECIMAL(10,0))
+                                 * CAST(sxx AS DECIMAL(28,4))
+                               - CAST(sx AS DECIMAL(19,2))
+                                 * CAST(sx AS DECIMAL(19,2)), 0)
+                    AS DECIMAL(38,0)) AS DOUBLE) AS vxx,
+               CAST(CAST(round(CAST(n AS DECIMAL(10,0))
+                                 * CAST(syy AS DECIMAL(28,4))
+                               - CAST(sy AS DECIMAL(19,2))
+                                 * CAST(sy AS DECIMAL(19,2)), 0)
+                    AS DECIMAL(38,0)) AS DOUBLE) AS vyy
+        FROM (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                 sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+                 sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+          FROM lineitem
+          GROUP BY l_returnflag) raw) t
       ORDER BY l_returnflag"""))
 
   /** q37: approximate distinct counting (HLL). The sketch estimate itself

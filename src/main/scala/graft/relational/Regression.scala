@@ -3,6 +3,7 @@ package graft.relational
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Per-group simple linear regression (OLS y = a·x + b) from sufficient
   * statistics — slope, intercept and R² computed from one pass of exact
@@ -37,11 +38,20 @@ object Regression {
         sum(yd * yd).as("syy"))
     val nd = col("n").cast("double")
     def d(c: String): Column = col(c).cast("double")
-    // numerators/denominators of the closed form; vxy/vxx/vyy are n·cov
-    // and n·var scaled by n — the common factor cancels in slope and r2
-    val vxy = nd * d("sxy") - d("sx") * d("sy")
-    val vxx = nd * d("sxx") - d("sx") * d("sx")
-    val vyy = nd * d("syy") - d("sy") * d("sy")
+    // vxy/vxx/vyy (n·cov, n·var scaled by n — the common factor cancels
+    // in slope and r2) are computed in EXACT decimal and rounded to the
+    // integer before the double cast. Casting the raw scale-4 moments
+    // (syy ≈ 5e12 → int repr 5e16 > 2^53) lets DuckDB's two-step
+    // decimal→double (int128→double, then ÷10⁴) double-round where
+    // Spark's BigDecimal cast rounds once — a last-ulp r2 mismatch that
+    // sf0.001 actually hit; an integer decimal casts in ONE rounding in
+    // both engines, and the dropped sub-unit is ~1e-19 relative.
+    val ndec = col("n").cast(DecimalType(20, 0))
+    def exactDiff(prod: Column, a: Column, b: Column): Column =
+      round(ndec * prod - a * b, 0).cast(DecimalType(38, 0)).cast("double")
+    val vxy = exactDiff(col("sxy"), col("sx"), col("sy"))
+    val vxx = exactDiff(col("sxx"), col("sx"), col("sx"))
+    val vyy = exactDiff(col("syy"), col("sy"), col("sy"))
     val slope = vxy / vxx
     stats.select(col(groupCol), col("n"),
       slope.as("slope"),
@@ -72,19 +82,32 @@ object Regression {
                sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
                    CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
         FROM lineitem GROUP BY l_returnflag),
-      d AS (
+      v AS (
+        -- exact-decimal moment differences rounded to the integer, so
+        -- the double cast is a single rounding (see the Spark-side note)
         SELECT l_returnflag, CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
                CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
-               CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
-               CAST(syy AS DOUBLE) AS syy
+               CAST(CAST(round(CAST(n AS DECIMAL(10,0))
+                            * CAST(sxy AS DECIMAL(28,4))
+                          - CAST(sx AS DECIMAL(19,2))
+                            * CAST(sy AS DECIMAL(19,2)), 0)
+                 AS DECIMAL(38,0)) AS DOUBLE) AS vxy,
+               CAST(CAST(round(CAST(n AS DECIMAL(10,0))
+                            * CAST(sxx AS DECIMAL(28,4))
+                          - CAST(sx AS DECIMAL(19,2))
+                            * CAST(sx AS DECIMAL(19,2)), 0)
+                 AS DECIMAL(38,0)) AS DOUBLE) AS vxx,
+               CAST(CAST(round(CAST(n AS DECIMAL(10,0))
+                            * CAST(syy AS DECIMAL(28,4))
+                          - CAST(sy AS DECIMAL(19,2))
+                            * CAST(sy AS DECIMAL(19,2)), 0)
+                 AS DECIMAL(38,0)) AS DOUBLE) AS vyy
         FROM s)
       SELECT l_returnflag, n,
-             (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope,
-             (sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx) / nd
-               AS intercept,
-             ((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) /
-               ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS r2
-      FROM d ORDER BY l_returnflag"""))
+             vxy / vxx AS slope,
+             (sy - vxy / vxx * sx) / nd AS intercept,
+             (vxy * vxy) / (vxx * vyy) AS r2
+      FROM v ORDER BY l_returnflag"""))
 
   val queries: Seq[GraftQuery] = Seq(qRegression)
 }
