@@ -80,6 +80,44 @@ class IslandsPropertySpec extends SparkSpec {
     (runs.max.toLong, runs.size.toLong, days.size.toLong)
   }
 
+  // ---- weighted quantiles -------------------------------------------------
+
+  private val wqGen: Gen[(String, Int, Int)] = for {
+    g <- Gen.oneOf("a", "b", "c")
+    v <- Gen.chooseNum(1, 12)
+    wt <- Gen.chooseNum(1, 9)
+  } yield (g, v, wt)
+
+  /** Type-1 inverted CDF by linear scan over the expanded multiset. */
+  private def refWq(rows: Seq[(Int, Long)], q: BigDecimal): Double = {
+    val total = rows.map(_._2).sum
+    val rank = (q * total).setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+    var cum = 0L
+    for ((v, w) <- rows.sortBy(_._1)) {
+      cum += w
+      if (cum >= rank) return v.toDouble
+    }
+    rows.map(_._1).max.toDouble
+  }
+
+  test("weighted quantiles equal the expanded-multiset scan") {
+    (1L to 5L).foreach { seed =>
+      val rows = sample(Gen.listOfN(150, wqGen), seed)
+      val df = rows.map { case (g, v, wt) => (g, v.toDouble, wt.toLong) }
+        .toDF("g", "v", "wt")
+      val got = Quantiles.weightedGroupQuantiles(df, "g", "v", "wt")
+        .as[(String, String, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val byG = rows.groupBy(_._1).view.mapValues(rs =>
+        rs.groupBy(_._2).map { case (v, g2) => v -> g2.map(_._3.toLong).sum }
+          .toSeq).toMap
+      for ((g, vw) <- byG; (label, q) <- Quantiles.WeightedProbes) {
+        assert(got((g, label)) == refWq(vw, BigDecimal(q)),
+          s"seed $seed group $g probe $label")
+      }
+    }
+  }
+
   test("streaks equal the brute-force day-set scan") {
     (1L to 5L).foreach { seed =>
       val pairs = sample(Gen.listOfN(120, dayGen), seed).distinct
