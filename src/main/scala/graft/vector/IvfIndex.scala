@@ -43,16 +43,39 @@ object IvfIndex {
 
   /** Element-wise mean of each cell's vectors → new centroids. The shuffle
     * carries (cell, dim, scalar) triples, never whole vectors.
+    *
+    * The mean is computed over components QUANTIZED to ×1e6 integers
+    * (`floor(x·1e6 + 0.5)`, the engine-independent half-up idiom from
+    * q132): integer sums are exact at ANY partitioning, so the trained
+    * centroids are bit-identical run to run and cluster size to cluster
+    * size — a reproducible-index-build guarantee a float `avg` (whose
+    * partial-sum merge order is partition-dependent) cannot give, and
+    * what lets the q38_ivf_build oracle transliterate the Lloyd rounds
+    * exactly. The 1e-6 quantum is far below any ANN-relevant resolution.
     */
   private def recompute(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
-      .agg(avg(col("x")).as("m"))
+      .agg((sum(floor(col("x") * lit(1e6) + lit(0.5))).cast("double") /
+        count(lit(1)).cast("double") / lit(1e6)).as("m"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("cell"),
         transform(col("dm"), e => e.getField("m").cast("float")).as("centroid"))
+
+  /** One Lloyd iteration: assign, recompute, carry a cell that lost all
+    * members over unchanged (standard Lloyd; the previous sort-and-drop
+    * silently RENUMBERED the surviving cells, shifting every later
+    * assignment).
+    */
+  private def lloydStep(vecs: DataFrame, cents: Array[Array[Float]]): Array[Array[Float]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val updated = recompute(assign(vecs, cents))
+      .as[(Int, Array[Float])].collect().toMap
+    cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+  }
 
   private def collectCentroids(centroids: DataFrame): Array[Array[Float]] = {
     val spark = centroids.sparkSession
@@ -164,16 +187,40 @@ object IvfIndex {
     selected.toArray.map(i => embs(i).toArray)
   }
 
-  /** Train nlist centroids: k-means|| init + `iters` Lloyd iterations.
-    * Only (cell, dim) scalar aggregates and the nlist×dim centroid matrix
+  /** Deterministic hash-Forgy init: the nlist vectors with the smallest
+    * md5-based id hash (graft.text.Md5P61 base, computed with NATIVE
+    * expressions — md5/substring/conv — so it is also one SQL fragment in
+    * DuckDB), in (hash, vec_id) order. Hash order is a uniform pseudo-
+    * random sample of the corpus — the classic Forgy init with a
+    * deterministic PRNG — so it does not degenerate on id-sorted corpora
+    * the way first-nlist-BY-ID does, and unlike k-means|| it is
+    * ANSI-SQL-expressible, which is what gives q38_ivf_build a real
+    * DuckDB oracle. k-means|| (initCentroids) stays the production
+    * default: on adversarial geometry its seeds are provably spread,
+    * which Forgy only achieves in expectation.
+    */
+  private[vector] def initHashForgy(corpus: DataFrame, nlist: Int): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("h",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(nlist)
+      .select(col("h"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])].collect()
+      .sortBy(t => (t._1, t._2)).map(_._3)
+  }
+
+  /** Train nlist centroids: init + `iters` Lloyd iterations. Only
+    * (cell, dim) scalar aggregates and the nlist×dim centroid matrix
     * ever move; corpus vectors are never shuffled or collected.
     */
-  def train(corpus: DataFrame, nlist: Int, iters: Int = 2): DataFrame = {
+  def train(corpus: DataFrame, nlist: Int, iters: Int = 2,
+            init: (DataFrame, Int) => Array[Array[Float]] = initCentroids(_, _)): DataFrame = {
     val vecs = corpus.select(col("vec_id"), col("embedding"))
-    var cents = initCentroids(corpus, nlist)
-    (0 until iters).foreach { _ =>
-      cents = collectCentroids(recompute(assign(vecs, cents)))
-    }
+    var cents = init(corpus, nlist)
+    (0 until iters).foreach(_ => cents = lloydStep(vecs, cents))
     centroidsDf(corpus.sparkSession, cents)
   }
 
@@ -296,23 +343,93 @@ object IvfIndex {
       ORDER BY cos_sim DESC, e.vec_id
       LIMIT 20"""))
 
-  /** End-to-end index BUILD (k-means|| init + Lloyd + inverted lists), as
-    * its own benchmark surface: returns the per-cell list sizes. Iterative
-    * k-means has no single-query SQL equivalent → rows-only check by
-    * design; the build's output quality is what the exact-probe oracle
-    * (q38_ann_ivf) and IvfSpec's recall fixtures pin.
+  /** End-to-end deterministic index build with hash-Forgy init (see
+    * initHashForgy): exactly the production Lloyd machinery — assign /
+    * quantized-mean recompute / empty-cell carry-over — differing ONLY in
+    * the seed rule, run for `iters` rounds then assigned once more. The
+    * whole pipeline is ANSI-expressible, so the oracle transliterates it
+    * CTE-for-stage and the build is hash-checked end to end (per-cell
+    * size + Σvec_id pins the exact final assignment). The k-means|| init
+    * that the persisted/serving build uses is the one non-SQL piece; it
+    * is pinned by IvfSpec's adversarial-geometry fixture and exercised by
+    * q38_ann_ivf's exact-probe oracle.
     */
+  def buildDeterministic(corpus: DataFrame, nlist: Int, iters: Int): Index = {
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    var cents = initHashForgy(corpus, nlist)
+    (0 until iters).foreach(_ => cents = lloydStep(vecs, cents))
+    Index(centroidsDf(corpus.sparkSession, cents), assign(vecs, cents))
+  }
+
+  /** DuckDB transliteration of [[buildDeterministic]] over the 64-dim
+    * embeddings fixture: seeds by md5-hash order, `iters` unrolled Lloyd
+    * CTE stages (argmax-cosine assignment with hoisted norms — the same
+    * sqrt-once-then-multiply shape as [[VectorExprs.NearestCentroid]] —
+    * and the ×1e6 half-up quantized mean), one final assignment, per-cell
+    * count + Σvec_id.
+    */
+  private def duckIvfBuild(nlist: Int, iters: Int, dims: Int = 64): String = {
+    def fold(expr: String) = Similarity.duckFold(expr, dims.toString)
+    def norm(v: String) =
+      s"sqrt(${fold(s"CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)")})"
+    def assignStage(k: Int): String =
+      s"""cn$k AS (SELECT cell, ${norm("centroid")} AS nc FROM cents$k),
+         |asg${k + 1} AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT v.vec_id, v.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CASE WHEN vn.nx = 0 OR w.nc = 0 THEN 0.0
+         |             ELSE ${fold("CAST(v.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)")}
+         |                  / (vn.nx * w.nc) END DESC,
+         |        c.cell) AS rn
+         |    FROM vecs v
+         |    JOIN vnorm vn ON v.vec_id = vn.vec_id
+         |    CROSS JOIN cents$k c
+         |    JOIN cn$k w ON w.cell = c.cell)
+         |  WHERE rn = 1)""".stripMargin
+    def recomputeStage(k: Int): String =
+      s"""upd${k + 1} AS (
+         |  SELECT cell, i AS dim,
+         |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+         |                  AS BIGINT)) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) / 1000000.0 AS m
+         |  FROM asg${k + 1} CROSS JOIN range(1, ${dims + 1}) t(i)
+         |  GROUP BY cell, i),
+         |newc${k + 1} AS (
+         |  SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS centroid
+         |  FROM upd${k + 1} GROUP BY cell),
+         |cents${k + 1} AS (
+         |  SELECT c.cell, COALESCE(n.centroid, c.centroid) AS centroid
+         |  FROM cents$k c LEFT JOIN newc${k + 1} n ON c.cell = n.cell)""".stripMargin
+    val rounds = (0 until iters)
+      .map(k => assignStage(k) + ",\n" + recomputeStage(k))
+    val stages = (rounds :+ assignStage(iters)).mkString(",\n")
+    s"""
+      WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+      vnorm AS (SELECT vec_id, ${norm("embedding")} AS nx FROM vecs),
+      seeds AS (
+        SELECT vec_id, embedding,
+               ${graft.text.Md5P61.duckBase("CAST(vec_id AS VARCHAR)")} AS h
+        FROM vecs ORDER BY h, vec_id LIMIT $nlist),
+      cents0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cell,
+               embedding AS centroid
+        FROM seeds),
+      $stages
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
+      FROM asg${iters + 1} GROUP BY cell ORDER BY cell"""
+  }
+
   val qIvfBuild = GraftQuery(
     "q38_ivf_build",
     (s, dir) => {
-      val idx = build(Tables.embeddings(s, dir), nlist = 16, iters = 2)
-      val sizes = idx.lists.groupBy(col("cell"))
-        .agg(count(lit(1)).as("n_vectors"))
+      val idx = buildDeterministic(Tables.embeddings(s, dir), nlist = 16, iters = 2)
+      idx.lists.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"), sum(col("vec_id")).as("vec_id_sum"))
         .orderBy(col("cell"))
-      val out = sizes.localCheckpoint() // force the build before unpersist
-      idx.lists.unpersist()
-      out
-    })
+    },
+    Some(duckIvfBuild(nlist = 16, iters = 2)))
 
   val queries: Seq[GraftQuery] = Seq(qIvf, qIvfBuild)
 }

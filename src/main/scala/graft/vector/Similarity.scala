@@ -198,7 +198,7 @@ object Similarity {
   /** Sequential double fold Σ expr(i) for i = 1..len — the q28-pinned
     * pattern that matches the kernels' ascending-index accumulation.
     */
-  private def duckFold(expr: String, len: String): String =
+  private[vector] def duckFold(expr: String, len: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(generate_series(1, $len), i -> $expr)), (acc, v) -> acc + v)"
 
