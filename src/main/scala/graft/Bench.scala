@@ -43,13 +43,21 @@ object Bench {
     // ingest) pay that build cost in EACH measurement — otherwise run 2
     // reads run 1's cache and min-of-2 reports cached-read time — and so
     // cached frames don't accumulate across the ~60-query session.
+    // SPARK_GRAFT_BENCH_ONLY=q138_also_bought,q95_communities: time just
+    // those queries — local plan-iteration loop; the driver never sets it.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val qmap = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     def measure(name: String): Double = try {
       spark.catalog.clearCache()
       time(qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save())
     } catch { case _: Throwable => -1.0 }
+    // SPARK_GRAFT_BENCH_RUNS (default 2): measurements per query, min
+    // reported — raise locally to see steady-state past JIT noise.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val firstPass = qmap.keys.toSeq.sorted.map { name =>
-      val runs = (1 to 2).map(_ => measure(name)).filter(_ >= 0)
+      val runs = (1 to nRuns).map(_ => measure(name)).filter(_ >= 0)
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     // Millisecond precision keeps the one-line JSON under the driver's

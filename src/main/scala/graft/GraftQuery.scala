@@ -19,4 +19,24 @@ object GraftQuery {
     * results regardless of row order / partitioning.
     */
   val DEC = "DECIMAL(18,2)"
+
+  /** Engine-independent half-up quantizer to `digits` decimals:
+    * `floor(x·10ⁿ + 0.5) / 10ⁿ` in pure double arithmetic — NOT
+    * `round(x, n)`, whose Spark implementation rounds the double's
+    * SHORTEST decimal repr (BigDecimal.valueOf) while DuckDB rounds in
+    * double arithmetic; on boundary-adjacent ratios the two legitimately
+    * disagree by a whole quantum (the q132 TWAP post-mortem). Pair every
+    * use with [[duckQz]] in the oracle.
+    */
+  def qz(c: org.apache.spark.sql.Column, digits: Int): org.apache.spark.sql.Column = {
+    val p = math.pow(10.0, digits)
+    org.apache.spark.sql.functions.floor(c * p + org.apache.spark.sql.functions.lit(0.5))
+      .cast("double") / p
+  }
+
+  /** DuckDB mirror of [[qz]]. */
+  def duckQz(expr: String, digits: Int): String = {
+    val p = "1" + "0" * digits
+    s"floor(($expr) * $p.0 + 0.5) / $p.0"
+  }
 }

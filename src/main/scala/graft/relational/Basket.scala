@@ -9,29 +9,51 @@ import org.apache.spark.sql.functions._
   * mining (and the bipartite-projection primitive behind "customers who
   * bought X also bought Y").
   *
-  * Scale shape: the self-join is keyed on the ORDER id, so the pair
-  * expansion per order is bounded by basket size squared — a data-model
-  * constant (TPC-H ≤ 7 lineitems/order; retail baskets tens) — never a
-  * corpus-size term. The (a, b) count aggregate is map-side combinable and
-  * its output is the co-occurrence matrix itself. a < b keeps each
-  * unordered pair once.
+  * Scale shape: baskets are assembled with ONE orderkey shuffle and pairs
+  * expand IN-ROW from each basket's sorted parts array, so the expansion
+  * per order is bounded by basket size squared — a data-model constant
+  * (TPC-H ≤ 7 lineitems/order; retail baskets tens) — never a corpus-size
+  * term. The (a, b) count aggregate is map-side combinable and its output
+  * is the co-occurrence matrix itself. The ascending array keeps each
+  * unordered pair once (a < b).
   */
 object Basket {
+
+  /** One basket row per order: the order's DISTINCT parts, ascending —
+    * `collect_set` dedups repeat purchases of a part inside the basket
+    * (one membership, not several) and the in-group set is bounded by
+    * basket size, a data-model constant.
+    */
+  private def baskets(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+
+  /** All a<b pairs of a sorted parts array, expanded IN-ROW (no join):
+    * element i pairs with every later element via nested `transform` +
+    * `slice`. Fan-out per basket is size²/2 — bounded by the basket-size
+    * constant, never a corpus term.
+    */
+  private def basketPairs(b: DataFrame): DataFrame =
+    b.select(explode(flatten(transform(col("parts"), (x, i) =>
+        transform(slice(col("parts"), i + lit(2), size(col("parts"))), y =>
+          struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
 
   /** Unordered co-purchase pairs — the graph-construction form. The graph
     * operators (q93-q95, q106) consume this and `localCheckpoint` it, so a
     * presentation sort here would be materialized as a real range shuffle
     * the consumer never needed; output order is left to the caller.
+    *
+    * Plan shape: ONE basket-assembly shuffle + the pair aggregate. The
+    * previous distinct + orderkey self-join form computed the same rows
+    * through four exchanges (distinct, two join re-shuffles, aggregate)
+    * — measured 4× slower at sf0.1 and strictly worse at scale, where
+    * each extra exchange is a full repartition of the corpus.
     */
   def copurchasePairsUnsorted(lineitem: DataFrame, minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    // distinct first: multiple lineitems of the same part in one order are
-    // one basket membership, not several
-    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
+    basketPairs(baskets(lineitem))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
@@ -69,10 +91,17 @@ object Basket {
   def alsoBought(lineitem: DataFrame, minSupport: Long, k: Int): DataFrame = {
     require(k >= 1, s"alsoBought needs k >= 1, got $k")
     val pairs = copurchasePairsUnsorted(lineitem, minSupport)
+    // symmetrize IN-ROW (explode of a 2-struct array), not via
+    // pairs UNION pairs: a self-union re-evaluates the whole pair
+    // aggregate per branch (measured ~2× the query), the explode reads
+    // each pair row once
     val sym = pairs
-      .select(col("part_a").as("item"), col("part_b").as("rec"), col("support"))
-      .unionAll(pairs
-        .select(col("part_b").as("item"), col("part_a").as("rec"), col("support")))
+      .select(explode(array(
+        struct(col("part_a").as("item"), col("part_b").as("rec"), col("support")),
+        struct(col("part_b").as("item"), col("part_a").as("rec"), col("support"))))
+        .as("e"))
+      .select(col("e.item").as("item"), col("e.rec").as("rec"),
+        col("e.support").as("support"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("item")).orderBy(col("support").desc, col("rec"))
     sym.withColumn("rank", row_number().over(w))
@@ -116,20 +145,15 @@ object Basket {
     * divides exact BIGINTs, so lift is engine-identical.
     */
   def pairLift(lineitem: DataFrame, minSupport: Long): DataFrame = {
-    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint() // referenced three times (pairs + two margins)
-    val pairs = {
-      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      a.join(b, Seq("l_orderkey"))
-        .filter(col("part_a") < col("part_b"))
-        .groupBy(col("part_a"), col("part_b"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= minSupport)
-    }
-    val perPart = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
-    val totals = items.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
+    val b = baskets(lineitem)
+      .localCheckpoint() // referenced three times (pairs + margin + total)
+    val pairs = basketPairs(b)
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val perPart = b.select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val totals = b.agg(count(lit(1)).as("n_baskets"))
     pairs
       .join(perPart.select(col("l_partkey").as("part_a"),
         col("n_part").as("n_a")), Seq("part_a"))
@@ -178,27 +202,28 @@ object Basket {
     * metric is engine-identical.
     */
   def assocRules(lineitem: DataFrame, minSupport: Long): DataFrame = {
-    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint() // referenced three times (pairs + margins + total)
-    val pairs = {
-      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      a.join(b, Seq("l_orderkey"))
-        .filter(col("part_a") < col("part_b"))
-        .groupBy(col("part_a"), col("part_b"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= minSupport)
-    }
+    val b = baskets(lineitem)
+      .localCheckpoint() // referenced three times (pairs + margin + total)
+    val pairs = basketPairs(b)
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    // in-row symmetrize (see alsoBought): one pass over the pair rows
     val sym = pairs
-      .select(col("part_a").as("antecedent"), col("part_b").as("consequent"),
-        col("support"))
-      .unionAll(pairs.select(col("part_b").as("antecedent"),
-        col("part_a").as("consequent"), col("support")))
-    val perPart = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
-    val totals = items.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
+      .select(explode(array(
+        struct(col("part_a").as("antecedent"), col("part_b").as("consequent"),
+          col("support")),
+        struct(col("part_b").as("antecedent"), col("part_a").as("consequent"),
+          col("support")))).as("e"))
+      .select(col("e.antecedent").as("antecedent"),
+        col("e.consequent").as("consequent"), col("e.support").as("support"))
+    val perPart = b.select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val totals = b.agg(count(lit(1)).as("n_baskets"))
     val conf = col("support").cast("double") / col("n_a").cast("double")
     val pB = col("n_c").cast("double") / col("n_baskets").cast("double")
+    // ratio-of-counts metrics quantize via the engine-independent half-up
+    // quantizer, not round(double, n) — see GraftQuery.qz
     sym
       .join(perPart.select(col("l_partkey").as("antecedent"),
         col("n_part").as("n_a")), Seq("antecedent"))
@@ -206,11 +231,11 @@ object Basket {
         col("n_part").as("n_c")), Seq("consequent"))
       .crossJoin(broadcast(totals))
       .select(col("antecedent"), col("consequent"), col("support"),
-        round(conf, 6).as("confidence"),
-        round((col("support").cast("double") * col("n_baskets").cast("double")) /
+        GraftQuery.qz(conf, 6).as("confidence"),
+        GraftQuery.qz((col("support").cast("double") * col("n_baskets").cast("double")) /
           (col("n_a").cast("double") * col("n_c").cast("double")), 6).as("lift"),
         when(col("support") === col("n_a"), lit(null).cast("double"))
-          .otherwise(round((lit(1.0) - pB) / (lit(1.0) - conf), 6))
+          .otherwise(GraftQuery.qz((lit(1.0) - pB) / (lit(1.0) - conf), 6))
           .as("conviction"))
       .orderBy(col("antecedent"), col("consequent"))
   }
@@ -218,7 +243,7 @@ object Basket {
   val qAssocRules = GraftQuery(
     "q176_assoc_rules",
     (s, dir) => assocRules(Tables.lineitem(s, dir), minSupport = 3),
-    Some("""
+    Some(s"""
       WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       pairs AS (
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
@@ -235,16 +260,19 @@ object Basket {
                    GROUP BY l_partkey),
       totals AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items)
       SELECT s.antecedent, s.consequent, CAST(s.support AS BIGINT) AS support,
-             round(CAST(s.support AS DOUBLE) / CAST(pa.n_part AS DOUBLE), 6)
+             ${GraftQuery.duckQz(
+                "CAST(s.support AS DOUBLE) / CAST(pa.n_part AS DOUBLE)", 6)}
                AS confidence,
-             round((CAST(s.support AS DOUBLE) * CAST(t.n_baskets AS DOUBLE))
-                   / (CAST(pa.n_part AS DOUBLE) * CAST(pc.n_part AS DOUBLE)),
-                   6) AS lift,
+             ${GraftQuery.duckQz(
+                """(CAST(s.support AS DOUBLE) * CAST(t.n_baskets AS DOUBLE))
+                   / (CAST(pa.n_part AS DOUBLE) * CAST(pc.n_part AS DOUBLE))""", 6)}
+               AS lift,
              CASE WHEN s.support = pa.n_part THEN NULL
-                  ELSE round((1.0 - CAST(pc.n_part AS DOUBLE)
+                  ELSE ${GraftQuery.duckQz(
+                    """(1.0 - CAST(pc.n_part AS DOUBLE)
                                 / CAST(t.n_baskets AS DOUBLE))
                              / (1.0 - CAST(s.support AS DOUBLE)
-                                / CAST(pa.n_part AS DOUBLE)), 6)
+                                / CAST(pa.n_part AS DOUBLE))""", 6)}
              END AS conviction
       FROM sym s
       JOIN per_part pa ON s.antecedent = pa.l_partkey

@@ -34,11 +34,23 @@ object Communities {
     // (TextDedup.connectedComponents pattern) — otherwise round k's plan
     // re-executes rounds 1..k-1 plus the upstream graph construction.
     val e = edges.localCheckpoint()
-    val nodes = e.select(col("src").as("node")).distinct()
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    // Round 1 fused into graph construction: with labels0 = identity the
+    // first edges⋈labels join is a no-op (label ≡ src), so round 1
+    // collapses to a per-(dst, src) weight sum (parallel edges combine,
+    // matching the join form on multigraphs) + an argmax aggregate —
+    // min(struct(-s, label)) = (max weight, then smallest neighbor), the
+    // same (s DESC, label ASC) order the windowed rounds use. Two
+    // map-side-combinable exchanges instead of the generic round's
+    // join + aggregate + window three.
+    var labels = e
+      .groupBy(col("dst").as("node"), col("src").as("label"))
+      .agg(sum(col("w")).as("s"))
+      .groupBy(col("node"))
+      .agg(min(struct((-col("s")).as("ns"), col("label"))).as("m"))
+      .select(col("node"), col("m.label").as("label"))
       .localCheckpoint()
     val wArg = Window.partitionBy(col("node")).orderBy(col("s").desc, col("label"))
-    (1 to iters).foreach { _ =>
+    (2 to iters).foreach { _ =>
       labels = e
         .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
