@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """DuckDB-side benchmark over the SAME oracle SQL the correctness gate runs.
 
-Usage: python3 scripts/duck_bench.py <sfDir> <oracleSqlJson> [runs=3]
+Usage: python3 scripts/duck_bench.py <sfDir> <oracleSqlJson> [runs=3] [outJson]
+
+[outJson] additionally writes the newline-terminated committed-artifact
+form (one key per line) — e.g. duck_bench_out.json.
 
 <oracleSqlJson> is the oracle_sql.json that `graft.Verify` dumps — e.g.
 
@@ -53,6 +56,12 @@ def main(sf_dir, oracle_path, runs=3):
         "errors": errs,
     }
     print(json.dumps(out))
+    # committed artifact form: one key per line (reviewable diffs) and a
+    # terminating newline so the file never dirties future diffs
+    if len(sys.argv) > 4:
+        with open(sys.argv[4], "w") as f:
+            f.write(json.dumps(out, indent=0))
+            f.write("\n")
     return 1 if errs else 0
 
 

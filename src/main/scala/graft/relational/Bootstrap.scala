@@ -108,6 +108,9 @@ object Bootstrap {
 
   /** Empirical [lo, hi] percentile CI over the replicate means —
     * driver-side math on the B-row (construction-bounded) result.
+    * Nearest-rank convention: index = ⌈q·n⌉ − 1 clamped to [0, n−1]
+    * (q=0.025, n=40 → the smallest mean; the previous (q·n).toInt gave
+    * the 2nd smallest, a slightly narrow CI). Pinned in BootstrapSpec.
     */
   def percentileCi(boot: DataFrame, lo: Double = 0.025,
                    hi: Double = 0.975): (Double, Double) = {
@@ -115,8 +118,10 @@ object Bootstrap {
     val means = boot.select(col("boot_mean")).collect()
       .map(_.getDouble(0)).sorted
     require(means.nonEmpty, "no replicates")
-    def at(q: Double): Double =
-      means(math.min(means.length - 1, (q * means.length).toInt))
+    def at(q: Double): Double = {
+      val idx = math.ceil(q * means.length).toInt - 1
+      means(math.max(0, math.min(means.length - 1, idx)))
+    }
     (at(lo), at(hi))
   }
 

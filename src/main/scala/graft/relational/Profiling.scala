@@ -19,10 +19,13 @@ object Profiling {
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "profile needs at least one column")
     columns.map { c =>
-      df.select(col(c).cast("double").as("v"))
+      // n_null counts nulls of the RAW column (the oracle's `c IS NULL`
+      // contract) — counting after the numeric cast would also count
+      // cast failures (e.g. profiled strings) as nulls
+      df.select(col(c).isNull.as("raw_null"), col(c).cast("double").as("v"))
         .agg(
           count(lit(1)).as("n_rows"),
-          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("raw_null"), 1L).otherwise(0L)).as("n_null"),
           count_distinct(col("v")).as("n_distinct"),
           min(col("v")).as("min_v"),
           max(col("v")).as("max_v"))

@@ -30,7 +30,7 @@ object PrCurve {
       .select(posexplode(col("embedding")).as(Seq("dim", "v")))
     val cent = vals.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("v").cast("double"), 8).cast(DecimalType(28, 8))).as("s"))
+        sum(graft.GraftQuery.qz(col("v").cast("double"), 8).cast(DecimalType(28, 8))).as("s"))
       .select(col("dim"), (col("s").cast("double") / col("n").cast("double")).as("m"))
     val cv = cent.agg(
       transform(sort_array(collect_list(struct(col("dim"), col("m")))),
@@ -39,7 +39,7 @@ object PrCurve {
       .crossJoin(broadcast(cv)) // O(dims) centroid row, never corpus rows
       .select(
         when(col("label") === targetLabel, 1L).otherwise(0L).as("pos"),
-        round(VectorExprs.cosineSim(col("embedding"), col("cv")), 2).as("th"))
+        graft.GraftQuery.qz(VectorExprs.cosineSim(col("embedding"), col("cv")), 2).as("th"))
     val buckets = scored.groupBy(col("th"))
       .agg(sum(col("pos")).as("pos"), sum(lit(1L) - col("pos")).as("neg"))
     val desc = Window.orderBy(col("th").desc)
@@ -51,9 +51,9 @@ object PrCurve {
       .withColumn("fp", sum(col("neg")).over(desc))
       .withColumn("total_pos", sum(col("pos")).over(full))
       .select(col("th").as("threshold"), col("tp"), col("fp"),
-        round(col("tp").cast("double") /
+        graft.GraftQuery.qz(col("tp").cast("double") /
           (col("tp") + col("fp")).cast("double"), 6).as("precision"),
-        round(col("tp").cast("double") /
+        graft.GraftQuery.qz(col("tp").cast("double") /
           col("total_pos").cast("double"), 6).as("recall"))
       .orderBy(col("threshold").desc)
   }
@@ -70,13 +70,13 @@ object PrCurve {
         WHERE len(embedding) = 64 AND label = 0),
       cent AS (
         SELECT dim,
-               CAST(sum(CAST(round(v, 8) AS DECIMAL(28,8))) AS DOUBLE)
+               CAST(sum(CAST(${graft.GraftQuery.duckQz("v", 8)} AS DECIMAL(28,8))) AS DOUBLE)
                  / CAST(count(*) AS DOUBLE) AS m
         FROM vals GROUP BY dim),
       cvt AS (SELECT list(m ORDER BY dim) AS cv FROM cent),
       scored AS (
         SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos,
-               round(${Similarity.duckCosine("e.embedding", "c.cv")}, 2) AS th
+               ${graft.GraftQuery.duckQz(Similarity.duckCosine("e.embedding", "c.cv"), 2)} AS th
         FROM embeddings e CROSS JOIN cvt c
         WHERE len(embedding) = 64),
       buckets AS (
@@ -93,9 +93,9 @@ object PrCurve {
         FROM buckets)
       SELECT th AS threshold, CAST(tp AS BIGINT) AS tp,
              CAST(fp AS BIGINT) AS fp,
-             round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+             ${graft.GraftQuery.duckQz("CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)", 6)}
                AS precision,
-             round(CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE), 6)
+             ${graft.GraftQuery.duckQz("CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE)", 6)}
                AS recall
       FROM cum ORDER BY threshold DESC"""))
 

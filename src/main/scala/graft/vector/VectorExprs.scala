@@ -174,8 +174,13 @@ object VectorExprs {
     * Buffer layout: [0, P) pair products row-major upper-tri, [P, P+d)
     * per-dim sums, [P+d] count, where P = d(d+1)/2. Sized lazily on the
     * first vector (d is data-defined); empty partitions merge as
-    * identity. All-long arithmetic — exact, order-independent,
-    * overflow-safe to ~1e7 rows of ±1e6-quantized components.
+    * identity. All-long arithmetic — exact and order-independent. The
+    * accumulators are exact to ~9.2M rows of ±1e6-quantized components
+    * (2⁶³ / 1e12); beyond that Math.addExact/multiplyExact throw
+    * ArithmeticException rather than silently wrapping — callers at that
+    * scale shard the aggregate (e.g. group by a hash bucket and combine
+    * the per-bucket Grams in double precision, an error-free split since
+    * each bucket's sums are exact).
     *
     * Output: array<struct<i,j,p,xi,xj,n>> (1-based dims), the same rows
     * the composable groupBy produced, so downstream cov math is shared.
@@ -215,13 +220,21 @@ object VectorExprs {
       var i = 0
       while (i < d) { q(i) = arr.getLong(i); i += 1 }
       val base = d * (d + 1) / 2
+      // addExact/multiplyExact (intrinsics — same cost as + / * on JVMs
+      // that matter): past ~9.2M rows of ±1e6-quantized components the
+      // plain sums would silently wrap and corrupt the covariance; the
+      // exact ops make overflow fail LOUDLY instead, which at 100 TB is
+      // the difference between a crashed job and a wrong model.
       var k = 0
       i = 0
       while (i < d) {
         val qi = q(i)
         var j = i
-        while (j < d) { b(k) += qi * q(j); k += 1; j += 1 }
-        b(base + i) += qi
+        while (j < d) {
+          b(k) = Math.addExact(b(k), Math.multiplyExact(qi, q(j)))
+          k += 1; j += 1
+        }
+        b(base + i) = Math.addExact(b(base + i), qi)
         i += 1
       }
       b(base + d) += 1L
@@ -232,7 +245,7 @@ object VectorExprs {
       if (b2.isEmpty) return b1
       require(b1.length == b2.length, "gram dim mismatch in merge")
       var i = 0
-      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      while (i < b1.length) { b1(i) = Math.addExact(b1(i), b2(i)); i += 1 }
       b1
     }
     override def eval(buf: Array[Long]): Any = {

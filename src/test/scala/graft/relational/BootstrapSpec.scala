@@ -42,6 +42,19 @@ class BootstrapSpec extends SparkSpec {
     assert(hi - lo < 20.0, s"CI [$lo, $hi] implausibly wide")
   }
 
+  test("percentile CI uses the nearest-rank convention: ceil(q*n)-1, clamped") {
+    // 40 known replicate means 1..40: q=0.025 -> ceil(1)-1 = index 0 (the
+    // minimum, NOT the 2nd smallest), q=0.975 -> ceil(39)-1 = index 38.
+    val boot = (1 to 40).map(i => (i.toLong, 100L, i.toDouble))
+      .toDF("b", "n_eff", "boot_mean")
+    val (lo, hi) = Bootstrap.percentileCi(boot)
+    assert(lo == 1.0, s"lo=$lo, expected the minimum replicate mean")
+    assert(hi == 39.0, s"hi=$hi, expected index 38 (ceil(0.975*40)-1)")
+    // degenerate single replicate: both bounds clamp to the only value
+    val one = Seq((0L, 100L, 7.5)).toDF("b", "n_eff", "boot_mean")
+    assert(Bootstrap.percentileCi(one) == ((7.5, 7.5)))
+  }
+
   test("CDF literals are the cumulative Poisson(1) distribution") {
     val probs = Bootstrap.PoissonCdf.map(_.toDouble)
     val expected = Iterator.iterate((math.exp(-1.0), math.exp(-1.0), 1)) {
