@@ -255,6 +255,35 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("connected components: fast/distributed parity at the exact threshold boundary") {
+    // Planted graph: a 7-chain, a triangle with a duplicate+reversed edge,
+    // a 2-clique, isolated node. The fast path triggers on
+    // edgeCount <= driverThreshold where edgeCount is the DEDUPED directed
+    // edge set (self-loops dropped, (u,v) distinct, direction preserved) —
+    // compute it exactly as the kernel does, then run at thr = E (fast
+    // path, boundary-inclusive) and thr = E - 1 (distributed) and demand
+    // identical labelings.
+    val nodes = (1L to 12L).toDF("doc_id")
+    val rawEdges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), // chain
+      (8L, 9L), (9L, 10L), (10L, 8L), (8L, 9L), (9L, 8L),         // triangle + dup + reversed
+      (11L, 12L), (12L, 12L))                                     // clique + self-loop
+      .toDF("src", "dst")
+    val e = rawEdges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v")).distinct().count()
+    assert(e == 11L, s"planted edge count drifted: $e") // 6 + 4 + 1
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 11L, 12L -> 11L)
+    val byPath = Seq(e, e - 1).map { thr =>
+      val got = TextDedup.connectedComponents(nodes, rawEdges, driverThreshold = thr)
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"threshold $thr: $got")
+      got
+    }
+    assert(byPath(0) == byPath(1))
+  }
+
   test("simhash dedup pairs: exact twins at hamming 0, unrelated text absent") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
