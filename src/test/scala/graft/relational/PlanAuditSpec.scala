@@ -30,15 +30,13 @@ class PlanAuditSpec extends SparkSpec {
       s"non-snake-case names: ${names.filterNot(_.matches("[a-z0-9_]+")).mkString(", ")}")
   }
 
-  test("every registry query carries a DuckDB oracle (no rows-only checks)") {
+  test("EVERY registry query carries a DuckDB oracle (no rows-only checks)") {
     // Every operator is hash-checked against an independent engine — pin it
     // so a future operator can't quietly ship with the weaker rows>0 check.
-    // The ONLY deliberate exception: the IVF index BUILD surface (iterative
-    // k-means has no single-query SQL equivalent; its output quality is
-    // pinned by the exact-probe oracle q38_ann_ivf + IvfSpec identity).
-    val allowed = Set("q38_ivf_build")
+    // As of round 11 there are NO exceptions: even the IVF build surface
+    // runs a deterministic md5-seeded configuration whose Lloyd rounds the
+    // oracle unrolls as CTE stages.
     val missing = graft.SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
-      .filterNot(allowed)
     assert(missing.isEmpty, s"oracle-less registry queries: ${missing.mkString(", ")}")
   }
 
@@ -144,6 +142,35 @@ class PlanAuditSpec extends SparkSpec {
       assert(offenders.isEmpty || bounded.contains(q.name),
         s"${q.name} broadcast-hints a grouped aggregate (forced broadcast of " +
           s"data-dependent cardinality — the q65 class):\n${offenders.headOption.getOrElse("")}")
+    }
+  }
+
+  test("basket family exchange budget: the r11 two-shuffle pair pipeline holds") {
+    // The co-purchase rewrite (baskets via ONE orderkey aggregate + in-row
+    // pair expansion) replaced a 4-exchange distinct+self-join shape. Pin
+    // the shuffle budget so a refactor can't silently reintroduce it:
+    // q87 = basket agg + pair agg + presentation sort = 3 shuffle
+    // exchanges; q138 adds the rank window's item exchange and its final
+    // sort. Counts are on the pre-AQE spark plan (deterministic).
+    // String-count on the executed plan: with AQE the top node is an
+    // AdaptiveSparkPlanExec wrapper, so a collect() over the tree sees no
+    // exchanges; the rendered plan shows them.
+    val dir = "/root/testdata/sf0.001"
+    def hashShuffles(name: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(
+        graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString).size
+    // q87: basket agg + pair agg (the presentation sort adds one RANGE
+    // exchange on top — not counted; it's output ordering, not data
+    // movement the operators need). q138 adds the rank window's item
+    // exchange; q146/q176 add the margin joins (their broadcast
+    // exchanges are the intended slim-side shape). q95's returned plan
+    // hangs off the final label checkpoint (rounds already cut).
+    val budget = Map("q87_copurchase" -> 2, "q138_also_bought" -> 3,
+      "q146_pair_lift" -> 3, "q176_assoc_rules" -> 3, "q95_communities" -> 0)
+    budget.foreach { case (name, cap) =>
+      val n = hashShuffles(name)
+      assert(n <= cap, s"$name plans $n hash-shuffle exchanges (budget $cap)")
     }
   }
 
