@@ -118,8 +118,8 @@ object DocsStream {
     val (dir, schema) = staged.computeIfAbsent(sfDir, { _ =>
       val src = java.nio.file.Paths.get(s"$sfDir/documents.parquet")
       val d = java.nio.file.Paths.get(EventsStream.shmTempDir(
-        "docs_stream", java.nio.file.Files.size(src)))
-      java.nio.file.Files.copy(src, d.resolve("documents.parquet"))
+        "docs_stream", EventsStream.parquetSize(src)))
+      EventsStream.stageParquet(src, d)
       (d.toString, spark.read.parquet(d.toString).schema)
     })
     spark.readStream.schema(schema).parquet(dir)

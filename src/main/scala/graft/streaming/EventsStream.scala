@@ -91,12 +91,40 @@ object EventsStream {
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
 
+  /** Parquet payload bytes at `src` — a single file, or the part-file sum
+    * when the source is a Spark-written directory (e.g. ScaleUp output).
+    */
+  private[streaming] def parquetSize(src: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(src))
+      java.nio.file.Files.list(src).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+    else java.nio.file.Files.size(src)
+  }
+
+  /** Copy `src` into `destDir`: flat part-file copy for a directory
+    * source, plain copy for a single file. Both testdata layouts (driver
+    * single-file fixtures, Spark-written directories) must stage — a bare
+    * Files.copy of a directory creates an EMPTY dir and every stream
+    * query on that corpus dies at schema inference.
+    */
+  private[streaming] def stageParquet(src: java.nio.file.Path,
+                                      destDir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(src))
+      java.nio.file.Files.list(src).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+        .foreach(p => java.nio.file.Files.copy(p, destDir.resolve(p.getFileName)))
+    else java.nio.file.Files.copy(src, destDir.resolve(src.getFileName))
+  }
+
   def stagedEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val (dir, schema) = staged.computeIfAbsent(sfDir, { _ =>
       val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
       val d = java.nio.file.Paths.get(
-        shmTempDir("events_stream", java.nio.file.Files.size(src)))
-      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
+        shmTempDir("events_stream", parquetSize(src)))
+      stageParquet(src, d)
       (d.toString, spark.read.parquet(d.toString).schema)
     })
     graft.Tables.normalizeTs(
