@@ -70,9 +70,23 @@ object ScaleUp {
     Seq("region", "nation").foreach { t =>
       write(t, spark.read.parquet(s"$src/$t.parquet"))
     }
+    // Name columns get a per-replica suffix on the final token: the fuzzy
+    // join / entity-resolution family blocks on (last name token, brand),
+    // so identical replica names would stack every block 10× deep and
+    // grow candidate pairs (and the TRUE output) quadratically in R — a
+    // skew stress, not 10× growth. Suffixed names model a catalog that
+    // GROWS: replicas are block-disjoint, intra-replica block structure
+    // and pairwise distances are preserved (a shared suffix shifts every
+    // in-block name equally), and pair outputs scale linearly.
+    val nameCols = Set("p_name", "c_name", "s_name")
+    def suffixNames(d: DataFrame, i: Int): DataFrame =
+      if (i == 0) d
+      else nameCols.intersect(d.columns.toSet).foldLeft(d) { (dd, c) =>
+        dd.withColumn(c, concat(col(c), lit(s"~$i")))
+      }
     Seq("customer", "supplier", "part", "orders", "lineitem", "events")
       .foreach { t =>
-        write(t, replicate(spark.read.parquet(s"$src/$t.parquet"), r)((d, _) => d))
+        write(t, replicate(spark.read.parquet(s"$src/$t.parquet"), r)(suffixNames))
       }
     write("documents",
       replicate(spark.read.parquet(s"$src/documents.parquet"), r) { (d, i) =>
