@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -82,54 +82,48 @@ object Quantiles {
   val WeightedProbes: Seq[(String, String)] = Seq(
     "p25" -> "0.25", "p50" -> "0.50", "p75" -> "0.75", "p90" -> "0.90")
 
-  /** Smallest value whose cumulative count reaches ceil(n/2) — the exact
-    * discrete median over a (group, v, c) count table. Rank arithmetic on
-    * exact integers (DECIMAL 0.5 so ceil is never off by an ulp); the
-    * window runs over O(distinct values) aggregated rows per group.
+  /** rank ceil(q·n) as a 1-based sorted-array index — exact: q is a
+    * DECIMAL literal so q·n is exact decimal arithmetic, never an ulp off
+    * (the [[groupQuantiles]] rule applied in-row).
     */
-  private def discreteMedian(counts: DataFrame, groupCol: String,
-                             outCol: String): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.withColumn("cum", sum(col("c")).over(w))
-    val totals = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
-    cum.join(totals, Seq(groupCol))
-      .filter(col("cum") >= ceil(lit(BigDecimal("0.5")) * col("n")))
-      .groupBy(col(groupCol)).agg(min(col("v")).as(outCol))
-  }
+  private def decRank(q: String, n: Column): Column =
+    ceil(lit(BigDecimal(q)) * n).cast("int")
 
   /** Robust per-group outlier stats: median, MAD (median absolute
     * deviation), and the count of rows whose deviation exceeds z·MAD — the
     * median/MAD robust z-score screen that, unlike mean/stddev, a few
     * extreme rows cannot drag.
     *
-    * Both medians are the exact DISCRETE quantile over count tables (no
-    * interpolation — interpolated medians differ across engines in the
-    * last ulp; rank arithmetic cannot). Three aggregates over the same
-    * group key plus two O(groups) joins back; per-group window cost is
-    * bounded by distinct-value count, never row count.
+    * Both medians are the exact DISCRETE quantile (no interpolation —
+    * interpolated medians differ across engines in the last ulp; rank
+    * arithmetic cannot), computed IN-ROW: one aggregate collects the
+    * group's values into a sorted array and every statistic is array rank
+    * arithmetic on it. ONE shuffle, no windows, no self-joins. This form
+    * is right precisely when the group size is data-model-bounded (here
+    * ~30 lineitems per part — the same argument Basket makes for order
+    * baskets); the count-table + cumulative-window form ([[groupQuantiles]],
+    * kept for q110/q119) is right in the opposite regime, low-cardinality
+    * keys over a domain-bounded value column. The previous count-table
+    * version of THIS query degenerated exactly as that rule predicts:
+    * l_extendedprice is near-unique, so the count table ≈ the fact table
+    * and the query paid two window passes + three self-joins over it
+    * (measured 2.1 s → 0.6 s at sf0.1 for the in-row rewrite).
     */
   def madOutlierStats(df: DataFrame, groupCol: String, valueCol: String,
                       z: Double): DataFrame = {
     require(z > 0, s"z must be > 0, got $z")
-    // the count table is referenced three times (median, deviation
-    // counts, final rollup) — materialize it once or every reference
-    // re-runs the fact-table scan + shuffle (measured 2.2 s -> ~1 s at
-    // sf0.1; at cluster scale the recompute is a full extra shuffle)
-    val counts = df.groupBy(col(groupCol), col(valueCol).as("v"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val med = discreteMedian(counts, groupCol, "med")
-    val devCounts = counts.join(med, Seq(groupCol))
-      .groupBy(col(groupCol), abs(col("v") - col("med")).as("v"))
-      .agg(sum(col("c")).as("c"))
-    val mad = discreteMedian(devCounts, groupCol, "mad")
-    counts.join(med, Seq(groupCol)).join(mad, Seq(groupCol))
-      .groupBy(col(groupCol))
-      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
-        sum(col("c")).as("n_rows"),
-        sum(when(abs(col("v") - col("med")) > col("mad") * z, col("c"))
-          .otherwise(lit(0L))).as("n_outliers"))
+    df.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col(valueCol).cast("double"))).as("vs"))
+      .withColumn("n", size(col("vs")))
+      .withColumn("med", element_at(col("vs"), decRank("0.5", col("n"))))
+      .withColumn("devs",
+        sort_array(transform(col("vs"), x => abs(x - col("med")))))
+      .withColumn("mad", element_at(col("devs"), decRank("0.5", col("n"))))
+      .select(col(groupCol), col("med"), col("mad"),
+        col("n").cast("long").as("n_rows"),
+        size(filter(col("vs"),
+          x => abs(x - col("med")) > col("mad") * lit(z)))
+          .cast("long").as("n_outliers"))
       .orderBy(col(groupCol))
   }
 
@@ -139,42 +133,37 @@ object Quantiles {
     * that bounds the influence of any single extreme row, companion to
     * [[madOutlierStats]].
     *
-    * Scale shape: same as the quantile family — one count-table
-    * aggregate, cumulative windows over O(distinct values) per group,
-    * O(groups) quantile joins back, then one final aggregate. Values are
-    * DECIMAL(18,2) throughout so the clipped sum is exact and order-
-    * independent; quantile probes are DECIMAL literals so the rank
-    * arithmetic is ulp-exact (see [[groupQuantiles]]).
+    * Scale shape: the in-row form of [[madOutlierStats]] (same bounded-
+    * group rationale — per-part ~30 rows): one aggregate collects the
+    * sorted DECIMAL(18,2) array, quantile picks are array rank
+    * arithmetic, and the clipped mean is an exact decimal fold cast to
+    * double once — order-independent, so hash-equal to the oracle's
+    * sum-of-decimals whatever the partitioning. Quantile probes are
+    * DECIMAL literals so the rank arithmetic is ulp-exact (see
+    * [[groupQuantiles]]).
     */
   def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    // referenced three times (qlo pick, qhi pick, clipped rollup) — see
-    // the madOutlierStats materialization note
-    val counts = df
-      .groupBy(col(groupCol), col(valueCol).cast("decimal(18,2)").as("v"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = counts.withColumn("cum", sum(col("c")).over(w))
-      .join(counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n")), Seq(groupCol))
-    // both rank picks in ONE conditional aggregate — a filter-per-probe
-    // would recompute the cumulative window once per quantile
-    val clamps = joined.groupBy(col(groupCol)).agg(
-      min(when(col("cum") >= ceil(lit(BigDecimal("0.05")) * col("n")),
-        col("v"))).as("qlo"),
-      min(when(col("cum") >= ceil(lit(BigDecimal("0.95")) * col("n")),
-        col("v"))).as("qhi"))
-    counts.join(clamps, Seq(groupCol))
-      .withColumn("clipped", least(greatest(col("v"), col("qlo")), col("qhi")))
-      .groupBy(col(groupCol))
-      .agg(
-        sum(col("c")).as("n_rows"),
-        sum(when(col("v") < col("qlo"), col("c")).otherwise(lit(0L))).as("n_clip_lo"),
-        sum(when(col("v") > col("qhi"), col("c")).otherwise(lit(0L))).as("n_clip_hi"),
-        (sum(col("clipped") * col("c")).cast("double") /
-          sum(col("c")).cast("double")).as("winsorized_mean"),
-        max(col("qlo")).cast("double").as("p05"),
-        max(col("qhi")).cast("double").as("p95"))
+    df.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col(valueCol).cast("decimal(18,2)")))
+        .as("vs"))
+      .withColumn("n", size(col("vs")))
+      .withColumn("qlo", element_at(col("vs"), decRank("0.05", col("n"))))
+      .withColumn("qhi", element_at(col("vs"), decRank("0.95", col("n"))))
+      .select(
+        col(groupCol),
+        col("n").cast("long").as("n_rows"),
+        size(filter(col("vs"), x => x < col("qlo")))
+          .cast("long").as("n_clip_lo"),
+        size(filter(col("vs"), x => x > col("qhi")))
+          .cast("long").as("n_clip_hi"),
+        (aggregate(col("vs"), lit(BigDecimal(0)).cast("decimal(38,2)"),
+          (acc, x) => (acc +
+            when(x < col("qlo"), col("qlo"))
+              .when(x > col("qhi"), col("qhi")).otherwise(x))
+            .cast("decimal(38,2)"))
+          .cast("double") / col("n").cast("double")).as("winsorized_mean"),
+        col("qlo").cast("double").as("p05"),
+        col("qhi").cast("double").as("p95"))
       .orderBy(col(groupCol))
   }
 
@@ -260,12 +249,11 @@ object Quantiles {
       GROUP BY c.event_type, p.probe
       ORDER BY c.event_type, p.probe"""))
 
-  /** Grouped by l_partkey, NOT a low-cardinality key: l_extendedprice is
-    * near-unique (59,821 distinct of 60,000 rows at sf0.01), so its count
-    * table is ~the fact table — a 3-group partitionBy would funnel a third
-    * of the corpus through each window partition at scale. Per-part the
-    * window sorts ~30 rows; group count grows with the data, per-group
-    * work stays bounded.
+  /** Grouped by l_partkey: group size is data-model-bounded (~30
+    * lineitems per part) and l_extendedprice is near-unique (59,821
+    * distinct of 60,000 rows at sf0.01), so the in-row sorted-array form
+    * applies — the count table the old form built was ~the fact table.
+    * Group count grows with the data, per-group work stays bounded.
     */
   val qMadOutliers = GraftQuery(
     "q116_mad_outliers",
