@@ -13,6 +13,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Content fingerprint of the files backing a corpus artifact (IVF
+    * index, BPE merge table, …), so anything persisted per-corpus is
+    * rebuilt whenever the corpus changes (path, file set, sizes, or
+    * mtimes). Listing metadata only — never reads the data.
+    */
+  def corpusFingerprint(path: String): String = {
+    val root = new java.io.File(path)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val sig = walk(root)
+      .map(f => s"${f.getAbsolutePath}|${f.length}|${f.lastModified}")
+      .mkString("\n")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest((path + "\n" + sig).getBytes("UTF-8"))
+      .take(12).map("%02x".format(_)).mkString
+  }
+
   /** Memoized per (session, dir, table): `spark.read.parquet` does a
     * driver-side file listing + footer schema read on every call, a fixed
     * ~tens-of-ms tax per query that dominates sub-second queries. The

@@ -265,27 +265,11 @@ object IvfIndex {
 
   // ---- persisted index (build once, probe many) ---------------------------
 
-  /** Content fingerprint of the corpus files backing an index, so a
-    * persisted index is rebuilt whenever the corpus changes (path, file
-    * set, sizes, or mtimes). Listing metadata only — never reads the data.
+  /** Where the persisted index for this corpus lives — keyed by
+    * [[Tables.corpusFingerprint]] so a regenerated corpus rebuilds.
     */
-  private def corpusFingerprint(path: String): String = {
-    val root = new java.io.File(path)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        .sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(f)
-    val sig = walk(root)
-      .map(f => s"${f.getAbsolutePath}|${f.length}|${f.lastModified}")
-      .mkString("\n")
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest((path + "\n" + sig).getBytes("UTF-8"))
-      .take(12).map("%02x".format(_)).mkString
-  }
-
-  /** Where the persisted index for this corpus lives. */
   def persistedDir(sfDir: String): String = {
-    val fp = corpusFingerprint(s"$sfDir/embeddings.parquet")
+    val fp = Tables.corpusFingerprint(s"$sfDir/embeddings.parquet")
     s"${sys.props("java.io.tmpdir")}/graft_ivf_$fp"
   }
 

@@ -61,6 +61,20 @@ class BpeSpec extends SparkSpec {
     assert(capped.map(m => show(m._1)) == Seq("<a><a>", "<aa><a>"))
   }
 
+  test("persisted merge table: cold learn == warm reload, keyed by corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val fp = graft.Tables.corpusFingerprint(s"$dir/documents.parquet")
+    val f = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_bpe_${fp}_${Bpe.MergeRounds}.tsv")
+    java.nio.file.Files.deleteIfExists(f)
+    val cold = Bpe.mergesFor(docs, dir) // learns + persists
+    assert(java.nio.file.Files.exists(f), "merge table not persisted")
+    val warm = Bpe.mergesFor(docs, dir) // must hit the file, not relearn
+    assert(warm == cold)
+    assert(cold == Bpe.learnMergesCapped(docs, Bpe.MergeRounds))
+  }
+
   test("tokenizer fertility aggregates q72's per-doc counts by language") {
     val out = Bpe.qFertility.run(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long, Long, Double)].collect().toSeq
