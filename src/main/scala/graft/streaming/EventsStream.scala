@@ -96,11 +96,14 @@ object EventsStream {
     */
   private[streaming] def parquetSize(src: java.nio.file.Path): Long = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.isDirectory(src))
-      java.nio.file.Files.list(src).iterator().asScala
+    if (java.nio.file.Files.isDirectory(src)) {
+      // Files.list holds a directory handle until closed
+      val s = java.nio.file.Files.list(src)
+      try s.iterator().asScala
         .filter(_.toString.endsWith(".parquet"))
         .map(java.nio.file.Files.size).sum
-    else java.nio.file.Files.size(src)
+      finally s.close()
+    } else java.nio.file.Files.size(src)
   }
 
   /** Copy `src` into `destDir`: flat part-file copy for a directory
@@ -112,11 +115,13 @@ object EventsStream {
   private[streaming] def stageParquet(src: java.nio.file.Path,
                                       destDir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.isDirectory(src))
-      java.nio.file.Files.list(src).iterator().asScala
+    if (java.nio.file.Files.isDirectory(src)) {
+      val s = java.nio.file.Files.list(src)
+      try s.iterator().asScala
         .filter(_.toString.endsWith(".parquet")).toSeq
         .foreach(p => java.nio.file.Files.copy(p, destDir.resolve(p.getFileName)))
-    else java.nio.file.Files.copy(src, destDir.resolve(src.getFileName))
+      finally s.close()
+    } else java.nio.file.Files.copy(src, destDir.resolve(src.getFileName))
   }
 
   def stagedEventStream(spark: SparkSession, sfDir: String): DataFrame = {

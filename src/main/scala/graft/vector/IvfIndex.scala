@@ -338,9 +338,15 @@ object IvfIndex {
     * is pinned by IvfSpec's adversarial-geometry fixture and exercised by
     * q38_ann_ivf's exact-probe oracle.
     */
-  def buildDeterministic(corpus: DataFrame, nlist: Int, iters: Int): Index = {
-    val vecs = corpus.select(col("vec_id"), col("embedding"))
-    var cents = initHashForgy(corpus, nlist)
+  def buildDeterministic(corpus: DataFrame, nlist: Int, iters: Int,
+                         dims: Int = 64): Index = {
+    // drop ragged/short vectors up front, mirroring the oracle's
+    // len(embedding) = dims guard — without the pair, a short embedding
+    // would NULL-poison DuckDB's fold while NearestCentroid truncates to
+    // min length: silent oracle divergence (the PrCurve/Centroids rule)
+    val uniform = corpus.filter(size(col("embedding")) === dims)
+    val vecs = uniform.select(col("vec_id"), col("embedding"))
+    var cents = initHashForgy(uniform, nlist)
     (0 until iters).foreach(_ => cents = lloydStep(vecs, cents))
     Index(centroidsDf(corpus.sparkSession, cents), assign(vecs, cents))
   }
@@ -389,7 +395,8 @@ object IvfIndex {
       .map(k => assignStage(k) + ",\n" + recomputeStage(k))
     val stages = (rounds :+ assignStage(iters)).mkString(",\n")
     s"""
-      WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+      WITH vecs AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE len(embedding) = $dims),
       vnorm AS (SELECT vec_id, ${norm("embedding")} AS nx FROM vecs),
       seeds AS (
         SELECT vec_id, embedding,

@@ -21,6 +21,26 @@ object Preview {
     Set("ByteType", "ShortType", "IntegerType", "LongType", "FloatType",
       "DoubleType") // DecimalType matched by prefix below
 
+  /** Pandas-dialect cell rendering: timestamps as `yyyy-MM-dd HH:mm:ss`
+    * (fraction kept only when nonzero), collections/structs bracketed and
+    * comma-joined — never the JVM `WrappedArray(...)` repr.
+    */
+  private def cell(v: Any): String = v match {
+    case null => ""
+    case ts: java.sql.Timestamp =>
+      val s = ts.toString
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    case s: scala.collection.Seq[_] => // Spark rows hold mutable.ArraySeq
+      s.map(cell).mkString("[", ", ", "]")
+    case a: Array[_] => a.iterator.map(cell).mkString("[", ", ", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => s"${cell(k)}: ${cell(x)}" }
+        .sorted.mkString("{", ", ", "}")
+    case r: org.apache.spark.sql.Row =>
+      r.toSeq.map(cell).mkString("(", ", ", ")")
+    case other => String.valueOf(other)
+  }
+
   def toMarkdown(df: DataFrame, n: Int = 5): String = {
     require(n >= 1, s"preview needs n >= 1, got $n")
     val schema = df.schema
@@ -32,7 +52,7 @@ object Preview {
     val header = "" +: schema.fieldNames.toSeq
     val body = rows.zipWithIndex.map { case (r, i) =>
       i.toString +: schema.fieldNames.indices.map { j =>
-        if (r.isNullAt(j)) "" else String.valueOf(r.get(j))
+        if (r.isNullAt(j)) "" else cell(r.get(j))
       }
     }.toSeq
     // column widths: max of header/cell lengths, floor 3 so the separator

@@ -41,4 +41,16 @@ class PreviewSpec extends SparkSpec {
     assert(wrmMd.split("\n").length == 7)
     assert(wrmMd.split("\n").drop(2).forall(_.startsWith("| ")), wrmMd)
   }
+
+  test("markdown preview: timestamps and collections render pandas-style") {
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-02 03:04:05"), Seq(1, 2, 3)),
+      (java.sql.Timestamp.valueOf("2024-01-02 03:04:05.25"), Seq.empty[Int]))
+      .toDF("ts", "xs")
+    val md = Preview.toMarkdown(df, n = 2)
+    assert(md.contains("2024-01-02 03:04:05 "), md)   // whole-second: no .0
+    assert(md.contains("2024-01-02 03:04:05.25"), md) // fraction kept
+    assert(md.contains("[1, 2, 3]") && md.contains("[]"), md)
+    assert(!md.contains("WrappedArray") && !md.contains("ArraySeq"), md)
+  }
 }
