@@ -2,7 +2,6 @@ package graft.relational
 
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Community detection by synchronous label propagation (Raghavan et al.
@@ -18,8 +17,10 @@ import org.apache.spark.sql.functions._
   * loop (the q93 idiom).
   *
   * Scale shape per round: one edges⋈labels equi-join on src, one
-  * (node, label) weight aggregate, one argmax window partitioned by node
-  * (bounded by that node's distinct neighbor labels ≤ degree).
+  * (node, label) weight aggregate, one per-node argmax AGGREGATE
+  * (min(struct(-s, label)) — max weight then smallest label). No window
+  * anywhere: both aggregates partial-combine map-side, so a hot node
+  * costs its distinct neighbor-label count with no per-node sort.
   */
 object Communities {
 
@@ -49,15 +50,19 @@ object Communities {
       .agg(min(struct((-col("s")).as("ns"), col("label"))).as("m"))
       .select(col("node"), col("m.label").as("label"))
       .localCheckpoint()
-    val wArg = Window.partitionBy(col("node")).orderBy(col("s").desc, col("label"))
+    // Rounds 2..k: the round-1 argmax-aggregate shape generalizes — after
+    // the edges⋈labels join, min(struct(-s, label)) replaces the
+    // row_number window, trading the per-node sort exchange for a second
+    // map-side-combinable aggregate (join + two-stage agg per round, no
+    // window anywhere in the operator).
     (2 to iters).foreach { _ =>
       labels = e
         .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(sum(col("w")).as("s"))
-        .withColumn("rn", row_number().over(wArg))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("s")).as("ns"), col("label"))).as("m"))
+        .select(col("node"), col("m.label").as("label"))
         .localCheckpoint() // O(nodes) rows
     }
     labels.select(col("node"), col("label").as("community"))
