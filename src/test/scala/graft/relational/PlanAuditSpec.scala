@@ -174,6 +174,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("in-row quantile family plans no window and one data shuffle") {
+    // q116/q123 (r12 rewrite): bounded groups -> sort_array(collect_list)
+    // + rank indexing in ONE aggregate. Pin the shape so a refactor can't
+    // reintroduce the count-table windows + self-joins that degenerated
+    // on the near-unique value column (count table ~ fact table).
+    val dir = "/root/testdata/sf0.001"
+    Seq("q116_mad_outliers", "q123_winsorized_stats").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("WindowExec"), s"$name plans a window:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+        s"$name plans a join:\n$plan")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles <= 1, s"$name plans $shuffles hash shuffles (budget 1)")
+    }
+  }
+
   test("pair-dedup query CONSTRUCTION runs no Spark job (lazy bucket cap)") {
     // capBuckets once ran an eager count+cache during plan build — callers
     // paid a cluster job just to *define* a DataFrame. Pin the fix: build
