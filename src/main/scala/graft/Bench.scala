@@ -10,6 +10,44 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune away most of the work.
   */
 object Bench {
+
+  /** Per-query times from the newest committed `BENCH_r*.json` in
+    * `repoDir` whose scale factor matches `sfDir` — the second,
+    * independent regression baseline (the r11 post-mortem: the local-run
+    * baseline can itself be contended, so round-long contention could
+    * never trigger re-measurement against it; the committed artifact is
+    * the round-graded record). The driver file embeds the slimmed bench
+    * line (total + slowest 30 — exactly the perf-triage set) inside its
+    * JSON-escaped "tail" string; parse it out, newest round first,
+    * skipping rounds whose embedded line is absent or at another SF.
+    * Returns (fileName, perQueryTimes); ("", empty) when no usable
+    * baseline exists.
+    */
+  def committedBaseline(repoDir: String, sfDir: String): (String, Map[String, Double]) =
+    try {
+      val rFile = """BENCH_r(\d+)\.json""".r
+      val candidates = Option(new java.io.File(repoDir).listFiles())
+        .getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case rFile(n) => Some((n.toInt, f))
+          case _ => None
+        }).sortBy(-_._1)
+      candidates.iterator.map { case (_, f) =>
+        val txt = java.nio.file.Files.readString(f.toPath)
+        val sfOk = """"sf":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .exists(m => sfDir.endsWith("sf" + m.group(1)))
+        if (!sfOk) (f.getName, Map.empty[String, Double])
+        else {
+          val inner = """\\"queries\\":\{(.*?)\}""".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          val qs = """\\"([A-Za-z0-9_]+)\\":(-?[0-9.]+)""".r
+            .findAllMatchIn(inner)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          (f.getName, qs)
+        }
+      }.find(_._2.nonEmpty).getOrElse(("", Map.empty))
+    } catch { case _: Throwable => ("", Map.empty[String, Double]) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -84,38 +122,7 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     def regressed(k: String, v: Double): Boolean =
       v >= 0 && prev.get(k).exists(p => p >= 0 && v > 2 * p && v - p > 0.2)
-    // Second, independent baseline: the last COMMITTED BENCH_r*.json (the
-    // driver's round-graded artifact). The r11 post-mortem: the local-run
-    // baseline above can itself be contended — r11 diffed against a local
-    // file written in the same bad machine window and emitted
-    // regressions:{} / window_suspect:false on a 1.5x-drifted round — so
-    // round-long contention could never trigger re-measurement. The
-    // committed artifact embeds the slimmed line (total + slowest 30),
-    // which is exactly the perf-triage set; parse it out of the escaped
-    // "tail" string, newest round first, same-SF only.
-    val committed: (String, Map[String, Double]) = try {
-      val rFile = """BENCH_r(\d+)\.json""".r
-      val dir = new java.io.File(".")
-      val candidates = Option(dir.listFiles()).getOrElse(Array.empty)
-        .flatMap(f => f.getName match {
-          case rFile(n) => Some((n.toInt, f))
-          case _ => None
-        }).sortBy(-_._1)
-      candidates.iterator.map { case (_, f) =>
-        val txt = java.nio.file.Files.readString(f.toPath)
-        val sfOk = """"sf":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
-          .exists(m => sfDir.endsWith("sf" + m.group(1)))
-        if (!sfOk) (f.getName, Map.empty[String, Double])
-        else {
-          val inner = """\\"queries\\":\{(.*?)\}""".r
-            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-          val qs = """\\"([A-Za-z0-9_]+)\\":(-?[0-9.]+)""".r
-            .findAllMatchIn(inner)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          (f.getName, qs)
-        }
-      }.find(_._2.nonEmpty).getOrElse(("", Map.empty))
-    } catch { case _: Throwable => ("", Map.empty[String, Double]) }
+    val committed = committedBaseline(".", sfDir)
     def regressedVsCommitted(k: String, v: Double): Boolean =
       v >= 0 && committed._2.get(k).exists(p => p >= 0 && v > 2 * p && v - p > 0.2)
     // Window-suspect guard (inverse of the flag above): when MANY queries

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the committed-baseline parser behind the bench's contention guard
+  * (the r12 process fix): a contended round must be caught against the
+  * last committed `BENCH_r*.json`, so the parser that reads it must keep
+  * working against the real driver artifact format (slim bench line
+  * JSON-escaped inside the "tail" field).
+  */
+class BenchBaselineSpec extends AnyFunSuite {
+
+  test("parses the newest same-SF committed artifact (real repo files)") {
+    val (name, qs) = Bench.committedBaseline("/root/repo", "/root/testdata/sf0.1")
+    assert(name.matches("BENCH_r\\d+\\.json"), s"unexpected baseline: $name")
+    assert(qs.nonEmpty && qs.size <= 30, s"expected the slimmed slowest-30 set, got ${qs.size}")
+    assert(qs.values.forall(_ >= 0), s"negative baseline times in $name")
+    // the newest artifact wins: no older round number may exist above it
+    val rounds = Option(new java.io.File("/root/repo").listFiles()).get
+      .map(_.getName).collect { case s if s.matches("BENCH_r\\d+\\.json") =>
+        s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
+    assert(name == s"BENCH_r${rounds.max}.json" ||
+      // unless the newest file failed to parse / was another SF — then any
+      // older parseable one is correct; just require SOME valid pick
+      rounds.nonEmpty)
+  }
+
+  test("other-SF and missing baselines return empty, never throw") {
+    assert(Bench.committedBaseline("/root/repo", "/root/testdata/sf9.9")._2.isEmpty)
+    assert(Bench.committedBaseline("/nonexistent/dir", "/root/testdata/sf0.1")._2.isEmpty)
+  }
+
+  test("extracts the escaped embedded queries map, not top-level JSON fields") {
+    val tmp = java.nio.file.Files.createTempDirectory("bench_baseline_spec")
+    // a faithful miniature of the driver artifact: rc/sf plain, bench line
+    // escaped inside "tail" with regressions BEFORE queries (the parser
+    // must anchor on \"queries\":{, not the first brace)
+    val art = """{"n": 7, "rc": 0, "sf": 0.1, "tail": "noise [info] {\"metric\":\"total\",\"value\":9.9,\"unit\":\"sec\",\"n_queries\":2,\"queries\":{\"q1_agg\":1.25,\"q2_scan\":0.75},\"regressions\":{},\"sf\":\"/x/sf0.1\"}"}"""
+    java.nio.file.Files.writeString(tmp.resolve("BENCH_r03.json"), art)
+    // an older round at the same SF must lose to r03
+    java.nio.file.Files.writeString(tmp.resolve("BENCH_r02.json"),
+      art.replace("q1_agg", "stale_q"))
+    val (name, qs) = Bench.committedBaseline(tmp.toString, "/data/sf0.1")
+    assert(name == "BENCH_r03.json")
+    assert(qs == Map("q1_agg" -> 1.25, "q2_scan" -> 0.75))
+    // SF mismatch on every file -> empty
+    assert(Bench.committedBaseline(tmp.toString, "/data/sf0.001")._2.isEmpty)
+  }
+}
