@@ -77,31 +77,91 @@ object ExtendedQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
       ORDER BY user_id, rnk"""))
 
-  /** q33: exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`: both sort and linearly interpolate at p·(n−1)).
+  /** q33: exact interpolated (type-7) percentiles — value at rank
+    * p·(n−1), linearly interpolated — computed from the (group, value)
+    * COUNT table with the interpolation a + (b−a)·f evaluated in an
+    * IDENTICAL double op tree in both engines. Replaces the original
+    * Spark-`percentile` ≡ DuckDB-`quantile_cont` formulation, which the
+    * sf1 gate proved ulp-divergent (230.53 vs 230.53000000000003: the
+    * two engines order the interpolation arithmetic differently) AND
+    * which buffered every raw value per group inside Spark's percentile
+    * aggregate — not scale-safe on hot groups. events.value is
+    * domain-bounded (2-decimal, ~18k distinct at sf0.1 and sf1 alike),
+    * so the count table and its cumulative window are corpus-size-
+    * independent (the q167 value-side cardinality rule); a and b are
+    * the values at 1-based positions floor(r)+1 and floor(r)+2 of the
+    * sorted multiset, picked by rank over exact integer counts.
     */
   val q33 = GraftQuery(
     "q33_percentiles",
-    (s, dir) =>
-      Tables.events(s, dir)
+    (s, dir) => {
+      // counts feeds BOTH the cumulative window and the totals — without
+      // a materialization the corpus count shuffle runs twice (the q79
+      // share-one-scan rule); the checkpointed table is O(groups ×
+      // distinct values), corpus-size-independent here
+      val counts = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("value").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts.withColumn("cum", sum(col("c")).over(w))
+      val tot = counts.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"), min(col("v")).as("vmin"),
+          max(col("v")).as("vmax"))
+      val probes = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+      def rank(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
+      val abAggs = probes.flatMap { case (tag, p) =>
+        val lo = floor(rank(p)) + 1
+        Seq(min(when(col("cum") >= lo, col("v"))).as(s"a_$tag"),
+          min(when(col("cum") >= lo + 1, col("v"))).as(s"b_$tag"))
+      }
+      val ab = cum.join(tot.select(col("event_type"), col("n")), "event_type")
         .groupBy(col("event_type"))
-        .agg(
-          expr("percentile(value, 0.5)").as("p50"),
-          expr("percentile(value, 0.9)").as("p90"),
-          expr("percentile(value, 0.99)").as("p99"),
-          min(col("value")).as("vmin"),
-          max(col("value")).as("vmax"))
-        .orderBy(col("event_type")),
+        .agg(abAggs.head, abAggs.tail: _*)
+      ab.join(tot, "event_type")
+        .select(col("event_type") +: probes.map { case (tag, p) =>
+          val f = rank(p) - floor(rank(p)).cast("double")
+          (col(s"a_$tag") +
+            (coalesce(col(s"b_$tag"), col(s"a_$tag")) - col(s"a_$tag")) * f)
+            .as(tag)
+        } :+ col("vmin") :+ col("vmax"): _*)
+        .orderBy(col("event_type"))
+    },
     Some("""
-      SELECT event_type,
-             quantile_cont(value, 0.5) AS p50,
-             quantile_cont(value, 0.9) AS p90,
-             quantile_cont(value, 0.99) AS p99,
-             min(value) AS vmin,
-             max(value) AS vmax
-      FROM events
-      GROUP BY event_type
-      ORDER BY event_type"""))
+      WITH counts AS (
+        SELECT event_type, value AS v, count(*) AS c
+        FROM events GROUP BY event_type, v),
+      cum AS (
+        SELECT event_type, v, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM counts),
+      tot AS (SELECT event_type, sum(c) AS n, min(v) AS vmin, max(v) AS vmax
+              FROM counts GROUP BY event_type),
+      ab AS (
+        SELECT c.event_type,
+          min(CASE WHEN c.cum >= floor(CAST(0.5 AS DOUBLE) * CAST(t.n - 1 AS DOUBLE)) + 1 THEN c.v END) AS a_p50,
+          min(CASE WHEN c.cum >= floor(CAST(0.5 AS DOUBLE) * CAST(t.n - 1 AS DOUBLE)) + 2 THEN c.v END) AS b_p50,
+          min(CASE WHEN c.cum >= floor(CAST(0.9 AS DOUBLE) * CAST(t.n - 1 AS DOUBLE)) + 1 THEN c.v END) AS a_p90,
+          min(CASE WHEN c.cum >= floor(CAST(0.9 AS DOUBLE) * CAST(t.n - 1 AS DOUBLE)) + 2 THEN c.v END) AS b_p90,
+          min(CASE WHEN c.cum >= floor(CAST(0.99 AS DOUBLE) * CAST(t.n - 1 AS DOUBLE)) + 1 THEN c.v END) AS a_p99,
+          min(CASE WHEN c.cum >= floor(CAST(0.99 AS DOUBLE) * CAST(t.n - 1 AS DOUBLE)) + 2 THEN c.v END) AS b_p99
+        FROM cum c JOIN tot t ON c.event_type = t.event_type
+        GROUP BY c.event_type)
+      SELECT t.event_type,
+             a_p50 + (coalesce(b_p50, a_p50) - a_p50) *
+               (CAST(0.5 AS DOUBLE) * CAST(t.n - 1 AS DOUBLE)
+                - floor(CAST(0.5 AS DOUBLE) * CAST(t.n - 1 AS DOUBLE))) AS p50,
+             a_p90 + (coalesce(b_p90, a_p90) - a_p90) *
+               (CAST(0.9 AS DOUBLE) * CAST(t.n - 1 AS DOUBLE)
+                - floor(CAST(0.9 AS DOUBLE) * CAST(t.n - 1 AS DOUBLE))) AS p90,
+             a_p99 + (coalesce(b_p99, a_p99) - a_p99) *
+               (CAST(0.99 AS DOUBLE) * CAST(t.n - 1 AS DOUBLE)
+                - floor(CAST(0.99 AS DOUBLE) * CAST(t.n - 1 AS DOUBLE))) AS p99,
+             t.vmin, t.vmax
+      FROM ab JOIN tot t ON ab.event_type = t.event_type
+      ORDER BY t.event_type"""))
 
   /** q34: JSON extraction from the events props column + grouped rollup of
     * the extracted field.
