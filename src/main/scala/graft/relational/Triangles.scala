@@ -65,7 +65,13 @@ object Triangles {
 
   // ---- queries -------------------------------------------------------------
 
-  /** q94: triangles of the q87 co-purchase graph. */
+  /** q94: triangles of the q87 co-purchase graph. AS MATERIALIZED on
+    * und/deg/oriented is load-bearing (the Bpe-oracle rule): `oriented`
+    * is referenced three times, so default CTE inlining re-expands the
+    * whole graph-construction pipeline per reference — at sf1 DuckDB
+    * spilled >60 GB of temp on the inlined form before being killed;
+    * materialized, the oracle is tractable.
+    */
   val qTriangles = GraftQuery(
     "q94_triangles",
     (s, dir) => {
@@ -74,19 +80,19 @@ object Triangles {
     },
     Some("""
       WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      und AS (
+      und AS MATERIALIZED (
         SELECT a.l_partkey AS a, b.l_partkey AS b
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2 HAVING count(*) >= 2),
-      deg AS (
+      deg AS MATERIALIZED (
         SELECT node, count(*) AS d FROM (
           SELECT a AS node FROM und UNION ALL SELECT b FROM und)
         GROUP BY node),
       wd AS (
         SELECT u.a, u.b, da.d AS da, db.d AS db FROM und u
         JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
-      oriented AS (
+      oriented AS MATERIALIZED (
         SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src,
                CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst,
                CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dd

@@ -383,7 +383,7 @@ object TextDedup {
     */
   private def duckCorpus(tail: Boolean): String = {
     val text = if (tail) "substr(text, 1, 10000) || ' planted tail'" else "text"
-    s"""corpus AS (
+    s"""corpus AS MATERIALIZED (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000 AS doc_id, $text AS text
@@ -402,7 +402,7 @@ object TextDedup {
        |grams AS (SELECT $id, list_distinct(list_transform(
        |    generate_series(1, greatest(len(tk) - 2, 0)),
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks),
-       |ne AS (SELECT $id, sh FROM grams WHERE len(sh) > 0),
+       |ne AS MATERIALIZED (SELECT $id, sh FROM grams WHERE len(sh) > 0),
        |shingle AS (SELECT $id, md5(unnest(sh)) AS __mh FROM ne),
        |hbase AS (SELECT $id, """.stripMargin + Md5P61.duckBaseHex("__mh") + " AS h FROM shingle)"
 
@@ -416,8 +416,8 @@ object TextDedup {
     s"""${Md5P61.duckFams(k)},
        |mins AS (SELECT b.doc_id, fm.f, min(${Md5P61.duckRehash("b.h")}) AS mn
        |  FROM hbase b CROSS JOIN fams fm GROUP BY b.doc_id, fm.f),
-       |sigs AS (SELECT doc_id, list(mn ORDER BY f) AS sig FROM mins GROUP BY doc_id),
-       |bands AS (SELECT doc_id, band_id,
+       |sigs AS MATERIALIZED (SELECT doc_id, list(mn ORDER BY f) AS sig FROM mins GROUP BY doc_id),
+       |bands AS MATERIALIZED (SELECT doc_id, band_id,
        |    list_slice(sig, band_id * $rows + 1, band_id * $rows + $rows) AS band_key
        |  FROM sigs CROSS JOIN range($bands) r(band_id))""".stripMargin
   }
@@ -584,7 +584,7 @@ object TextDedup {
         .orderBy(col("doc_a"))
     },
     Some("""
-      WITH sh AS (
+      WITH sh AS MATERIALIZED (
         SELECT doc_id, source,
           list_distinct(list_transform(
             generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 0)),
@@ -620,7 +620,7 @@ object TextDedup {
       WITH ${duckCorpus(tail = true)},
       $duckShingles,
       ${duckSigBands(16, 4)},
-      capped AS (SELECT * FROM bands
+      capped AS MATERIALIZED (SELECT * FROM bands
         QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= 1000),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -724,12 +724,12 @@ object TextDedup {
         FROM bands b JOIN bmin m
           ON b.band_id = m.band_id AND b.band_key = m.band_key
         WHERE b.doc_id <> m.dst),
-      ver AS (
+      ver AS MATERIALIZED (
         SELECT s.src, s.dst FROM star s
         JOIN ne na ON na.doc_id = s.src
         JOIN ne nb ON nb.doc_id = s.dst
         WHERE ${duckJaccard("na.sh", "nb.sh")} >= 0.5),
-      sym AS (SELECT src AS u, dst AS v FROM ver
+      sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM ver
               UNION SELECT dst AS u, src AS v FROM ver),
       reach AS (
         SELECT u, v FROM sym
@@ -893,7 +893,7 @@ object TextDedup {
       WITH corpus AS (SELECT source, text FROM documents),
       ${duckShinglesFor("source")},
       ${Md5P61.duckFams(64)},
-      smins AS (SELECT b.source, fm.f, min(${Md5P61.duckRehash("b.h")}) AS mn
+      smins AS MATERIALIZED (SELECT b.source, fm.f, min(${Md5P61.duckRehash("b.h")}) AS mn
         FROM hbase b CROSS JOIN fams fm GROUP BY b.source, fm.f)
       SELECT a.source AS source_a, b.source AS source_b,
              CAST(sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS DOUBLE) / 64.0
@@ -1123,7 +1123,7 @@ object TextDedup {
       corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL SELECT doc_id, text FROM pl),
-      sh AS (
+      sh AS MATERIALIZED (
         SELECT doc_id,
           list_distinct(list_transform(
             generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 0)),
