@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end entity resolution: blocking → pairwise Jaro-Winkler match →
@@ -11,14 +11,75 @@ import org.apache.spark.sql.functions._
   * [[graft.text.JaroWinkler]] kernel, and the alternating-star connected
   * components from the dedup family).
   *
-  * Scale shape: candidate pairs are block-bounded (never all-pairs), the
-  * kernel runs once per distinct in-block name pair behind an aggregate
-  * barrier, and the closure is the O(log n)-round large/small-star loop
-  * with per-round localCheckpoint — identical machinery to q51, which the
-  * 100 TB audit already cleared. A record's block key is a function of its
-  * own row, so components never span blocks and stay catalog-constant.
+  * Scale shape: candidate pairs are block-bounded AND occupancy-capped —
+  * a (last-name-token, brand) block holding more than [[MaxBlockNames]]
+  * distinct names is split into `ceil(blk_n / cap)` sub-blocks by a
+  * deterministic hash of the name, so per-block candidate pairs are
+  * O(blk_n · cap) instead of O(blk_n²). This is the same hot-bucket
+  * guardrail the LSH family applies ([[graft.text.TextDedup.capBuckets]]),
+  * adapted to resolution semantics: DROPPING an oversized block would
+  * silently un-resolve every record in it, whereas sub-blocking keeps
+  * exact duplicates together unconditionally (equal names hash to the
+  * same sub-block) and only trades away near-miss recall BETWEEN
+  * sub-blocks of a pathological block — the documented, bounded cost of
+  * surviving a corpus where one name token dominates. The r12 scale
+  * post-mortem (SCALE.md) measured the uncapped failure mode: a 10×-
+  * stacked block produced 101× candidate pairs.
+  *
+  * Record pairs never materialize all-pairs-in-block either: records join
+  * the (already JW-verified) similar-name-pair list by name, so the join
+  * output IS the edge list — the quadratic in-block record × record
+  * candidate step of the previous version is gone entirely.
+  *
+  * The closure is the O(log n)-round large/small-star loop with per-round
+  * localCheckpoint — identical machinery to q51, which the 100 TB audit
+  * already cleared. A record's block key is a function of its own row, so
+  * components never span blocks and stay catalog-constant.
   */
 object EntityResolution {
+
+  /** Max distinct names compared against each other within one block.
+    * Oversized blocks split into ceil(n/cap) hash sub-blocks, bounding
+    * candidate name pairs per block to ~n·cap (linear in block size).
+    */
+  val MaxBlockNames = 64
+
+  /** First 15 hex chars of md5 as a base-16 long — [[graft.text.Md5P61]]'s
+    * `base`, expressed with codegen'd builtins so the DuckDB oracle can
+    * compute the identical sub-block assignment ([[graft.text.Md5P61.duckBase]]).
+    */
+  private def md5Base(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct (blk_tok, blk_brand, sub, p_name) with the sub-block id:
+    * 0 for every name in a block at-or-under `cap`; a deterministic
+    * md5-hash bucket in [0, ceil(blk_n/cap)) for oversized blocks.
+    * Equal names always share a sub-block (the hash is a function of the
+    * name alone), so exact duplicates can never be split apart.
+    */
+  private[relational] def subBlockedNames(p: DataFrame, cap: Int): DataFrame = {
+    val names = p.select(col("blk_tok"), col("blk_brand"), col("p_name")).distinct()
+    val bn = names.groupBy(col("blk_tok"), col("blk_brand"))
+      .agg(count(lit(1)).as("blk_n"))
+    names.join(bn, Seq("blk_tok", "blk_brand"))
+      .withColumn("sub",
+        pmod(md5Base(col("p_name")), expr(s"(blk_n + ${cap - 1}) div $cap")))
+      .select(col("blk_tok"), col("blk_brand"), col("sub"), col("p_name"))
+  }
+
+  /** Candidate name pairs: both orders plus the diagonal, within
+    * (block, sub-block). Row count per block is Σ sub² ≤ ~blk_n · cap —
+    * the capped quantity the adversarial spec pins.
+    */
+  private[relational] def candidateNamePairs(p: DataFrame, cap: Int): DataFrame = {
+    val nsub = subBlockedNames(p, cap)
+    nsub.select(col("blk_tok"), col("blk_brand"), col("sub"),
+        col("p_name").as("name_a"))
+      .join(nsub.select(col("blk_tok"), col("blk_brand"), col("sub"),
+        col("p_name").as("name_b")),
+        Seq("blk_tok", "blk_brand", "sub"))
+      .select(col("blk_tok"), col("blk_brand"), col("name_a"), col("name_b"))
+  }
 
   /** Resolved entities over part: (entity_id = min member key, n_members,
     * n_names, golden_name = the entity_id member's name).
@@ -27,27 +88,30 @@ object EntityResolution {
     * minSim — equal names match trivially (similarity 1), so exact
     * duplicates and near-misses resolve through the same path.
     */
-  def resolveEntities(part: DataFrame, minSim: Double): DataFrame = {
+  def resolveEntities(part: DataFrame, minSim: Double,
+                      maxBlockNames: Int = MaxBlockNames): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0, s"minSim in (0,1], got $minSim")
+    require(maxBlockNames >= 1, s"maxBlockNames must be >= 1, got $maxBlockNames")
     val p = part.select(
       element_at(split(col("p_name"), " "), -1).as("blk_tok"),
       col("p_brand").as("blk_brand"),
       col("p_partkey"), col("p_name"))
-    val names = p.select(col("blk_tok"), col("blk_brand"), col("p_name")).distinct()
-    val pairSim = names.select(col("blk_tok"), col("blk_brand"), col("p_name").as("name_a"))
-      .join(names.select(col("blk_tok"), col("blk_brand"), col("p_name").as("name_b")),
-        Seq("blk_tok", "blk_brand"))
-      .select(col("name_a"), col("name_b")).distinct()
+    // JW runs once per distinct in-block name pair; the kernel never sees
+    // record multiplicity.
+    val sim = candidateNamePairs(p, maxBlockNames)
       .filter(col("name_a") === col("name_b") ||
         graft.text.JaroWinkler.jaroWinkler(col("name_a"), col("name_b")) >= minSim)
-      .select(col("name_a"), col("name_b"))
-    val a = p.select(col("blk_tok"), col("blk_brand"),
-      col("p_partkey").as("src"), col("p_name").as("name_a"))
-    val b = p.select(col("blk_tok"), col("blk_brand"),
-      col("p_partkey").as("dst"), col("p_name").as("name_b"))
-    val edges = a.join(b, Seq("blk_tok", "blk_brand"))
+    // Edges = records joined to the verified name pairs by (block, name):
+    // output rows are exactly the matching record pairs — the non-matching
+    // in-block record × record candidates are never materialized.
+    val edges = sim
+      .join(p.select(col("blk_tok"), col("blk_brand"),
+        col("p_name").as("name_a"), col("p_partkey").as("src")),
+        Seq("blk_tok", "blk_brand", "name_a"))
+      .join(p.select(col("blk_tok"), col("blk_brand"),
+        col("p_name").as("name_b"), col("p_partkey").as("dst")),
+        Seq("blk_tok", "blk_brand", "name_b"))
       .filter(col("src") < col("dst"))
-      .join(pairSim, Seq("name_a", "name_b"))
       .select(col("src"), col("dst"))
     val cc = graft.text.TextDedup.connectedComponents(
       p.select(col("p_partkey").as("doc_id")), edges)
@@ -62,23 +126,41 @@ object EntityResolution {
       .orderBy(col("entity_id"))
   }
 
-  // ---- queries -------------------------------------------------------------
-
-  val qEntities = GraftQuery(
-    "q157_entity_resolution",
-    (s, dir) => resolveEntities(Tables.part(s, dir), minSim = 0.95),
-    Some("""
-      WITH RECURSIVE p AS (
+  /** Oracle: the engine's plan transliterated — block, sub-block split
+    * (same md5-derived hash via [[graft.text.Md5P61.duckBase]]), JW over
+    * in-sub-block name pairs, record pairs by name join, recursive
+    * closure, golden-record aggregate.
+    */
+  private[relational] def duckSql(minSim: Double, cap: Int): String = {
+    val sub = s"${graft.text.Md5P61.duckBase("n.p_name")} % ((bn.blk_n + ${cap - 1}) // $cap)"
+    s"""
+      WITH RECURSIVE p AS MATERIALIZED (
         SELECT string_split(p_name, ' ')[-1] AS blk_tok, p_brand AS blk_brand,
                p_partkey, p_name
         FROM part),
-      edges AS (
-        SELECT a.p_partkey AS src, b.p_partkey AS dst
-        FROM p a JOIN p b
+      names AS (
+        SELECT DISTINCT blk_tok, blk_brand, p_name FROM p),
+      bn AS (
+        SELECT blk_tok, blk_brand, count(*) AS blk_n
+        FROM names GROUP BY 1, 2),
+      nsub AS MATERIALIZED (
+        SELECT n.blk_tok, n.blk_brand, n.p_name, $sub AS sub
+        FROM names n JOIN bn USING (blk_tok, blk_brand)),
+      sim AS MATERIALIZED (
+        SELECT a.blk_tok, a.blk_brand, a.p_name AS name_a, b.p_name AS name_b
+        FROM nsub a JOIN nsub b
           ON a.blk_tok = b.blk_tok AND a.blk_brand = b.blk_brand
-         AND a.p_partkey < b.p_partkey
-         AND (a.p_name = b.p_name
-              OR jaro_winkler_similarity(a.p_name, b.p_name) >= 0.95)),
+         AND a.sub = b.sub
+        WHERE a.p_name = b.p_name
+           OR jaro_winkler_similarity(a.p_name, b.p_name) >= $minSim),
+      edges AS (
+        SELECT ra.p_partkey AS src, rb.p_partkey AS dst
+        FROM sim s
+        JOIN p ra ON ra.blk_tok = s.blk_tok AND ra.blk_brand = s.blk_brand
+                 AND ra.p_name = s.name_a
+        JOIN p rb ON rb.blk_tok = s.blk_tok AND rb.blk_brand = s.blk_brand
+                 AND rb.p_name = s.name_b
+        WHERE ra.p_partkey < rb.p_partkey),
       sym AS (SELECT src AS u, dst AS v FROM edges
               UNION SELECT dst AS u, src AS v FROM edges),
       reach AS (
@@ -97,7 +179,15 @@ object EntityResolution {
              max(CASE WHEN c.id = c.entity_id THEN c.p_name END) AS golden_name
       FROM comp c
       GROUP BY c.entity_id
-      ORDER BY c.entity_id"""))
+      ORDER BY c.entity_id"""
+  }
+
+  // ---- queries -------------------------------------------------------------
+
+  val qEntities = GraftQuery(
+    "q157_entity_resolution",
+    (s, dir) => resolveEntities(Tables.part(s, dir), minSim = 0.95),
+    Some(duckSql(minSim = 0.95, cap = MaxBlockNames)))
 
   val queries: Seq[GraftQuery] = Seq(qEntities)
 }

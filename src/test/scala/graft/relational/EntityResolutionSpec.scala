@@ -79,4 +79,63 @@ class EntityResolutionSpec extends SparkSpec {
     val out = EntityResolution.resolveEntities(df, minSim = 0.95).collect()
     assert(out.map(_.getLong(0)).toSet === Set(1L, 2L))
   }
+
+  /** Adversarial skew: ONE (last-token, brand) block holds every row —
+    * 400 distinct names × 3 records each. Uncapped, that block alone is
+    * 400² = 160k candidate name pairs; the default cap (64) must split it
+    * into hash sub-blocks so candidates stay ~linear in block size, while
+    * exact duplicates (equal names — guaranteed same sub-block) still
+    * resolve together.
+    */
+  private val skewStems: IndexedSeq[String] = {
+    val rnd = new scala.util.Random(157)
+    IndexedSeq.fill(400)((1 to 10).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      .distinct
+  }
+
+  test("adversarial skewed block: exact duplicates resolve despite sub-block capping") {
+    import spark.implicits._
+    assert(skewStems.size === 400, "seed 157 must produce 400 distinct stems")
+    // precondition making the expected result cap-independent: no two
+    // DISTINCT names match, so resolution must group exactly by name
+    for (i <- skewStems.indices; j <- (i + 1) until skewStems.size)
+      assert(jw(s"${skewStems(i)} widget", s"${skewStems(j)} widget") < 0.95,
+        s"fixture stems ${skewStems(i)}/${skewStems(j)} unexpectedly similar")
+    val parts = (1L to 1200L).map { k =>
+      (k, s"${skewStems(((k - 1) % 400).toInt)} widget", "Brand#1")
+    }
+    val out = EntityResolution
+      .resolveEntities(parts.toDF("p_partkey", "p_name", "p_brand"), minSim = 0.95)
+      .collect()
+    // one entity per distinct name: members k, k+400, k+800 → id = k
+    assert(out.length === 400)
+    for (r <- out) {
+      assert(r.getLong(1) === 3L, s"entity ${r.getLong(0)}: n_members")
+      assert(r.getLong(2) === 1L, s"entity ${r.getLong(0)}: n_names")
+      assert(r.getString(3) === s"${skewStems((r.getLong(0) - 1).toInt)} widget")
+    }
+    assert(out.map(_.getLong(0)).toSet === (1L to 400L).toSet)
+  }
+
+  test("hot-block cap bounds candidate pairs linearly in block size") {
+    import spark.implicits._
+    val cap = EntityResolution.MaxBlockNames
+    val p = (1L to 400L).map { k =>
+      (("widget": String), ("Brand#1": String), k, s"${skewStems((k - 1).toInt)} widget")
+    }.toDF("blk_tok", "blk_brand", "p_partkey", "p_name")
+    // sub-block ids land in [0, ceil(400/cap))
+    val nsplit = (400 + cap - 1) / cap
+    val subs = EntityResolution.subBlockedNames(p, cap)
+      .select("sub").distinct().collect().map(_.getLong(0))
+    assert(subs.forall(s => s >= 0 && s < nsplit))
+    assert(subs.length > 1, "an oversized block must actually split")
+    val capped = EntityResolution.candidateNamePairs(p, cap).count()
+    val uncapped = 400L * 400L
+    // hash imbalance allowance: 2 × the ideal n·cap linear bound
+    assert(capped <= 2L * 400L * cap, s"candidates $capped exceed linear bound")
+    assert(capped < uncapped / 4, s"candidates $capped not meaningfully capped")
+    // a block at the cap is untouched: all pairs survive (sub == 0 for all)
+    val small = EntityResolution.candidateNamePairs(p.limit(cap), cap).count()
+    assert(small === cap.toLong * cap)
+  }
 }
