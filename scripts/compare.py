@@ -38,7 +38,13 @@ def main(sf_dir, out_dir):
             p = f"{p}/*.parquet"
         elif not os.path.exists(p):
             continue
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        try:
+            # a directory with no part files (e.g. an interrupted ScaleUp)
+            # raises at view bind time — skip the table like a missing
+            # file instead of aborting the whole compare run
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        except Exception as e:
+            print(f"WARNING: skipping table {t}: {e}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_rowsonly = 0
     for name in sorted(os.listdir(out_dir)):

@@ -112,7 +112,11 @@ object Quantiles {
   def madOutlierStats(df: DataFrame, groupCol: String, valueCol: String,
                       z: Double): DataFrame = {
     require(z > 0, s"z must be > 0, got $z")
-    df.groupBy(col(groupCol))
+    // NULL values carry no rank: drop them up front, so a group whose
+    // values are ALL null yields no output row instead of an empty
+    // collected array crashing the rank probe (element_at index 0)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(sort_array(collect_list(col(valueCol).cast("double"))).as("vs"))
       .withColumn("n", size(col("vs")))
       .withColumn("med", element_at(col("vs"), decRank("0.5", col("n"))))
@@ -143,7 +147,9 @@ object Quantiles {
     * [[groupQuantiles]]).
     */
   def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    df.groupBy(col(groupCol))
+    // all-null groups drop rather than crash — see madOutlierStats
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(sort_array(collect_list(col(valueCol).cast("decimal(18,2)")))
         .as("vs"))
       .withColumn("n", size(col("vs")))

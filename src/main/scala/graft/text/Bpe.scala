@@ -165,20 +165,32 @@ object Bpe {
     * corpus retrains and a warm one is reused across queries AND JVMs
     * (Verify, Bench, tests). Symbols cannot contain the separators: words
     * come from whitespace tokenization, so tab/newline never appear in a
-    * symbol.
+    * symbol. The training corpus is derived from `dir` INTERNALLY (the
+    * quantity the cache is keyed by) — callers cannot accidentally pass a
+    * filtered frame and silently receive the full-corpus table. A cache
+    * row missing its tab separator marks a corrupted file: it is deleted
+    * and the table relearned.
     */
-  def mergesFor(docs: DataFrame, dir: String,
+  def mergesFor(spark: org.apache.spark.sql.SparkSession, dir: String,
                 k: Int = MergeRounds): Seq[(String, String)] = synchronized {
     val fp = Tables.corpusFingerprint(s"$dir/documents.parquet")
     val f = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_bpe_${fp}_$k.tsv")
-    if (java.nio.file.Files.exists(f)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(f, java.nio.charset.StandardCharsets.UTF_8)
-        .asScala.toSeq.filter(_.nonEmpty)
-        .map { line => val Array(pat, rep) = line.split("\t", 2); (pat, rep) }
-    } else {
-      val merges = learnMergesCapped(docs, k)
+    val cached: Option[Seq[(String, String)]] =
+      if (!java.nio.file.Files.exists(f)) None
+      else {
+        import scala.jdk.CollectionConverters._
+        val rows = java.nio.file.Files
+          .readAllLines(f, java.nio.charset.StandardCharsets.UTF_8)
+          .asScala.toSeq.filter(_.nonEmpty).map(_.split("\t", 2))
+        // a row without the tab separator means a corrupted cache file:
+        // discard it and relearn instead of crashing the caller
+        if (rows.nonEmpty && rows.forall(_.length == 2))
+          Some(rows.map { case Array(pat, rep) => (pat, rep) })
+        else { java.nio.file.Files.deleteIfExists(f); None }
+      }
+    cached.getOrElse {
+      val merges = learnMergesCapped(Tables.documents(spark, dir), k)
       val tmp = java.nio.file.Files.createTempFile(f.getParent, "graft_bpe_", ".tmp")
       java.nio.file.Files.write(tmp,
         merges.map { case (p, r) => s"$p\t$r" }.mkString("\n")
@@ -256,7 +268,7 @@ object Bpe {
     "q72_bpe_tokenize",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      bpeTokenCounts(docs, mergesFor(docs, dir))
+      bpeTokenCounts(docs, mergesFor(s, dir))
     },
     Some(s"""
       WITH wf AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
@@ -291,7 +303,7 @@ object Bpe {
     "q135_tokenizer_fertility",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val perDoc = bpeTokenCounts(docs, mergesFor(docs, dir))
+      val perDoc = bpeTokenCounts(docs, mergesFor(s, dir))
       perDoc.join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),

@@ -15,14 +15,20 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(name.matches("BENCH_r\\d+\\.json"), s"unexpected baseline: $name")
     assert(qs.nonEmpty && qs.size <= 30, s"expected the slimmed slowest-30 set, got ${qs.size}")
     assert(qs.values.forall(_ >= 0), s"negative baseline times in $name")
-    // the newest artifact wins: no older round number may exist above it
-    val rounds = Option(new java.io.File("/root/repo").listFiles()).get
-      .map(_.getName).collect { case s if s.matches("BENCH_r\\d+\\.json") =>
-        s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
-    assert(name == s"BENCH_r${rounds.max}.json" ||
-      // unless the newest file failed to parse / was another SF — then any
-      // older parseable one is correct; just require SOME valid pick
-      rounds.nonEmpty)
+    // the newest artifact wins: every committed artifact with a HIGHER
+    // round number than the pick must itself be unparseable-or-other-SF
+    // for this SF (checked by parsing each one in isolation) — otherwise
+    // the picker skipped a newer valid baseline
+    val picked = name.stripPrefix("BENCH_r").stripSuffix(".json").toInt
+    val newer = Option(new java.io.File("/root/repo").listFiles()).get
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .filter(_.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt > picked)
+    newer.foreach { f =>
+      val tmp = java.nio.file.Files.createTempDirectory("bench_newest")
+      java.nio.file.Files.copy(f.toPath, tmp.resolve(f.getName))
+      assert(Bench.committedBaseline(tmp.toString, "/root/testdata/sf0.1")._2.isEmpty,
+        s"${f.getName} parses for sf0.1 but the picker chose older $name")
+    }
   }
 
   test("other-SF and missing baselines return empty, never throw") {

@@ -99,6 +99,20 @@ class QuantilesSpec extends SparkSpec {
     assert(out == Seq(("b", 4L, 0L, 0L, 3.5, 3.5, 3.5)))
   }
 
+  test("robust stats: all-null group drops, mixed-null group ignores nulls") {
+    // group "n" is entirely NULL -> no output row (never an empty-array
+    // rank crash); group "m" computes over its non-null values only
+    val df = Seq(("n", None), ("n", None), ("m", Some(1.0)), ("m", None),
+      ("m", Some(3.0)))
+      .toDF("g", "v")
+    val mad = Quantiles.madOutlierStats(df, "g", "v", z = 3.0)
+      .as[(String, Double, Double, Long, Long)].collect().toSeq
+    assert(mad == Seq(("m", 1.0, 0.0, 2L, 1L)))
+    val win = Quantiles.winsorizedStats(df, "g", "v")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(win == Seq(("m", 2L, 0L, 0L, 2.0, 1.0, 3.0)))
+  }
+
   test("weighted quantiles: weight shifts the median where counts would not") {
     // values 1..4 with weights 1,1,1,7: unweighted median is 2 (type-1
     // over 4 rows: ceil(0.5*4)=2nd value), weighted total=10 ->

@@ -68,11 +68,18 @@ class BpeSpec extends SparkSpec {
     val f = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_bpe_${fp}_${Bpe.MergeRounds}.tsv")
     java.nio.file.Files.deleteIfExists(f)
-    val cold = Bpe.mergesFor(docs, dir) // learns + persists
+    val cold = Bpe.mergesFor(spark, dir) // learns + persists
     assert(java.nio.file.Files.exists(f), "merge table not persisted")
-    val warm = Bpe.mergesFor(docs, dir) // must hit the file, not relearn
+    val warm = Bpe.mergesFor(spark, dir) // must hit the file, not relearn
     assert(warm == cold)
     assert(cold == Bpe.learnMergesCapped(docs, Bpe.MergeRounds))
+    // a corrupted cache row (no tab separator) must trigger relearn +
+    // repair, not a MatchError
+    java.nio.file.Files.writeString(f, "corrupted-line-without-tab")
+    val healed = Bpe.mergesFor(spark, dir)
+    assert(healed == cold)
+    assert(java.nio.file.Files.readString(f).contains("\t"),
+      "cache file not repaired after corruption")
   }
 
   test("tokenizer fertility aggregates q72's per-doc counts by language") {
