@@ -86,4 +86,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Spread a frame across the session's shuffle parallelism before a
+    * CPU-dense kernel (MinHash/SimHash signatures, embedding distance,
+    * resampling expansions). Two serialization traps motivate this:
+    * a small single-row-group parquet file cannot be split by
+    * `maxPartitionBytes` at all (one row group → one task reads it), and
+    * AQE's byte-based partition coalescing folds low-byte/high-CPU
+    * exchanges to a handful of tasks. Both are correct for byte-bound
+    * stages and wrong for compute-bound ones — compute-bound stages get
+    * pinned width (REPARTITION_BY_NUM survives AQE), byte-bound ones
+    * stay with AQE. Results never depend on partitioning: every consumer
+    * aggregates or sorts downstream.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 }
