@@ -124,7 +124,7 @@ object TextDedup {
     // same — downstream shuffles never carry document shingles, only
     // (ids, band keys) and, for the candidate pairs only, the two joined
     // shingle sets.
-    val sigs = graft.Tables.spread(docs)
+    val sigs = docs
       .select(col("doc_id"),
         TextExprs.tokenShingles(spark, TextAnalysis.tokens(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -194,7 +194,7 @@ object TextDedup {
                        threshold: Double = 0.5,
                        hashMode: String = "xx"): DataFrame = {
     val spark = docs.sparkSession
-    val sigs = graft.Tables.spread(docs)
+    val sigs = docs
       .select(col("doc_id"),
         TextExprs.tokenShingles(spark, TextAnalysis.tokens(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -240,7 +240,7 @@ object TextDedup {
                       threshold: Double = 0.5, maxIter: Int = 20,
                       hashMode: String = "xx"): DataFrame = {
     val spark = docs.sparkSession
-    val sigs = graft.Tables.spread(docs)
+    val sigs = docs
       .select(col("doc_id"),
         TextExprs.tokenShingles(spark, TextAnalysis.tokens(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -765,7 +765,7 @@ object TextDedup {
     // push the last band past bit W-1 for many band counts, producing a
     // degenerate constant-zero band).
     val fpBits = TextExprs.simhashBits(hashMode)
-    val fp = graft.Tables.spread(docs)
+    val fp = docs
       .select(col("doc_id").as("id"),
         TextExprs.simhash64(spark, TextAnalysis.tokens(col("text")), hashMode).as("fp"))
     bandedHammingPairs(fp, fpBits, maxHamming, maxBucketSize,
