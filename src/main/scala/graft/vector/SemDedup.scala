@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   * At 100 TB: the seed matrix is nClusters rows (broadcast); assignment is
   * a narrow map + a k-rows-per-vector window (bounded by construction);
   * the centroid update shuffles (cell, dim) scalars; the dominance join is
-  * cell-partitioned with O(cluster²) comparisons — bounded by sizing
-  * nClusters ≈ corpus/target_cluster_size exactly as the paper does (the
-  * clustering exists to bound this stage; same knob as IVF's nlist).
+  * (cell, bucket-pair)-partitioned with O(cluster²) comparisons total —
+  * bounded by sizing nClusters ≈ corpus/target_cluster_size exactly as the
+  * paper does (the clustering exists to bound this stage; same knob as
+  * IVF's nlist) and spread over g(g+1)/2 join keys per cell by the same
+  * triangular bucket cover as the q129 prefix join, so one hot cluster
+  * cannot serialize into a single task.
   */
 object SemDedup {
 
@@ -62,19 +65,57 @@ object SemDedup {
       .select(col("cell"), transform(col("dm"),
         e => e.getField("s").cast("double") / e.getField("n")).as("cvec"))
 
+    // withSim is consumed three times below (both pair sides + the final
+    // left join); cut the window+centroid lineage once instead of
+    // re-executing it per consumer (the q79/q33 idiom). Slim rows only.
     val withSim = assigned.join(cent, Seq("cell"))
       .withColumn("cent_sim",
         VectorExprs.cosineSim(col("qv").cast("array<double>"), col("cvec")))
       .select(col("cell"), col("vec_id"), col("embedding"), col("cent_sim"))
+      .localCheckpoint()
 
-    val rivals = withSim.select(col("cell"), col("vec_id").as("y_id"),
-      col("embedding").as("y_emb"), col("cent_sim").as("y_sim"))
-    val dropped = withSim.join(rivals, Seq("cell"))
-      .filter(col("y_id") =!= col("vec_id"))
-      .filter(col("y_sim") < col("cent_sim") ||
-        (col("y_sim") === col("cent_sim") && col("y_id") < col("vec_id")))
-      .filter(VectorExprs.cosineSim(col("embedding"), col("y_emb")) >= tau)
-      .select(col("vec_id")).distinct()
+    // Dominance: within a cell every vector meets every other — O(cluster²)
+    // pairs whose cost is CPU (64-dim cosine), not bytes. Two serialization
+    // traps at scale: the plain cell-keyed self-join has only nClusters
+    // distinct keys (≤ nClusters tasks however wide the cluster), and AQE's
+    // byte-based coalescing folds the few-MiB exchange further (measured at
+    // 10× bench scale: the whole ~50M-pair stage ran 9.6 s in a SINGLE
+    // task). Same remedy as the q129 prefix join: split each cell into
+    // g = ⌈n/S⌉ hash buckets and join on (cell, i, j) bucket pairs with
+    // i ≤ j — an exact cover of the unordered in-cell pair set (off-diagonal
+    // pairs appear once by bucket orientation; diagonal ones dedupe by id
+    // order) — and pin the CPU-dense exchanges at the session parallelism
+    // (REPARTITION_BY_NUM is exempt from AQE coalescing).
+    // Each unordered pair is tested ONCE and emits its dominance LOSER —
+    // the (cent_sim, vec_id)-lexicographic larger end — which is equivalent
+    // to the ordered "∃ dominating rival within τ" rule because
+    // (cent_sim, vec_id) strictly totally orders a cell, at half the cosine
+    // evaluations of the ordered form.
+    val bucketSize = 250
+    val bucketed = withSim
+      .withColumn("g", expr(
+        s"(count(1) over (partition by cell) + ${bucketSize - 1}) div $bucketSize"))
+      .withColumn("b", pmod(xxhash64(col("vec_id")), col("g")).cast("int"))
+    val p = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val xSide = bucketed.select(col("cell"), col("b").as("i"),
+      explode(sequence(col("b"), col("g").cast("int") - 1)).as("j"),
+      col("vec_id").as("x_id"), col("embedding").as("x_emb"),
+      col("cent_sim").as("x_sim"))
+    val ySide = bucketed.select(col("cell"),
+      explode(sequence(lit(0), col("b"))).as("i"), col("b").as("j"),
+      col("vec_id").as("y_id"), col("embedding").as("y_emb"),
+      col("cent_sim").as("y_sim"))
+    val dropped = xSide.repartition(p, col("cell"), col("i"), col("j"))
+      .join(ySide.repartition(p, col("cell"), col("i"), col("j")),
+        Seq("cell", "i", "j"))
+      .filter(col("x_id") =!= col("y_id"))
+      .filter(col("i") =!= col("j") || col("x_id") < col("y_id"))
+      .filter(VectorExprs.cosineSim(col("x_emb"), col("y_emb")) >= tau)
+      .select(when(col("x_sim") < col("y_sim") ||
+          (col("x_sim") === col("y_sim") && col("x_id") < col("y_id")),
+        col("y_id")).otherwise(col("x_id")).as("vec_id"))
+      .repartition(p, col("vec_id"))
+      .distinct()
       .withColumn("is_dropped", lit(true))
 
     withSim.join(dropped, Seq("vec_id"), "left")
