@@ -31,7 +31,14 @@ object Quantize {
     val width = col("hi") - col("lo")
     val code = when(width === 0.0, lit(0L)).otherwise(
       least(lit(255L), floor((col("v") - col("lo")) * 256.0 / width).cast("long")))
-    val audited = vals.join(ranges, "dim")
+    // ranges is dims rows — broadcast it EXPLICITLY: left to AQE the join
+    // plans as a sort-merge on dim, which exchanges the full exploded
+    // value stream on a dims-key shuffle that byte-coalescing then folds
+    // to one task (measured at 10x bench scale: 2x 2.6 s single-task
+    // stages). Broadcast keeps the audit arithmetic in the scan stage at
+    // full scan parallelism; the per-dim range agg exchanges only
+    // dims x partitions partial rows.
+    val audited = vals.join(broadcast(ranges), "dim")
       .withColumn("q", code)
       .withColumn("dq",
         col("lo") + (col("q").cast("double") + 0.5) * (col("hi") - col("lo")) / 256.0)
