@@ -107,6 +107,49 @@ object TextDedup {
       .drop("__bucket_n")
   }
 
+  /** Unordered within-block self-pair expansion with the triangular bucket
+    * cover (the q129 prefix-join / q80 dominance-join pattern, shared):
+    * split each block into g = ⌈n/bucketSize⌉ hash buckets on the id and
+    * join on (keys, i, j) bucket pairs with i ≤ j — an exact cover of the
+    * unordered in-block pair set (an off-diagonal pair appears exactly
+    * once, oriented by bucket; a diagonal one dedupes by id order). A
+    * plain keys-only self-join computes a whole block's O(n²) expansion in
+    * the one task holding the block, and AQE's byte-based coalescing folds
+    * the low-byte/high-CPU exchange further — the cover spreads a block
+    * over g(g+1)/2 independent join keys and pins both exchanges at the
+    * session parallelism (REPARTITION_BY_NUM is exempt from coalescing).
+    * Output: keys ++ <id,payload>_a ++ <id,payload>_b, one row per
+    * unordered pair; orientation is arbitrary, so normalize downstream
+    * with least/greatest if the consumer is not symmetric.
+    */
+  private[graft] def triangularSelfPairs(blocked: DataFrame, keys: Seq[String],
+                                         idCol: String, payload: Seq[String],
+                                         bucketSize: Int): DataFrame = {
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val sides = idCol +: payload
+    val bucketed = blocked
+      .withColumn("__g",
+        ((count(lit(1)).over(w) + lit(bucketSize - 1)) / lit(bucketSize))
+          .cast("int"))
+      .withColumn("__b", pmod(xxhash64(col(idCol)), col("__g")).cast("int"))
+    val keyCols = keys.map(col)
+    val aSide = bucketed.select(keyCols ++ Seq(col("__b").as("__i"),
+      explode(sequence(col("__b"), col("__g") - 1)).as("__j")) ++
+      sides.map(c => col(c).as(s"${c}_a")): _*)
+    val bSide = bucketed.select(keyCols ++ Seq(
+      explode(sequence(lit(0), col("__b"))).as("__i"), col("__b").as("__j")) ++
+      sides.map(c => col(c).as(s"${c}_b")): _*)
+    val p = blocked.sparkSession.sessionState.conf.numShufflePartitions
+    val jk = keys ++ Seq("__i", "__j")
+    aSide.repartition(p, jk.map(col): _*)
+      .join(bSide.repartition(p, jk.map(col): _*), jk)
+      .filter(col(s"${idCol}_a") =!= col(s"${idCol}_b"))
+      .filter(col("__i") =!= col("__j") ||
+        col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .drop("__i", "__j")
+  }
+
   /** MinHash-LSH near-duplicate pairs over `documents`:
     * shingle → signature → band-bucket join → Jaccard verify ≥ threshold.
     * Returns (doc_a, doc_b, est_jaccard, jaccard).

@@ -144,15 +144,22 @@ object Similarity {
       corpus.select(col("vec_id"), col("embedding"),
         VectorExprs.lshBucket(col("embedding"), planes, 0, hashMode).as("bucket")),
       Seq("bucket"), maxBucketSize, "embeddingDupPairs")
-    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", VectorExprs.cosineSim(col("emb_a"), col("emb_b")))
+    // Triangular bucket cover instead of the plain bucket self-join: with
+    // 2^planes distinct blocking keys the pair expansion has at most that
+    // many tasks and AQE byte-coalescing folds it further (measured at 10x
+    // bench scale: one 11 s-tasksum stage on 8 tasks). Each unordered pair
+    // is produced once with arbitrary orientation; cosineSim is
+    // orientation-symmetric bit-exactly (IEEE products commute and the
+    // fold order is the index order of both inputs), so normalizing ids
+    // with least/greatest reproduces the old id_a < id_b output exactly.
+    graft.text.TextDedup.triangularSelfPairs(bucketed, Seq("bucket"),
+        "vec_id", Seq("embedding"), bucketSize = 250)
+      .withColumn("cos_sim",
+        VectorExprs.cosineSim(col("embedding_a"), col("embedding_b")))
       .filter(col("cos_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .select(least(col("vec_id_a"), col("vec_id_b")).as("id_a"),
+        greatest(col("vec_id_a"), col("vec_id_b")).as("id_b"),
+        col("cos_sim"))
   }
 
   /** Scalable embedding dedup output: one row per vector with at most
