@@ -58,7 +58,16 @@ object EntityResolution {
     * name alone), so exact duplicates can never be split apart.
     */
   private[relational] def subBlockedNames(p: DataFrame, cap: Int): DataFrame = {
-    val names = p.select(col("blk_tok"), col("blk_brand"), col("p_name")).distinct()
+    // Pin the distinct's exchange: its output bytes are small, so AQE
+    // coalesces the final aggregate — and the block-count join and
+    // sub-block hash fused behind it — into one task (measured 1.5 s
+    // single-task at 10x bench scale). REPARTITION_BY_NUM on the same
+    // keys satisfies the aggregate's required distribution at the
+    // session's parallelism and is exempt from coalescing.
+    val pnum = p.sparkSession.sessionState.conf.numShufflePartitions
+    val names = p.select(col("blk_tok"), col("blk_brand"), col("p_name"))
+      .repartition(pnum, col("blk_tok"), col("blk_brand"), col("p_name"))
+      .distinct()
     val bn = names.groupBy(col("blk_tok"), col("blk_brand"))
       .agg(count(lit(1)).as("blk_n"))
     names.join(bn, Seq("blk_tok", "blk_brand"))
@@ -69,7 +78,10 @@ object EntityResolution {
 
   /** Candidate name pairs: both orders plus the diagonal, within
     * (block, sub-block). Row count per block is Σ sub² ≤ ~blk_n · cap —
-    * the capped quantity the adversarial spec pins.
+    * the capped quantity the adversarial spec pins. (A half-orientation
+    * variant was measured at 10× bench scale and was a wash: the stage
+    * cost is the candidate join's sort, not the symmetric JW evaluation,
+    * so the simpler both-orders form stays.)
     */
   private[relational] def candidateNamePairs(p: DataFrame, cap: Int): DataFrame = {
     val nsub = subBlockedNames(p, cap)
