@@ -124,6 +124,10 @@ class PlanAuditSpec extends SparkSpec {
       // the centroid row is dim-grouped — bounded by the schema's 64
       // dims (the q76 class), collapsed to ONE row before the hint
       "q175_pr_curve" -> "grouped by dim (schema-bounded, 64 values), 1 row after collect_list",
+      // the per-dim range table is dim-grouped — bounded by the schema's
+      // dims (the q76 class); unhinted it planned as a 64-key sort-merge
+      // exchange of the full exploded value stream
+      "q130_quantization_audit" -> "grouped by dim (schema-bounded, 64 values)",
       // the hint wraps the GLOBAL 1-row basket count (the q146 class)
       "q176_assoc_rules" -> "hinted relation is a global count (1 row by construction)",
       // the hint wraps the GLOBAL 1-row watermark (max of per-type maxes);
