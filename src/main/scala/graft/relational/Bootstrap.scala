@@ -92,16 +92,14 @@ object Bootstrap {
         conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
           .cast("long")),
       reps))
-    orders
-      .select(col("o_totalprice"), col("o_orderkey"))
-      // the replicate kernel is CPU-dense per input byte (one md5 + B
-      // modmuls + a B-wide explode per row): a small single-row-group
-      // parquet scans as ONE partition and would run the whole kernel
-      // serially (measured: the entire 3.8 s of q165 in one task at
-      // sf0.1). Spread the slim 2-column input across the session's
-      // shuffle parallelism first — the q129 rule: compute-bound stages
-      // get pinned width, byte-bound ones stay with AQE.
-      .repartition(orders.sparkSession.sessionState.conf.numShufflePartitions)
+    // the replicate kernel is CPU-dense per input byte (one md5 + B
+    // modmuls + a B-wide explode per row): a small single-row-group
+    // parquet scans as ONE partition and would run the whole kernel
+    // serially (measured: the entire 3.8 s of q165 in one task at
+    // sf0.1). Spread the slim 2-column input across the session's
+    // shuffle parallelism first — the q129 rule: compute-bound stages
+    // get pinned width, byte-bound ones stay with AQE.
+    Tables.spread(orders.select(col("o_totalprice"), col("o_orderkey")))
       .select(col("o_totalprice"), posexplode(weights).as(Seq("b", "w")))
       .withColumn("b", col("b").cast("long"))
       .groupBy(col("b"))

