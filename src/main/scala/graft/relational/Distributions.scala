@@ -67,10 +67,19 @@ object Distributions {
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
       .select(col("o_custkey"), col("rev_dec").cast("double").as("rev"))
+    // Pin the rank window's exchange: the nation domain has ~25 keys and
+    // the shuffled bytes are slim, so AQE byte-coalescing folds the
+    // per-nation sort+rank to a single task (measured 2× ~0.55 s serial
+    // stages at 10× bench scale). An explicit hash repartition on the
+    // window key satisfies the window's required distribution, spreads
+    // the 25 key groups over the session's width, and is exempt from
+    // coalescing.
+    val pnum = orders.sparkSession.sessionState.conf.numShufflePartitions
     val ranked = rev
       .join(customer.select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_nationkey"), col("o_custkey"), col("rev"))
+      .repartition(pnum, col("c_nationkey"))
       .withColumn("i",
         row_number().over(Window.partitionBy(col("c_nationkey"))
           .orderBy(col("rev"), col("o_custkey"))))
