@@ -233,4 +233,34 @@ class PlanAuditSpec extends SparkSpec {
           descs.toArray.mkString(" | "))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("r13 serialization fixes keep their plan shape (pins + broadcast)") {
+    // The round-13 sweep fixed four single-task/serialized CPU stages.
+    // Pin the shapes so a refactor can't silently reintroduce them:
+    //  - q130: the 64-row per-dim range table must join by BROADCAST —
+    //    unhinted it planned a sort-merge whose dim-keyed exchange of the
+    //    full exploded value stream byte-coalesced to one task;
+    //  - q80 / q126 / q153: the CPU-dense exchanges (dominance bucket
+    //    pairs, dup-pair bucket pairs, the per-nation rank window) must
+    //    stay explicitly pinned — REPARTITION_BY_NUM is the one shuffle
+    //    origin AQE's byte-based coalescing leaves alone.
+    val dir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+
+    val q130 = plan("q130_quantization_audit")
+    assert(q130.contains("BroadcastHashJoin"),
+      s"q130's range join is not a broadcast:\n$q130")
+    assert(!q130.contains("SortMergeJoin"),
+      s"q130 plans a sort-merge join:\n$q130")
+
+    Map("q80_semantic_dedup" -> 2, "q126_knn_graph" -> 2,
+        "q153_gini_revenue" -> 1).foreach { case (name, minPins) =>
+      val p = plan(name)
+      val pins = "REPARTITION_BY_NUM".r.findAllIn(p).size
+      assert(pins >= minPins,
+        s"$name carries $pins pinned exchanges (expected >= $minPins):\n$p")
+    }
+  }
 }
