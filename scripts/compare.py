@@ -10,9 +10,14 @@ equality. Reports per-query PASS/FAIL. Strict — if this passes, any
 reasonable driver compare passes too.
 """
 import sys, os, json, glob
-import duckdb
-import pandas as pd
+# eager-load every C extension BEFORE DuckDB maps its buffer pool: a
+# spill-heavy oracle run can hold tens of thousands of mmaps, and a lazy
+# .so load at fetchdf()/to_parquet() time then fails mprotect (observed at
+# sf10 with the default vm.max_map_count)
 import numpy as np
+import pandas as pd
+import pyarrow, pyarrow.parquet  # noqa: F401
+import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -30,8 +35,17 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
     con = duckdb.connect()
+    # let the oracle spill instead of OOM on large-SF runs: q68 at sf10
+    # exhausts the default in-memory budget, and with only a temp_directory
+    # (no explicit memory_limit) DuckDB still refused to spill the window
+    # operator. The explicit 80GB limit + spill dir is the combination that
+    # completed q68's oracle at sf10 (1,004,097 rows in ~40 s).
+    con.execute(
+        "SET temp_directory='/tmp/duck_spill'; "
+        "SET memory_limit='80GB'; SET threads=32;"
+    )
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table (e.g. ScaleUp output)
@@ -45,6 +59,10 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
         except Exception as e:
             print(f"WARNING: skipping table {t}: {e}")
+    return con
+
+def main(sf_dir, out_dir):
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_rowsonly = 0
     for name in sorted(os.listdir(out_dir)):
@@ -63,7 +81,15 @@ def main(sf_dir, out_dir):
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
-            print(f"{name}: ORACLE SQL ERROR: {e}"); n_fail += 1; continue
+            # an OOM can leave the shared connection's buffer pool in a
+            # state where every later query also fails to allocate (the
+            # sf10 q68→q87 collateral) — retry this query once on a
+            # fresh connection before declaring the oracle failed
+            try:
+                con = connect(sf_dir)
+                duck_df = con.execute(oracle[name]).fetchdf()
+            except Exception as e2:
+                print(f"{name}: ORACLE SQL ERROR: {e2}"); n_fail += 1; continue
         a, b = norm(spark_df), norm(duck_df)
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
