@@ -72,7 +72,7 @@ object Communities {
   /** Oracle rounds, generated from the same loop. */
   private def duckIters(iters: Int): String =
     (1 to iters).map { i =>
-      s"""lab$i AS (
+      s"""lab$i AS MATERIALIZED (
          |  SELECT node, label FROM (
          |    SELECT e.dst AS node, p.label,
          |           sum(e.w) AS s,
@@ -97,16 +97,16 @@ object Communities {
       labelPropagation(edges)
     },
     Some(s"""
-      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      pairs AS (
+      WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS MATERIALIZED (
         SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2 HAVING count(*) >= 2),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT pa AS src, pb AS dst, w FROM pairs
         UNION ALL SELECT pb, pa, w FROM pairs),
-      lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+      lab0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges),
       ${duckIters(Iters)}
       SELECT node, label AS community FROM lab$Iters ORDER BY node"""))
 

@@ -66,7 +66,7 @@ object PageRank {
   /** The oracle's iteration CTEs, generated from the same loop. */
   private def duckIters(iters: Int, d: Double): String =
     (1 to iters).map { i =>
-      s"""pr$i AS (
+      s"""pr$i AS MATERIALIZED (
          |  SELECT n0.node,
          |         CAST(${1.0 - d} AS DOUBLE) / nn.n
          |           + CAST($d AS DOUBLE) * CAST(coalesce(s.c, 0) AS DOUBLE) AS pr
@@ -92,19 +92,19 @@ object PageRank {
       pageRank(edges)
     },
     Some(s"""
-      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      pairs AS (
+      WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS MATERIALIZED (
         SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY pa, pb HAVING count(*) >= 2),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT pa AS src, pb AS dst, w FROM pairs
         UNION ALL SELECT pb, pa, w FROM pairs),
-      deg AS (SELECT src, sum(w) AS wsum FROM edges GROUP BY src),
-      nodes AS (SELECT DISTINCT src AS node FROM edges),
-      nn AS (SELECT count(*) AS n FROM nodes),
-      pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+      deg AS MATERIALIZED (SELECT src, sum(w) AS wsum FROM edges GROUP BY src),
+      nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+      nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+      pr0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
       ${duckIters(Iters, Damping)}
       SELECT node, round(pr, 8) AS pagerank
       FROM pr$Iters ORDER BY node"""))

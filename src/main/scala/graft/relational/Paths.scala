@@ -74,7 +74,7 @@ object Paths {
 
   private def duckRounds(hops: Int): String =
     (1 to hops).map { i =>
-      s"""d$i AS (
+      s"""d$i AS MATERIALIZED (
          |  SELECT node, min(dist) AS dist FROM (
          |    SELECT node, dist FROM d${i - 1}
          |    UNION ALL
@@ -103,16 +103,16 @@ object Paths {
       bfsHops(edges, seeds, Hops)
     },
     Some(s"""
-      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      pairs AS (
+      WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS MATERIALIZED (
         SELECT a.l_partkey AS pa, b.l_partkey AS pb
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY pa, pb HAVING count(*) >= 2),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT pa AS src, pb AS dst FROM pairs
         UNION ALL SELECT pb, pa FROM pairs),
-      d0 AS (
+      d0 AS MATERIALIZED (
         SELECT DISTINCT src AS node, 0 AS dist FROM edges
         WHERE src % $SeedMod = 0),
       ${duckRounds(Hops)}
