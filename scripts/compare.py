@@ -42,9 +42,13 @@ def connect(sf_dir):
     # (no explicit memory_limit) DuckDB still refused to spill the window
     # operator. The explicit 80GB limit + spill dir is the combination that
     # completed q68's oracle at sf10 (1,004,097 rows in ~40 s).
+    # env overrides let a driver-external caller shard one big compare run
+    # into parallel processes (each shard gets a slice of the budget);
+    # defaults match the single-process driver gate
     con.execute(
-        "SET temp_directory='/tmp/duck_spill'; "
-        "SET memory_limit='80GB'; SET threads=32;"
+        f"SET temp_directory='{os.environ.get('DUCK_SPILL', '/tmp/duck_spill')}'; "
+        f"SET memory_limit='{os.environ.get('DUCK_MEM', '80GB')}'; "
+        f"SET threads={os.environ.get('DUCK_THREADS', '32')};"
     )
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
