@@ -179,24 +179,32 @@ object Basket {
   val qPairLift = GraftQuery(
     "q146_pair_lift",
     (s, dir) => pairLift(Tables.lineitem(s, dir), minSupport = 3),
+    // staged single-join CTEs + scalar-subquery total: with the margin
+    // joins in one SELECT plus a CROSS JOIN, DuckDB's reorderer — misled
+    // by the HAVING's ~0-row estimate for pairs — probed the pairs hash
+    // table with per_part x per_part x totals as a CROSS_PRODUCT (4e12
+    // rows at sf10). One join per materialized stage leaves no reorder
+    // space; the double op tree is unchanged.
     Some("""
-      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      pairs AS (
+      WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS MATERIALIZED (
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                count(*) AS support
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY part_a, part_b
         HAVING count(*) >= 3),
-      per_part AS (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey),
-      totals AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items)
-      SELECT p.part_a, p.part_b, CAST(p.support AS BIGINT) AS support,
-             (CAST(p.support AS DOUBLE) * CAST(t.n_baskets AS DOUBLE)) /
-               (CAST(pa.n_part AS DOUBLE) * CAST(pb.n_part AS DOUBLE)) AS lift
-      FROM pairs p
-      JOIN per_part pa ON p.part_a = pa.l_partkey
-      JOIN per_part pb ON p.part_b = pb.l_partkey
-      CROSS JOIN totals t
+      per_part AS MATERIALIZED (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey),
+      totals AS MATERIALIZED (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+      j1 AS MATERIALIZED (
+        SELECT p.part_a, p.part_b, p.support, pa.n_part AS n_a
+        FROM pairs p
+        JOIN per_part pa ON p.part_a = pa.l_partkey)
+      SELECT j.part_a, j.part_b, CAST(j.support AS BIGINT) AS support,
+             (CAST(j.support AS DOUBLE) * CAST((SELECT n_baskets FROM totals) AS DOUBLE)) /
+               (CAST(j.n_a AS DOUBLE) * CAST(pb.n_part AS DOUBLE)) AS lift
+      FROM j1 j
+      JOIN per_part pb ON j.part_b = pb.l_partkey
       ORDER BY part_a, part_b"""))
 
   /** Full directed association rules A→B over co-purchase pairs:
@@ -253,41 +261,45 @@ object Basket {
   val qAssocRules = GraftQuery(
     "q176_assoc_rules",
     (s, dir) => assocRules(Tables.lineitem(s, dir), minSupport = 3),
+    // staged single-join CTEs + scalar-subquery total — same reorderer
+    // cross-product hazard (and fix) as qPairLift above
     Some(s"""
-      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      pairs AS (
+      WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS MATERIALIZED (
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                count(*) AS support
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY part_a, part_b
         HAVING count(*) >= 3),
-      sym AS (
+      sym AS MATERIALIZED (
         SELECT part_a AS antecedent, part_b AS consequent, support FROM pairs
         UNION ALL
         SELECT part_b, part_a, support FROM pairs),
-      per_part AS (SELECT l_partkey, count(*) AS n_part FROM items
+      per_part AS MATERIALIZED (SELECT l_partkey, count(*) AS n_part FROM items
                    GROUP BY l_partkey),
-      totals AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items)
-      SELECT s.antecedent, s.consequent, CAST(s.support AS BIGINT) AS support,
+      totals AS MATERIALIZED (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+      j1 AS MATERIALIZED (
+        SELECT s.antecedent, s.consequent, s.support, pa.n_part AS n_a
+        FROM sym s
+        JOIN per_part pa ON s.antecedent = pa.l_partkey)
+      SELECT j.antecedent, j.consequent, CAST(j.support AS BIGINT) AS support,
              ${GraftQuery.duckQz(
-                "CAST(s.support AS DOUBLE) / CAST(pa.n_part AS DOUBLE)", 6)}
+                "CAST(j.support AS DOUBLE) / CAST(j.n_a AS DOUBLE)", 6)}
                AS confidence,
              ${GraftQuery.duckQz(
-                """(CAST(s.support AS DOUBLE) * CAST(t.n_baskets AS DOUBLE))
-                   / (CAST(pa.n_part AS DOUBLE) * CAST(pc.n_part AS DOUBLE))""", 6)}
+                """(CAST(j.support AS DOUBLE) * CAST((SELECT n_baskets FROM totals) AS DOUBLE))
+                   / (CAST(j.n_a AS DOUBLE) * CAST(pc.n_part AS DOUBLE))""", 6)}
                AS lift,
-             CASE WHEN s.support = pa.n_part THEN NULL
+             CASE WHEN j.support = j.n_a THEN NULL
                   ELSE ${GraftQuery.duckQz(
                     """(1.0 - CAST(pc.n_part AS DOUBLE)
-                                / CAST(t.n_baskets AS DOUBLE))
-                             / (1.0 - CAST(s.support AS DOUBLE)
-                                / CAST(pa.n_part AS DOUBLE))""", 6)}
+                                / CAST((SELECT n_baskets FROM totals) AS DOUBLE))
+                             / (1.0 - CAST(j.support AS DOUBLE)
+                                / CAST(j.n_a AS DOUBLE))""", 6)}
              END AS conviction
-      FROM sym s
-      JOIN per_part pa ON s.antecedent = pa.l_partkey
-      JOIN per_part pc ON s.consequent = pc.l_partkey
-      CROSS JOIN totals t
+      FROM j1 j
+      JOIN per_part pc ON j.consequent = pc.l_partkey
       ORDER BY antecedent, consequent"""))
 
   val queries: Seq[GraftQuery] =
