@@ -21,7 +21,31 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Bucketing {
 
-  val NumBuckets = 8
+  /** Bucket-count sizing: a fixed count is a scale trap — 8 buckets that
+    * co-locate a 60 MB join pin the same join to 8 tasks at 100× data and
+    * to 8 monster files at 100 TB (measured: the sf10 bucketed-scan join
+    * stage ran 8 tasks × ~10 s on 32 idle cores). Buckets are derived from
+    * the larger fact's INPUT BYTES (target ~256 MB per bucket — the
+    * layout knob that matters at cluster scale) and floored at the
+    * writer's parallelism (the knob that matters on a small box), rounded
+    * up to a power of two and clamped to [8, 4096] (file-count sanity).
+    */
+  val MinBuckets = 8
+  val MaxBuckets = 4096
+  val TargetBucketBytes: Long = 256L << 20
+
+  def numBucketsFor(spark: SparkSession, sfDir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/lineitem.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes =
+      try fs.getContentSummary(path).getLength
+      catch { case _: java.io.IOException => 0L }
+    val need = math.max(bytes / TargetBucketBytes + 1,
+      spark.sparkContext.defaultParallelism.toLong)
+    var n = MinBuckets
+    while (n < need && n < MaxBuckets) n <<= 1
+    n
+  }
 
   private def tag(sfDir: String): String =
     java.lang.Integer.toHexString(sfDir.hashCode)
@@ -34,14 +58,17 @@ object Bucketing {
     val t = tag(sfDir)
     val (ordT, liT) = (s"graft_orders_bkt_$t", s"graft_lineitem_bkt_$t")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$t"
+    // both sides MUST share one bucket count (sized off the larger fact)
+    // or the co-located join degrades to a shuffle on the smaller side
+    lazy val buckets = numBucketsFor(spark, sfDir)
     if (!spark.catalog.tableExists(ordT)) {
       Tables.orders(spark, sfDir).write
-        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$base/orders").mode("overwrite").saveAsTable(ordT)
     }
     if (!spark.catalog.tableExists(liT)) {
       Tables.lineitem(spark, sfDir).write
-        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/lineitem").mode("overwrite").saveAsTable(liT)
     }
     (ordT, liT)

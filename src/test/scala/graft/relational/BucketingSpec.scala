@@ -38,6 +38,23 @@ class BucketingSpec extends SparkSpec {
     assert(bucketed.toSeq === raw.toSeq)
   }
 
+  test("bucket count scales with input: floored at writer parallelism, grows with bytes") {
+    val n = Bucketing.numBucketsFor(spark, dir)
+    assert(n >= Bucketing.MinBuckets)
+    assert(n >= spark.sparkContext.defaultParallelism,
+      s"bucket count $n must not pin the later bucketed join below core count")
+    assert((n & (n - 1)) === 0, s"bucket count $n must be a power of two")
+    assert(n <= Bucketing.MaxBuckets)
+    // bytes-driven growth: a synthetic size far above target forces more
+    // buckets than the parallelism floor alone
+    val need = math.max((100L << 30) / Bucketing.TargetBucketBytes + 1,
+      spark.sparkContext.defaultParallelism.toLong)
+    var expect = Bucketing.MinBuckets
+    while (expect < need && expect < Bucketing.MaxBuckets) expect <<= 1
+    assert(expect > spark.sparkContext.defaultParallelism,
+      "a 100 GiB fact must size buckets past the core floor")
+  }
+
   test("ensureBucketed is idempotent and returns stable catalog names") {
     val first = Bucketing.ensureBucketed(spark, dir)
     val second = Bucketing.ensureBucketed(spark, dir)
