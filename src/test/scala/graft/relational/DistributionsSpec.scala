@@ -86,4 +86,19 @@ class DistributionsSpec extends SparkSpec {
     // part 1: cum share exactly 0.80 -> A (<=); part 2: cum 1.00 -> C
     assert(out == Seq(("A", 1L, 80.0, 0.8), ("C", 1L, 20.0, 0.2)))
   }
+
+  test("abc: the decomposed prefix-sum path is bit-identical to the flat window") {
+    import spark.implicits._
+    // enough parts to span several range partitions, revenues chosen so
+    // class boundaries fall mid-stream; duplicate revenues exercise the
+    // (rev, partkey) tiebreak across partition boundaries
+    val li = (1 to 500).map(i => (i.toLong, ((i % 97) + 1) * 1.5))
+      .toDF("l_partkey", "l_extendedprice")
+    val flat = Distributions.abcClassification(li)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    val decomposed = Distributions.abcClassification(li, forceDecomposed = true)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(decomposed === flat)
+    assert(flat.map(_._1) === Seq("A", "B", "C"))
+  }
 }
