@@ -42,6 +42,10 @@ object Tables {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** Every table a scale-factor directory carries. */
+  val AllNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // evict entries of stopped sessions — the map must not pin dead
     // sessions (and their file indexes) for the JVM lifetime

@@ -164,12 +164,15 @@ object HeavyHitters {
     */
   def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
     val toks = docs.select(TextAnalysis.tokens(col("text")).as("toks"))
+    // coalesce: SUM over zero rows is NULL, and an empty candidate set is
+    // a legal sketch result (empty corpus) — both must mean "no heavy
+    // hitters", not a null-decode crash
     val row = toks.agg(misraGries(col("toks"), k).as("cand"),
-      sum(size(col("toks"))).as("n")).head()
-    val cand: Seq[String] = row.getSeq[String](0)
+      coalesce(sum(size(col("toks"))), lit(0L)).as("n")).head()
+    val cand: Seq[String] = Option(row.getSeq[String](0)).getOrElse(Seq.empty)
     val n = row.getLong(1)
     toks.select(explode(col("toks")).as("token"))
-      .filter(col("token").isInCollection(cand))
+      .filter(if (cand.isEmpty) lit(false) else col("token").isInCollection(cand))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (k + 1) > n)
       .orderBy(col("cnt").desc, col("token"))

@@ -228,9 +228,17 @@ object IvfIndex {
 
   /** Build the inverted lists: every vector tagged with its cell. */
   def build(corpus: DataFrame, nlist: Int, iters: Int = 2): Index = {
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    // empty corpus → empty index (no centroids, no lists): a well-defined
+    // serving state, not a crash — scheduled rebuilds at scale see
+    // shards/filters that prune to nothing, and k-means has no seed to
+    // draw. The empty-lists plan skips the assignment expression entirely.
+    if (vecs.limit(1).collect().isEmpty)
+      return Index(centroidsDf(corpus.sparkSession, Array.empty),
+        vecs.withColumn("cell", lit(0).cast("int")).limit(0).cache())
     val centroids = train(corpus, nlist, iters)
     val cents = collectCentroids(centroids)
-    val lists = assign(corpus.select(col("vec_id"), col("embedding")), cents)
+    val lists = assign(vecs, cents)
       .cache()
     Index(centroids, lists)
   }
@@ -247,8 +255,13 @@ object IvfIndex {
   def search(index: Index, query: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val spark = index.lists.sparkSession
     import spark.implicits._
-    val qv: Seq[Float] = query.select(col("qv"))
-      .as[Seq[Float]].head()
+    // no query row (empty corpus / filtered-out id) → the empty top-k,
+    // mirroring the annLsh guard; same for a searchable-but-empty index
+    val qRows = query.select(col("qv")).limit(1).as[Seq[Float]].collect()
+    if (qRows.isEmpty)
+      return index.lists.select(col("vec_id"), col("cell"),
+        lit(null).cast("double").as("cos_sim")).limit(0)
+    val qv: Seq[Float] = qRows.head
     val probedCells = index.centroids.select(col("cell"), col("centroid"))
       .as[(Int, Seq[Float])].collect()
       .map { case (cell, c) => (cell, cosSeq(c, qv)) }

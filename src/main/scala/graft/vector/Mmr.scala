@@ -59,7 +59,10 @@ object Mmr {
     val maxSim = Array.fill(rows.length)(-1.0) // empty-set sentinel: first pick is pure relevance
     val picked = Array.fill(rows.length)(false)
     val out = Seq.newBuilder[(Int, Long, Double, Double, Double)]
-    (1 to k).foreach { rank =>
+    // a pool smaller than k (including empty — empty corpus or query)
+    // yields pool.length picks, not a crash: the argmax below has no
+    // candidate once every row is picked
+    (1 to math.min(k, rows.length)).foreach { rank =>
       var best = -1
       var bestScore = Double.NegativeInfinity
       rows.indices.foreach { i =>

@@ -95,9 +95,16 @@ object Similarity {
     // DataFrame, so the row the guard checked IS the row the join probes
     // even when the source is nondeterministic (sample/rand-derived).
     val qRows = query.limit(2).collect()
-    require(qRows.length == 1,
-      s"annLsh expects exactly ONE query row, got ${if (qRows.isEmpty) "0" else ">=2"}; " +
+    require(qRows.length <= 1,
+      "annLsh expects at most ONE query row, got >=2; " +
         "use cosineTopKBatch for query batches (per-query ranking)")
+    // NO query row (empty corpus, or the query id filtered away) is a
+    // well-defined ask with a well-defined answer — the empty top-k — not
+    // a contract violation: at scale, scheduled searches routinely hit
+    // shards/filters that prune to nothing
+    if (qRows.isEmpty)
+      return corpus.select(col("vec_id"), col("label"),
+        lit(null).cast("double").as("cos_sim")).limit(0)
     val query1 = query.sparkSession.createDataFrame(
       java.util.Arrays.asList(qRows: _*), query.schema)
     val bucketed = corpus.select(col("vec_id"), col("label"), col("embedding"),

@@ -42,4 +42,19 @@ class MmrSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(out === Set(1L, 2L))
   }
+
+  test("mmr: a pool smaller than k yields pool-many picks, not a crash") {
+    // k exceeds the corpus: the argmax loop must stop when every row is
+    // picked (was an ArrayIndexOutOfBounds on picked(-1))
+    val out = Mmr.mmrRerank(corpus(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))),
+      query(Seq(1f, 0f)), k = 10, poolSize = 50)
+      .select("rank", "vec_id").as[(Int, Long)].collect().toSeq
+    assert(out === Seq((1, 1L), (2, 2L)))
+  }
+
+  test("mmr: empty corpus yields an empty result") {
+    val out = Mmr.mmrRerank(corpus(), query(Seq(1f, 0f)), k = 5, poolSize = 10)
+    assert(out.count() === 0)
+  }
 }

@@ -64,14 +64,19 @@ class SimilaritySpec extends SparkSpec {
     assert(md5Recall >= 0.8, s"md5-mode recall@10 = $md5Recall below 0.8")
   }
 
-  test("annLsh rejects multi-row and empty query sets at call time") {
+  test("annLsh rejects multi-row queries; an empty query set is the empty top-k") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // >=2 query rows stay a call-time error: the vec_id dedup would merge
+    // result sets across queries — silent wrong answers
     val two = e.filter(col("vec_id").isin(0L, 1L)).select(col("embedding").as("qv"))
     val exTwo = intercept[IllegalArgumentException] { Similarity.annLsh(e, two, 10) }
     assert(exTwo.getMessage.contains("cosineTopKBatch"))
+    // ZERO query rows (filtered-away id / empty shard) is a well-defined
+    // ask — the empty result, schema intact, not an exception
     val none = e.filter(col("vec_id") === -1L).select(col("embedding").as("qv"))
-    val exNone = intercept[IllegalArgumentException] { Similarity.annLsh(e, none, 10) }
-    assert(exNone.getMessage.contains("ONE query row"))
+    val out = Similarity.annLsh(e, none, 10)
+    assert(out.columns.toSeq === Seq("vec_id", "label", "cos_sim"))
+    assert(out.count() === 0)
   }
 
   test("batched top-k equals per-query brute force; top-k pushed below shuffle") {
