@@ -39,13 +39,20 @@ object AbTest {
     def dd(c: String): Column = col(c).cast("double")
     val det = (col("a") * col("d") - col("b") * col("cc")).cast("double")
     val n = (col("a") + col("b") + col("cc") + col("d")).cast("double")
+    // degenerate-table guards (oracle mirrors with CASE): a zero marginal
+    // (an empty cohort or an all-one-cohort event type — guaranteed when
+    // only one user exists) makes chi² undefined; lift is undefined when
+    // either cohort is empty or cohort B's rate is 0. NULL, not an abort.
+    val chi2den = (dd("a") + dd("b")) * (dd("cc") + dd("d")) *
+      (dd("a") + dd("cc")) * (dd("b") + dd("d"))
     cells.select(col("event_type"),
       col("a").as("n_a"), col("cc").as("n_b"),
-      ((n * det * det) /
-        ((dd("a") + dd("b")) * (dd("cc") + dd("d")) *
-          (dd("a") + dd("cc")) * (dd("b") + dd("d")))).as("chi2"),
-      ((dd("a") / (dd("a") + dd("b"))) /
-        (dd("cc") / (dd("cc") + dd("d")))).as("lift"))
+      when(chi2den === 0.0, lit(null).cast("double"))
+        .otherwise((n * det * det) / chi2den).as("chi2"),
+      when(col("a") + col("b") === 0 || col("cc") + col("d") === 0 ||
+        col("cc") === 0, lit(null).cast("double"))
+        .otherwise((dd("a") / (dd("a") + dd("b"))) /
+          (dd("cc") / (dd("cc") + dd("d")))).as("lift"))
       .orderBy(col("event_type"))
   }
 
@@ -68,15 +75,19 @@ object AbTest {
         FROM counts JOIN totals USING (cohort_a)
         GROUP BY event_type)
       SELECT event_type, a AS n_a, cc AS n_b,
-             (CAST(a + b + cc + d AS DOUBLE) *
-              CAST(a * d - b * cc AS DOUBLE) * CAST(a * d - b * cc AS DOUBLE)) /
-               ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) *
-                (CAST(cc AS DOUBLE) + CAST(d AS DOUBLE)) *
-                (CAST(a AS DOUBLE) + CAST(cc AS DOUBLE)) *
-                (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))) AS chi2,
-             ((CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))) /
-              (CAST(cc AS DOUBLE) / (CAST(cc AS DOUBLE) + CAST(d AS DOUBLE))))
-               AS lift
+             CASE WHEN (a + b) * (cc + d) * (a + cc) * (b + d) = 0 THEN NULL
+                  ELSE (CAST(a + b + cc + d AS DOUBLE) *
+                        CAST(a * d - b * cc AS DOUBLE) *
+                        CAST(a * d - b * cc AS DOUBLE)) /
+                         ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) *
+                          (CAST(cc AS DOUBLE) + CAST(d AS DOUBLE)) *
+                          (CAST(a AS DOUBLE) + CAST(cc AS DOUBLE)) *
+                          (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)))
+             END AS chi2,
+             CASE WHEN a + b = 0 OR cc + d = 0 OR cc = 0 THEN NULL
+                  ELSE ((CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))) /
+                        (CAST(cc AS DOUBLE) / (CAST(cc AS DOUBLE) + CAST(d AS DOUBLE))))
+             END AS lift
       FROM cells ORDER BY event_type"""))
 
   val queries: Seq[GraftQuery] = Seq(qChiSquare)

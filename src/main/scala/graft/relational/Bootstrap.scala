@@ -105,11 +105,15 @@ object Bootstrap {
       .groupBy(col("b"))
       .agg(
         sum(col("w")).as("n_eff"),
-        (sum((col("w") * col("o_totalprice").cast(dec))
-          .cast(DecimalType(28, 2))).cast("double") /
-          sum(col("w")).cast("double")).as("boot_mean"))
+        sum((col("w") * col("o_totalprice").cast(dec))
+          .cast(DecimalType(28, 2))).as("ws"))
+      // n_eff = 0 guard (oracle mirrors with CASE): on a tiny input a
+      // replicate can draw Poisson weight 0 for every row — that
+      // replicate has no mean (NULL), it is not a divide-by-zero abort
       .select(col("b").cast("long").as("b"), col("n_eff"),
-        round(col("boot_mean"), 4).as("boot_mean"))
+        when(col("n_eff") === 0, lit(null).cast("double"))
+          .otherwise(round(col("ws").cast("double") /
+            col("n_eff").cast("double"), 4)).as("boot_mean"))
       .orderBy(col("b"))
   }
 
@@ -157,9 +161,11 @@ object Bootstrap {
         SELECT b, o_totalprice, $duckCase AS w
         FROM drawn)
       SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
-             round(CAST(sum(CAST(w * CAST(o_totalprice AS DECIMAL(18,2))
-                                 AS DECIMAL(28,2))) AS DOUBLE)
-                   / CAST(sum(w) AS DOUBLE), 4) AS boot_mean
+             CASE WHEN sum(w) = 0 THEN NULL
+                  ELSE round(CAST(sum(CAST(w * CAST(o_totalprice AS DECIMAL(18,2))
+                                      AS DECIMAL(28,2))) AS DOUBLE)
+                        / CAST(sum(w) AS DOUBLE), 4)
+             END AS boot_mean
       FROM weighted GROUP BY b ORDER BY b""")
     })
 

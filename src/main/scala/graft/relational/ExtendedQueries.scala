@@ -241,17 +241,27 @@ object ExtendedQueries {
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)).cast("double")
       val (vxy, vxx, vyy) =
         (v("sxy", "sx", "sy"), v("sxx", "sx", "sx"), v("syy", "sy", "sy"))
+      // degenerate-group guards, mirrored in the oracle's CASEs: sample
+      // covariance is undefined for n < 2, correlation whenever either
+      // variance is 0 (a constant column in the group) — NULL, not a
+      // divide-by-zero abort of the whole job
       m.select(
         col("l_returnflag"), col("n"),
-        round(vxy / (col("n") * (col("n") - 1)).cast("double"), 6)
+        when(col("n") < 2, lit(null).cast("double")).otherwise(
+          round(vxy / (col("n") * (col("n") - 1)).cast("double"), 6))
           .as("covar_samp"),
-        round(vxy / sqrt(vxx * vyy), 12).as("corr"))
+        when(vxx === 0.0 || vyy === 0.0, lit(null).cast("double")).otherwise(
+          round(vxy / sqrt(vxx * vyy), 12)).as("corr"))
         .orderBy(col("l_returnflag"))
     },
     Some("""
       SELECT l_returnflag, n,
-             round(vxy / CAST(n * (n - 1) AS DOUBLE), 6) AS covar_samp,
-             round(vxy / sqrt(vxx * vyy), 12) AS corr
+             CASE WHEN n < 2 THEN NULL
+                  ELSE round(vxy / CAST(n * (n - 1) AS DOUBLE), 6)
+             END AS covar_samp,
+             CASE WHEN vxx = 0 OR vyy = 0 THEN NULL
+                  ELSE round(vxy / sqrt(vxx * vyy), 12)
+             END AS corr
       FROM (
         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
                CAST(CAST(round(CAST(n AS DECIMAL(10,0))

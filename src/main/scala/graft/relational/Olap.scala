@@ -71,12 +71,15 @@ object Olap {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val bounds = df.agg(
       min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    // zero-range guard (oracle mirrors with CASE): a degenerate extent —
+    // one row, or one distinct value — puts everything in bucket 0
+    // instead of dividing by zero
     df.select(col(valueCol).as("x"))
       .crossJoin(broadcast(bounds))
       .select(
-        least(
+        when(col("mx") === col("mn"), lit(0L)).otherwise(least(
           floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / nBuckets)),
-          lit(nBuckets - 1L)).cast("int").as("bucket"),
+          lit(nBuckets - 1L))).cast("int").as("bucket"),
         col("x"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(d2(col("x"))).cast("double").as("sum_x"))
@@ -193,7 +196,9 @@ object Olap {
     Some("""
       WITH bounds AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
                       FROM lineitem)
-      SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 32)), 31) AS INTEGER) AS bucket,
+      SELECT CAST(CASE WHEN mx = mn THEN 0
+                       ELSE least(floor((l_extendedprice - mn) / ((mx - mn) / 32)), 31)
+                  END AS INTEGER) AS bucket,
              count(*) AS n,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x
       FROM lineitem CROSS JOIN bounds

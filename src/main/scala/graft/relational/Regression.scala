@@ -52,11 +52,17 @@ object Regression {
     val vxy = exactDiff(col("sxy"), col("sx"), col("sy"))
     val vxx = exactDiff(col("sxx"), col("sx"), col("sx"))
     val vyy = exactDiff(col("syy"), col("sy"), col("sy"))
-    val slope = vxy / vxx
+    // degenerate-group guards (oracle mirrors with CASE): a constant-x
+    // group — any single-row group included — has vxx = 0 and no defined
+    // fit; a constant-y group has vyy = 0 and no defined r². NULL, not a
+    // divide-by-zero abort: at scale some group WILL be degenerate.
+    val slope = when(vxx === 0.0, lit(null).cast("double"))
+      .otherwise(vxy / vxx)
     stats.select(col(groupCol), col("n"),
       slope.as("slope"),
       ((d("sy") - slope * d("sx")) / nd).as("intercept"),
-      ((vxy * vxy) / (vxx * vyy)).as("r2"))
+      when(vxx === 0.0 || vyy === 0.0, lit(null).cast("double"))
+        .otherwise((vxy * vxy) / (vxx * vyy)).as("r2"))
       .orderBy(col(groupCol))
   }
 
@@ -104,9 +110,11 @@ object Regression {
                  AS DECIMAL(38,0)) AS DOUBLE) AS vyy
         FROM s)
       SELECT l_returnflag, n,
-             vxy / vxx AS slope,
-             (sy - vxy / vxx * sx) / nd AS intercept,
-             (vxy * vxy) / (vxx * vyy) AS r2
+             CASE WHEN vxx = 0 THEN NULL ELSE vxy / vxx END AS slope,
+             CASE WHEN vxx = 0 THEN NULL
+                  ELSE (sy - vxy / vxx * sx) / nd END AS intercept,
+             CASE WHEN vxx = 0 OR vyy = 0 THEN NULL
+                  ELSE (vxy * vxy) / (vxx * vyy) END AS r2
       FROM v ORDER BY l_returnflag"""))
 
   val queries: Seq[GraftQuery] = Seq(qRegression)

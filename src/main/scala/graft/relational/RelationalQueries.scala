@@ -297,13 +297,18 @@ object RelationalQueries {
       val bounds = ev.agg(
         min(col("value")).as("vmin"), max(col("value")).as("vmax"),
         min(col("user_id")).as("umin"), max(col("user_id")).as("umax"))
+      // zero-range guard: a degenerate extent (all values equal — one row,
+      // or one distinct value in the slice) bins everything into cell 0
+      // instead of dividing by zero; mirrored in the oracle's CASE
       ev.crossJoin(broadcast(bounds))
         .withColumn("cell_x",
-          least(floor((col("value") - col("vmin")) /
-            ((col("vmax") - col("vmin")) / lit(20.0))), lit(19L)).cast("long"))
+          when(col("vmax") === col("vmin"), lit(0L)).otherwise(
+            least(floor((col("value") - col("vmin")) /
+              ((col("vmax") - col("vmin")) / lit(20.0))), lit(19L))).cast("long"))
         .withColumn("cell_y",
-          least(floor((col("user_id") - col("umin")) /
-            ((col("umax") - col("umin")) / lit(10.0))), lit(9L)).cast("long"))
+          when(col("umax") === col("umin"), lit(0L)).otherwise(
+            least(floor((col("user_id") - col("umin")) /
+              ((col("umax") - col("umin")) / lit(10.0))), lit(9L))).cast("long"))
         .groupBy(col("cell_x"), col("cell_y"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -313,8 +318,12 @@ object RelationalQueries {
     },
     Some("""
       SELECT
-        CAST(least(floor((value - vmin) / ((vmax - vmin) / 20.0)), 19) AS BIGINT) AS cell_x,
-        CAST(least(floor((user_id - umin) / ((umax - umin) / 10.0)), 9) AS BIGINT) AS cell_y,
+        CAST(CASE WHEN vmax = vmin THEN 0
+                  ELSE least(floor((value - vmin) / ((vmax - vmin) / 20.0)), 19)
+             END AS BIGINT) AS cell_x,
+        CAST(CASE WHEN umax = umin THEN 0
+                  ELSE least(floor((user_id - umin) / ((umax - umin) / 10.0)), 9)
+             END AS BIGINT) AS cell_y,
         count(*) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         count(DISTINCT user_id) AS n_users

@@ -56,10 +56,17 @@ object Outliers {
         sum(col("d") * col("d")).cast("double").as("s2"),
         count(lit(1)).as("n"))
 
+    // degenerate-corpus guards (oracle mirrors with CASE, ordered so the
+    // n−1 division is never evaluated): sample sd is undefined below two
+    // vectors, the z-score whenever sd = 0 (all distances identical) —
+    // NULL z (and NULL is_outlier), not a divide-by-zero abort
+    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+      (col("n") - 1))
     dists.crossJoin(broadcast(stats))
       .select(col("vec_id"), col("label"), col("dist"),
-        round((col("dist") - col("s1") / col("n")) /
-          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 6)
+        when(col("n") < 2, lit(null).cast("double"))
+          .when(sd === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("dist") - col("s1") / col("n")) / sd, 6))
           .as("z_score"))
       .withColumn("is_outlier", abs(col("z_score")) > zThreshold)
       .orderBy(col("vec_id"))
@@ -102,8 +109,11 @@ object Outliers {
         FROM dist
       ), z AS (
         SELECT vec_id, label, dist,
-               round((dist - s1 / n) /
-                     sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z_score
+               CASE WHEN n < 2 THEN NULL
+                    WHEN sqrt((s2 - s1 * s1 / n) / (n - 1)) = 0 THEN NULL
+                    ELSE round((dist - s1 / n) /
+                               sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)
+               END AS z_score
         FROM dist CROSS JOIN st
       )
       SELECT vec_id, label, dist, z_score, abs(z_score) > 2.0 AS is_outlier

@@ -38,14 +38,16 @@ object Pca {
       transform(col("embedding").cast("array<double>"),
         v => round(v * Q).cast("long")).as("qv"))
 
-  /** Shared back half: (i, j, sij, si, sj, n) long sums → covariance. */
+  /** Shared back half: (i, j, sij, si, sj, n) long sums → covariance.
+    * Sample covariance is undefined below two vectors — NULL (mirrored in
+    * the oracle's CASE), never an n(n−1)=0 divide-by-zero abort. */
   private def covFromSums(sums: DataFrame): DataFrame =
     sums.select(col("i"), col("j"),
-      round(
+      when(col("n") < 2, lit(null).cast("double")).otherwise(round(
         (col("n").cast(d38) * col("sij").cast(d38) -
           col("si").cast(d38) * col("sj").cast(d38)).cast("double") /
           ((col("n") * (col("n") - 1)).cast("double") * lit(Q * Q)),
-        10).as("cov"))
+        10)).as("cov"))
       .orderBy(col("i"), col("j"))
 
   /** Upper-triangle sample covariance (1-based dims): (i, j, cov) for
@@ -150,9 +152,11 @@ object Pca {
                count(*) AS n
         FROM pairs GROUP BY i, j)
       SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-             round(CAST(CAST(n AS HUGEINT) * sij
-                        - CAST(si AS HUGEINT) * sj AS DOUBLE)
-                   / (CAST(n * (n - 1) AS DOUBLE) * 1e12), 10) AS cov
+             CASE WHEN n < 2 THEN NULL
+                  ELSE round(CAST(CAST(n AS HUGEINT) * sij
+                             - CAST(si AS HUGEINT) * sj AS DOUBLE)
+                       / (CAST(n * (n - 1) AS DOUBLE) * 1e12), 10)
+             END AS cov
       FROM sums ORDER BY i, j"""))
 
   val queries: Seq[GraftQuery] = Seq(qCovariance)

@@ -53,8 +53,13 @@ object PrCurve {
       .select(col("th").as("threshold"), col("tp"), col("fp"),
         graft.GraftQuery.qz(col("tp").cast("double") /
           (col("tp") + col("fp")).cast("double"), 6).as("precision"),
-        graft.GraftQuery.qz(col("tp").cast("double") /
-          col("total_pos").cast("double"), 6).as("recall"))
+        // zero-positives guard (oracle mirrors with CASE): a corpus with
+        // no target-label rows has undefined recall — NULL, not an abort.
+        // precision needs no guard: each bucket holds >= 1 row, so the
+        // cumulative tp + fp is always >= 1.
+        when(col("total_pos") === 0, lit(null).cast("double"))
+          .otherwise(graft.GraftQuery.qz(col("tp").cast("double") /
+            col("total_pos").cast("double"), 6)).as("recall"))
       .orderBy(col("threshold").desc)
   }
 
@@ -95,8 +100,9 @@ object PrCurve {
              CAST(fp AS BIGINT) AS fp,
              ${graft.GraftQuery.duckQz("CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)", 6)}
                AS precision,
-             ${graft.GraftQuery.duckQz("CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE)", 6)}
-               AS recall
+             CASE WHEN total_pos = 0 THEN NULL
+                  ELSE ${graft.GraftQuery.duckQz("CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE)", 6)}
+             END AS recall
       FROM cum ORDER BY threshold DESC"""))
 
   val queries: Seq[GraftQuery] = Seq(qPrCurve)

@@ -1,41 +1,64 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
 
-/** Registry-wide empty-input robustness: every query must return an
-  * (empty) result — never throw — when every table has zero rows.
+/** Registry-wide degenerate-input robustness: every query must return a
+  * result — never throw — when every table has zero rows, and when every
+  * table has exactly one row.
   *
-  * Why this is a first-class property and not an edge case: at scale,
-  * scheduled jobs routinely see inputs that prune to nothing (a partition
-  * filter on a day with no data, a shard with no rows, a filter cascade
-  * that removes everything). "Crash on empty" turns a normal morning into
-  * a paged incident. The sweep that motivated this spec found four real
-  * defects (q29/q38 query-row selection, q111's argmax over an empty
-  * pool, q117's null SUM decode) — all crashes, none semantic.
+  * Why these are first-class properties and not edge cases: at scale,
+  * scheduled jobs routinely see inputs that prune to almost nothing (a
+  * partition filter on a day with no data, a shard with one record, a
+  * filter cascade that removes everything) — and a GROUP inside a huge
+  * table hits the same degeneracies (one member, zero variance, a zero
+  * marginal) long before the table does. "Crash on degenerate" turns a
+  * normal morning into a paged incident.
   *
-  * The fixture is a zero-row copy of every table (schema preserved via
-  * limit(0) on the real sf0.001 parquet), so schema-dependent plumbing
-  * (column resolution, encoders, casts) is still exercised.
+  * The sweeps that motivated this spec found 13 real defects, all
+  * crashes, none semantic: empty input broke q29/q38 query-row selection,
+  * q111's argmax over an empty pool, and q117's null SUM decode;
+  * single-row input divided by zero in nine statistics/binning queries
+  * (zero range in q12/q99, n−1 = 0 or zero variance in
+  * q36/q121/q163/q76/q165, zero marginals in q125, zero positives in
+  * q175). Each now has defined semantics (NULL statistic / bucket 0 /
+  * empty result) MIRRORED in its DuckDB oracle — the degenerate outputs
+  * are hash-checked cross-engine, not just no-throw (verified on the
+  * single-row fixture via scripts/compare.py).
+  *
+  * Fixtures preserve schema by limiting the real sf0.001 parquet, so
+  * schema-dependent plumbing (column resolution, encoders, casts) is
+  * still exercised.
   */
 class EmptyInputSpec extends SparkSpec {
 
-  private lazy val emptyDir: String = {
-    val dir = Files.createTempDirectory("graft_sf_empty").toFile
+  private def fixture(rows: Int): String = {
+    val dir = Files.createTempDirectory(s"graft_sf_limit$rows").toFile
     dir.deleteOnExit()
     val src = "/root/testdata/sf0.001"
     Tables.AllNames.foreach { t =>
-      spark.read.parquet(s"$src/$t.parquet").limit(0)
+      spark.read.parquet(s"$src/$t.parquet").limit(rows)
         .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/$t.parquet")
     }
     dir.getAbsolutePath
   }
+  private lazy val emptyDir: String = fixture(0)
+  private lazy val oneRowDir: String = fixture(1)
+
+  private def sweep(shape: String, dir: () => String,
+                    fn: (org.apache.spark.sql.SparkSession, String) => DataFrame,
+                    name: String): Unit =
+    test(s"$name is $shape-input safe") {
+      // count() forces full execution; the assertion is "no throw" — the
+      // row count itself is query-specific (most are 0 or 1;
+      // constant-output shapes like corpus cards may emit summary rows).
+      // The VALUES on these shapes are additionally oracle-pinned via the
+      // compare.py runs documented above.
+      fn(spark, dir()).count()
+    }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name is empty-input safe") {
-      // count() forces full execution; the assertion is "no throw" — the
-      // row count itself is query-specific (most are 0; constant-output
-      // shapes like corpus cards may legitimately emit summary rows)
-      fn(spark, emptyDir).count()
-    }
+    sweep("empty", () => emptyDir, fn, name)
+    sweep("single-row", () => oneRowDir, fn, name)
   }
 }
