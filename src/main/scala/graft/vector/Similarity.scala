@@ -258,8 +258,12 @@ object Similarity {
   // ---- query wrappers ----------------------------------------------------
 
   private def queryVec(s: SparkSession, dir: String): DataFrame =
+    // vec_id is a key, so this is one row on any real corpus; limit(1)
+    // additionally pins the single-query contract on pathological inputs
+    // (a fully-duplicated shard would otherwise present N copies of the
+    // query row and trip annLsh's multi-query guard)
     Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"))
+      .select(col("embedding").as("qv")).limit(1)
 
   /** Brute-force cosine top-20 vs vec_id=0. Oracle computes the identical
     * double-precision sequential fold via list_reduce on a zipped pair list.

@@ -4,26 +4,28 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 
 /** Registry-wide degenerate-input robustness: every query must return a
-  * result — never throw — when every table has zero rows, and when every
-  * table has exactly one row.
+  * result — never throw — when every table has zero rows, exactly one
+  * row, or one row duplicated 100× (zero-entropy hot-key data).
   *
   * Why these are first-class properties and not edge cases: at scale,
   * scheduled jobs routinely see inputs that prune to almost nothing (a
   * partition filter on a day with no data, a shard with one record, a
   * filter cascade that removes everything) — and a GROUP inside a huge
   * table hits the same degeneracies (one member, zero variance, a zero
-  * marginal) long before the table does. "Crash on degenerate" turns a
-  * normal morning into a paged incident.
+  * marginal, one dominant key) long before the table does. "Crash on
+  * degenerate" turns a normal morning into a paged incident.
   *
-  * The sweeps that motivated this spec found 13 real defects, all
+  * The sweeps that motivated this spec found 14 real defects, all
   * crashes, none semantic: empty input broke q29/q38 query-row selection,
   * q111's argmax over an empty pool, and q117's null SUM decode;
   * single-row input divided by zero in nine statistics/binning queries
   * (zero range in q12/q99, n−1 = 0 or zero variance in
   * q36/q121/q163/q76/q165, zero marginals in q125, zero positives in
-  * q175). Each now has defined semantics (NULL statistic / bucket 0 /
-  * empty result) MIRRORED in its DuckDB oracle — the degenerate outputs
-  * are hash-checked cross-engine, not just no-throw (verified on the
+  * q175); all-duplicate input presented N copies of the q29 query row
+  * and tripped its multi-query guard. Each now has defined semantics
+  * (NULL statistic / bucket 0 / empty result / first-of-duplicates)
+  * MIRRORED in its DuckDB oracle — the degenerate outputs are
+  * hash-checked cross-engine, not just no-throw (verified on the
   * single-row fixture via scripts/compare.py).
   *
   * Fixtures preserve schema by limiting the real sf0.001 parquet, so
@@ -32,18 +34,22 @@ import org.apache.spark.sql.DataFrame
   */
 class EmptyInputSpec extends SparkSpec {
 
-  private def fixture(rows: Int): String = {
-    val dir = Files.createTempDirectory(s"graft_sf_limit$rows").toFile
+  private def fixture(rows: Int, dup: Int = 1): String = {
+    val dir = Files.createTempDirectory(s"graft_sf_limit${rows}x$dup").toFile
     dir.deleteOnExit()
     val src = "/root/testdata/sf0.001"
     Tables.AllNames.foreach { t =>
-      spark.read.parquet(s"$src/$t.parquet").limit(rows)
-        .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/$t.parquet")
+      val one = spark.read.parquet(s"$src/$t.parquet").limit(rows)
+      val rep = if (dup == 1) one
+        else one.crossJoin(spark.range(dup).select(org.apache.spark.sql.functions.lit(1).as("__r")))
+          .drop("__r")
+      rep.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/$t.parquet")
     }
     dir.getAbsolutePath
   }
   private lazy val emptyDir: String = fixture(0)
   private lazy val oneRowDir: String = fixture(1)
+  private lazy val dupDir: String = fixture(1, dup = 100)
 
   private def sweep(shape: String, dir: () => String,
                     fn: (org.apache.spark.sql.SparkSession, String) => DataFrame,
@@ -60,5 +66,6 @@ class EmptyInputSpec extends SparkSpec {
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     sweep("empty", () => emptyDir, fn, name)
     sweep("single-row", () => oneRowDir, fn, name)
+    sweep("all-duplicate", () => dupDir, fn, name)
   }
 }
