@@ -42,7 +42,10 @@ object Multimodal {
     */
   def assetsFromDocuments(docs: DataFrame): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(
+    // a document with a null id or null payload is not a decodable asset —
+    // drop at the boundary (the ingest validation rule) instead of
+    // crashing the typed decode on a primitive field
+    docs.filter(col("doc_id").isNotNull && col("text").isNotNull).select(
       col("doc_id").as("asset_id"),
       lit("application/octet-stream").as("mime"),
       encode(col("text"), "UTF-8").as("media"),

@@ -135,7 +135,10 @@ object DocsStream {
       val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = dedupFirstSeen(
         stagedDocStream(spark, sfDir)
-          .select(md5(col("text")).as("h"), col("doc_id")).as[(String, Long)])
+          .select(md5(col("text")).as("h"), col("doc_id"))
+          // null text has no content hash, null doc_id can't be kept —
+          // drop at the decode boundary (the ingest validation rule)
+          .na.drop(Seq("h", "doc_id")).as[(String, Long)])
         .toDF("content_hash", "keep_doc_id")
         .writeStream.outputMode("update").format("memory").queryName(name)
         .option("checkpointLocation", EventsStream.shmTempDir(name))
@@ -203,7 +206,10 @@ object DocsStream {
       val name = s"stream_cards_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = sourceCards(
         stagedDocStream(spark, sfDir)
-          .select(col("source"), col("n_chars")).as[(String, Long)], shortLen)
+          .select(col("source"), col("n_chars"))
+          // a null n_chars (null text) can't decode into the primitive
+          // count — drop at the boundary; a null source still cards
+          .na.drop(Seq("n_chars")).as[(String, Long)], shortLen)
         .toDF("source", "n_docs", "n_chars", "n_short")
         .writeStream.outputMode("update").format("memory").queryName(name)
         .option("checkpointLocation", EventsStream.shmTempDir(name))
@@ -271,6 +277,9 @@ object DocsStream {
         stagedDocStream(spark, sfDir))
         .select(col("source"), col("n_tok"),
           col("p1"), col("p2"), col("p3"), col("p4"))
+        // null text yields null counts/flags, which can't decode into the
+        // primitive fields — drop at the boundary (ingest validation)
+        .na.drop(Seq("n_tok", "p1", "p2", "p3", "p4"))
         .as[(String, Long, Boolean, Boolean, Boolean, Boolean)]
       val q = qualityGate(flagged)
         .toDF("source", "n_total", "s1_nonblank", "s2_length",

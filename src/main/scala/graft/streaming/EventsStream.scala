@@ -271,7 +271,10 @@ object EventsStream {
     withStreamPartitions(spark) {
     import spark.implicits._
     val name = s"stream_latest_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = latestPerUser(stagedEventStream(spark, sfDir).as[Event])
+    // an event with a null id/user/time/value can't decode into the typed
+    // state row — drop at the boundary (the ingest validation rule)
+    val q = latestPerUser(stagedEventStream(spark, sfDir)
+      .na.drop(Seq("event_id", "ts", "user_id", "value")).as[Event])
       .writeStream.outputMode("update").format("memory").queryName(name)
       .option("checkpointLocation", shmTempDir(name))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -228,7 +228,12 @@ object IvfIndex {
 
   /** Build the inverted lists: every vector tagged with its cell. */
   def build(corpus: DataFrame, nlist: Int, iters: Int = 2): Index = {
-    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    // a row with a null id or payload is undecodable for an index build —
+    // drop at the boundary (the ingest validation rule; nulls are a fact
+    // of life in any at-scale corpus and must not abort the build)
+    val vecs = corpus
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
     // empty corpus → empty index (no centroids, no lists): a well-defined
     // serving state, not a crash — scheduled rebuilds at scale see
     // shards/filters that prune to nothing, and k-means has no seed to
@@ -236,7 +241,7 @@ object IvfIndex {
     if (vecs.limit(1).collect().isEmpty)
       return Index(centroidsDf(corpus.sparkSession, Array.empty),
         vecs.withColumn("cell", lit(0).cast("int")).limit(0).cache())
-    val centroids = train(corpus, nlist, iters)
+    val centroids = train(vecs, nlist, iters)
     val cents = collectCentroids(centroids)
     val lists = assign(vecs, cents)
       .cache()

@@ -5,7 +5,10 @@ import org.apache.spark.sql.DataFrame
 
 /** Registry-wide degenerate-input robustness: every query must return a
   * result — never throw — when every table has zero rows, exactly one
-  * row, or one row duplicated 100× (zero-entropy hot-key data).
+  * row, one row duplicated 100× (zero-entropy hot-key data), or ten rows
+  * of nothing but NULLs (nulls in every column are a fact of life in any
+  * at-scale corpus; typed-Dataset decodes of primitive fields are the
+  * crash class).
   *
   * Why these are first-class properties and not edge cases: at scale,
   * scheduled jobs routinely see inputs that prune to almost nothing (a
@@ -15,18 +18,20 @@ import org.apache.spark.sql.DataFrame
   * marginal, one dominant key) long before the table does. "Crash on
   * degenerate" turns a normal morning into a paged incident.
   *
-  * The sweeps that motivated this spec found 14 real defects, all
+  * The sweeps that motivated this spec found 21 real defects, all
   * crashes, none semantic: empty input broke q29/q38 query-row selection,
   * q111's argmax over an empty pool, and q117's null SUM decode;
   * single-row input divided by zero in nine statistics/binning queries
   * (zero range in q12/q99, n−1 = 0 or zero variance in
   * q36/q121/q163/q76/q165, zero marginals in q125, zero positives in
   * q175); all-duplicate input presented N copies of the q29 query row
-  * and tripped its multi-query guard. Each now has defined semantics
-  * (NULL statistic / bucket 0 / empty result / first-of-duplicates)
-  * MIRRORED in its DuckDB oracle — the degenerate outputs are
-  * hash-checked cross-engine, not just no-throw (verified on the
-  * single-row fixture via scripts/compare.py).
+  * and tripped its multi-query guard; all-null input crashed seven
+  * typed-Dataset decodes (MediaAsset, the IVF build tuple, the
+  * streaming Event/doc rows) on NULL-into-primitive fields. Each now has
+  * defined semantics (NULL statistic / bucket 0 / empty result /
+  * drop-undecodable-at-the-boundary) MIRRORED in its DuckDB oracle —
+  * the degenerate outputs are hash-checked cross-engine, not just
+  * no-throw (verified on the single-row fixture via scripts/compare.py).
   *
   * Fixtures preserve schema by limiting the real sf0.001 parquet, so
   * schema-dependent plumbing (column resolution, encoders, casts) is
@@ -50,6 +55,18 @@ class EmptyInputSpec extends SparkSpec {
   private lazy val emptyDir: String = fixture(0)
   private lazy val oneRowDir: String = fixture(1)
   private lazy val dupDir: String = fixture(1, dup = 100)
+  private lazy val nullDir: String = {
+    val dir = Files.createTempDirectory("graft_sf_nulls").toFile
+    dir.deleteOnExit()
+    val src = "/root/testdata/sf0.001"
+    Tables.AllNames.foreach { t =>
+      val base = spark.read.parquet(s"$src/$t.parquet").limit(10)
+      base.select(base.schema.fields.map(f =>
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)): _*)
+        .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/$t.parquet")
+    }
+    dir.getAbsolutePath
+  }
 
   private def sweep(shape: String, dir: () => String,
                     fn: (org.apache.spark.sql.SparkSession, String) => DataFrame,
@@ -67,5 +84,6 @@ class EmptyInputSpec extends SparkSpec {
     sweep("empty", () => emptyDir, fn, name)
     sweep("single-row", () => oneRowDir, fn, name)
     sweep("all-duplicate", () => dupDir, fn, name)
+    sweep("all-null", () => nullDir, fn, name)
   }
 }
