@@ -75,7 +75,7 @@ object AbTest {
         FROM counts JOIN totals USING (cohort_a)
         GROUP BY event_type)
       SELECT event_type, a AS n_a, cc AS n_b,
-             CASE WHEN (a + b) * (cc + d) * (a + cc) * (b + d) = 0 THEN NULL
+             CASE WHEN a + b = 0 OR cc + d = 0 OR a + cc = 0 OR b + d = 0 THEN NULL
                   ELSE (CAST(a + b + cc + d AS DOUBLE) *
                         CAST(a * d - b * cc AS DOUBLE) *
                         CAST(a * d - b * cc AS DOUBLE)) /
