@@ -34,3 +34,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 Test / testOptions += Tests.Setup { () =>
   sbt.IO.delete(file("target") / "test-reports")
 }
+// The bench driver parses the LAST stdout line as the JSON result line;
+// sbt's trailing "[success] Total time: ..." banner lands after Bench's
+// JSON and has made that parse fail every round. Suppress it (and the
+// timing line) so the program's own final line is the last thing printed.
+Global / showSuccess := false
+Global / showTiming := false
+// ...and un-prefix the forked run's stdout (the default LoggedOutput
+// strategy wraps every line in "[info] ", which also breaks that parse).
+run / outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys ++= Set(showSuccess, showTiming, run / outputStrategy)

@@ -88,7 +88,12 @@ def main(sf_dir, out_dir):
             # an OOM can leave the shared connection's buffer pool in a
             # state where every later query also fails to allocate (the
             # sf10 q68→q87 collateral) — retry this query once on a
-            # fresh connection before declaring the oracle failed
+            # fresh connection before declaring the oracle failed.
+            # Gate on allocation-type failures only: re-running genuinely
+            # broken SQL doubles time-to-fail on large-SF runs.
+            msg = str(e).lower()
+            if not any(k in msg for k in ("memory", "allocat", "temp_directory", "could not allocate")):
+                print(f"{name}: ORACLE SQL ERROR: {e}"); n_fail += 1; continue
             try:
                 con = connect(sf_dir)
                 duck_df = con.execute(oracle[name]).fetchdf()

@@ -55,8 +55,10 @@ object StageProfile {
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
     }
-    // allow the async listener bus to drain before reading
-    Thread.sleep(1000)
+    // drain the async listener bus deterministically before reading — a
+    // fixed sleep can truncate the table on a loaded box
+    org.apache.spark.graftbridge.ListenerBridge
+      .waitUntilListenerBusEmpty(spark.sparkContext, 30000)
     println(f"${"stage"}%-6s ${"wall_s"}%8s ${"tasksum_s"}%10s ${"n"}%5s ${"max_s"}%7s  name")
     stages.toSeq.sortBy(_._1).foreach { case (id, s) =>
       println(f"$id%-6d ${(s.completed - s.submitted) / 1e3}%8.2f ${s.taskSum / 1e3}%10.2f ${s.nTasks}%5d ${s.taskMax / 1e3}%7.2f  ${s.name.take(90)}")

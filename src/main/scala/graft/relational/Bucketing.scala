@@ -59,8 +59,21 @@ object Bucketing {
     val (ordT, liT) = (s"graft_orders_bkt_$t", s"graft_lineitem_bkt_$t")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$t"
     // both sides MUST share one bucket count (sized off the larger fact)
-    // or the co-located join degrades to a shuffle on the smaller side
-    lazy val buckets = numBucketsFor(spark, sfDir)
+    // or the co-located join degrades to a shuffle on the smaller side.
+    // Compute it unconditionally and verify any PRE-EXISTING table carries
+    // this exact count: a partial prior run (one table written, then the
+    // session died) would otherwise pair a stale count with a fresh one
+    // and silently degrade the join back to a shuffle.
+    val buckets = numBucketsFor(spark, sfDir)
+    def existingBuckets(name: String): Option[Int] =
+      if (!spark.catalog.tableExists(name)) None
+      else spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .bucketSpec.map(_.numBuckets)
+    val stale = Seq(ordT, liT).exists(n =>
+      spark.catalog.tableExists(n) && !existingBuckets(n).contains(buckets))
+    if (stale) Seq(ordT, liT).foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n"))
     if (!spark.catalog.tableExists(ordT)) {
       Tables.orders(spark, sfDir).write
         .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")

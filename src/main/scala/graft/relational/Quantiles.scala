@@ -267,8 +267,10 @@ object Quantiles {
       "l_partkey", "l_extendedprice", z = 3.0),
     Some("""
       WITH counts AS (
+        -- mirror the engine's up-front NULL drop (madOutlierStats): NULL
+        -- values carry no rank, and an all-NULL group emits no output row
         SELECT l_partkey AS grp, l_extendedprice AS v, count(*) AS c
-        FROM lineitem GROUP BY grp, v),
+        FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY grp, v),
       cum AS (
         SELECT grp, v, c,
                sum(c) OVER (PARTITION BY grp ORDER BY v
@@ -336,9 +338,10 @@ object Quantiles {
       "l_partkey", "l_extendedprice"),
     Some("""
       WITH counts AS (
+        -- mirror the engine's up-front NULL drop (see q116's counts CTE)
         SELECT l_partkey AS grp, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
                count(*) AS c
-        FROM lineitem GROUP BY grp, v),
+        FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY grp, v),
       cum AS (
         SELECT grp, v, c,
                sum(c) OVER (PARTITION BY grp ORDER BY v

@@ -25,9 +25,14 @@ class BenchBaselineSpec extends AnyFunSuite {
       .filter(_.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt > picked)
     newer.foreach { f =>
       val tmp = java.nio.file.Files.createTempDirectory("bench_newest")
-      java.nio.file.Files.copy(f.toPath, tmp.resolve(f.getName))
-      assert(Bench.committedBaseline(tmp.toString, "/root/testdata/sf0.1")._2.isEmpty,
-        s"${f.getName} parses for sf0.1 but the picker chose older $name")
+      try {
+        java.nio.file.Files.copy(f.toPath, tmp.resolve(f.getName))
+        assert(Bench.committedBaseline(tmp.toString, "/root/testdata/sf0.1")._2.isEmpty,
+          s"${f.getName} parses for sf0.1 but the picker chose older $name")
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp.resolve(f.getName))
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
     }
   }
 
@@ -46,10 +51,16 @@ class BenchBaselineSpec extends AnyFunSuite {
     // an older round at the same SF must lose to r03
     java.nio.file.Files.writeString(tmp.resolve("BENCH_r02.json"),
       art.replace("q1_agg", "stale_q"))
-    val (name, qs) = Bench.committedBaseline(tmp.toString, "/data/sf0.1")
-    assert(name == "BENCH_r03.json")
-    assert(qs == Map("q1_agg" -> 1.25, "q2_scan" -> 0.75))
-    // SF mismatch on every file -> empty
-    assert(Bench.committedBaseline(tmp.toString, "/data/sf0.001")._2.isEmpty)
+    try {
+      val (name, qs) = Bench.committedBaseline(tmp.toString, "/data/sf0.1")
+      assert(name == "BENCH_r03.json")
+      assert(qs == Map("q1_agg" -> 1.25, "q2_scan" -> 0.75))
+      // SF mismatch on every file -> empty
+      assert(Bench.committedBaseline(tmp.toString, "/data/sf0.001")._2.isEmpty)
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp.resolve("BENCH_r03.json"))
+      java.nio.file.Files.deleteIfExists(tmp.resolve("BENCH_r02.json"))
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
   }
 }
