@@ -123,24 +123,29 @@ object Bench {
     def regressed(k: String, v: Double): Boolean =
       v >= 0 && prev.get(k).exists(p => p >= 0 && v > 2 * p && v - p > 0.2)
     val committed = committedBaseline(".", sfDir)
+    // 1.5x vs the committed round artifact (tighter than the 2x local
+    // threshold): r13's q68 drifted 2.30->3.41 s on UNTOUCHED code — a
+    // 1.48x same-code move — and the old 2x guard let it pass silently.
+    // The flagged set is re-measured below, so a transient stall
+    // self-heals instead of tripping the tighter bar.
     def regressedVsCommitted(k: String, v: Double): Boolean =
-      v >= 0 && committed._2.get(k).exists(p => p >= 0 && v > 2 * p && v - p > 0.2)
-    // Window-suspect guard (inverse of the flag above): when MANY queries
-    // regress >2x at once against a same-code previous run — local OR
-    // committed — the machine window, not the plans, is the likely cause
-    // (BENCH_r09: 50 such). Cheaply re-measure just the flagged set once
-    // more and report the min, so one contended stretch can't masquerade
-    // as 50 plan regressions, and a contended round can't certify itself
-    // against its own contended local baseline.
+      v >= 0 && committed._2.get(k).exists(p => p >= 0 && v > 1.5 * p && v - p > 0.2)
+    // Re-measure EVERY flagged row once more and keep the min — a
+    // transiently contended measurement self-heals, so any flag that
+    // SURVIVES is real drift, not one bad scheduling window. (Previously
+    // re-measurement only ran when >=8 rows flagged at once; a single
+    // drifted row was never given a second look.) window_suspect still
+    // marks the many-flags case: the machine window, not the plans, is
+    // then the likely cause (BENCH_r09: 50 such).
     val flaggedLocal = firstPass.collect { case (k, v) if regressed(k, v) => k }.toSet
     val flaggedCommitted =
       firstPass.collect { case (k, v) if regressedVsCommitted(k, v) => k }.toSet
     val flagged = flaggedLocal ++ flaggedCommitted
     val windowSuspect = flaggedLocal.size >= 8 || flaggedCommitted.size >= 8
     val results =
-      if (!windowSuspect) firstPass
+      if (flagged.isEmpty) firstPass
       else firstPass.map { case (k, v) =>
-        k -> (if (flagged(k)) { val re = measure(k); if (re >= 0) math.min(v, re) else v } else v)
+        k -> (if (flagged(k) && v >= 0) { val re = measure(k); if (re >= 0) math.min(v, re) else v } else v)
       }
     // Stream rows run a REAL streaming engine per measurement (fresh
     // checkpoint, state-store init, microbatch machinery) against a
@@ -154,17 +159,23 @@ object Bench {
     val floorDir = Option(new java.io.File(sfDir).getParentFile)
       .map(p => new java.io.File(p, "sf0.001"))
       .filter(f => f.isDirectory && f.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
+    // Min-of-3 per floor row, measured in THIS session right after the
+    // rows themselves: r13's single-pass floors drifted above some row
+    // totals (floor 2.116 s vs total 1.943 s), which meant the floor's own
+    // noise swamped the signal it isolates.
     val streamFloor: Map[String, Double] = floorDir match {
       case None => Map.empty
       case Some(fd) =>
         results.collect { case (k, _) if k.startsWith("stream_") => k }
           .flatMap { name =>
-            val t = try {
-              spark.catalog.clearCache()
-              time(qmap(name)(spark, fd.getAbsolutePath)
-                .write.format("noop").mode("overwrite").save())
-            } catch { case _: Throwable => -1.0 }
-            if (t >= 0) Some(name -> t) else None
+            val ts = (1 to 3).map { _ =>
+              try {
+                spark.catalog.clearCache()
+                time(qmap(name)(spark, fd.getAbsolutePath)
+                  .write.format("noop").mode("overwrite").save())
+              } catch { case _: Throwable => -1.0 }
+            }.filter(_ >= 0)
+            if (ts.nonEmpty) Some(name -> ts.min) else None
           }.toMap
     }
     def jmap(entries: Seq[(String, String)]): String =
@@ -173,11 +184,14 @@ object Bench {
     val floors = jmap(streamFloor.toSeq.sortBy(_._1).map { case (k, v) => k -> fmt(v) })
     // net-of-floor per stream row = total - engine floor: the number that
     // reads as the query's DATA cost, so per-query triage (and the judge)
-    // doesn't have to subtract by hand
+    // doesn't have to subtract by hand. RAW difference, deliberately NOT
+    // clamped at zero — a negative net is the visible signature of floor
+    // noise exceeding the row time (r13 silently clamped those to 0.000,
+    // hiding that the floor measurement itself was the problem).
     val resMap = results.toMap
     val nets = jmap(streamFloor.toSeq.sortBy(_._1).collect {
       case (k, f) if resMap.get(k).exists(_ >= 0) =>
-        k -> fmt(math.max(0.0, resMap(k) - f))
+        k -> fmt(resMap(k) - f)
     })
     val total = results.map(_._2).filter(_ >= 0).sum
     val regs = jmap(results.collect {
