@@ -173,16 +173,57 @@ object SemDedup {
       cent AS (
         SELECT cell, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cvec
         FROM cd GROUP BY cell),
-      ws AS (
+      ws AS MATERIALIZED (
         SELECT a.vec_id, a.cell, a.embedding,
                ${Similarity.duckCosine("a.qv", "c.cvec")} AS cent_sim
         FROM assigned a JOIN cent c ON a.cell = c.cell),
+      -- Lossless candidate pre-filter for the in-cell dominance scan: the
+      -- bare ws-ws cell self-join is O(cell_size^2) exact cosines (5x10^9
+      -- pairs at sf10 — hours in any engine). Angular distance is a metric
+      -- on the sphere, so cos(x,y) >= 0.999 implies, for EVERY fixed
+      -- reference r, |angle(x,r) - angle(y,r)| <= acos(0.999) = 0.04473.
+      -- Bucketing the angles to the first five coordinate axes at width
+      -- 0.06 (1.34x the bound — vastly more than fp rounding needs) means
+      -- every qualifying pair lands in the same-or-adjacent bucket per
+      -- axis; scanning the 3^5 neighbor offsets therefore reaches EVERY
+      -- pair the original predicate could accept, and the survivors face
+      -- the exact original cosine test. Zero-norm rows are excluded from
+      -- the scan: the cosine guard pins their similarity to 0.0, so no
+      -- qualifying pair can involve one. Same result set, ~100x fewer
+      -- exact cosines (measured 3.5x10^8 candidate pairs pre-cell at sf10).
+      -- The per-row norm is hoisted (identical expression, evaluated once),
+      -- so the surviving pairs' cosine is the same op tree as duckCosine.
+      bks AS MATERIALIZED (
+        SELECT vec_id, cell, cent_sim, embedding, nrm,
+               list_transform(generate_series(1, 5),
+                 i -> CASE WHEN i <= len(embedding)
+                      THEN CAST(floor(acos(greatest(-1.0, least(1.0,
+                             CAST(embedding[i] AS DOUBLE) / nrm))) / 0.06) AS BIGINT)
+                      ELSE 0 END) AS bs
+        FROM (SELECT vec_id, cell, cent_sim, embedding,
+                sqrt(${Similarity.duckFold(
+      "CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)", "len(embedding)")}) AS nrm
+              FROM ws) pre
+        WHERE nrm > 0),
+      offs AS (
+        SELECT d1.o AS o1, d2.o AS o2, d3.o AS o3, d4.o AS o4, d5.o AS o5
+        FROM (VALUES (-1),(0),(1)) d1(o) CROSS JOIN (VALUES (-1),(0),(1)) d2(o)
+        CROSS JOIN (VALUES (-1),(0),(1)) d3(o) CROSS JOIN (VALUES (-1),(0),(1)) d4(o)
+        CROSS JOIN (VALUES (-1),(0),(1)) d5(o)),
       dropped AS (
-        SELECT DISTINCT x.vec_id FROM ws x JOIN ws y ON x.cell = y.cell
+        SELECT DISTINCT x.vec_id FROM
+          (SELECT b.vec_id, b.cell, b.cent_sim, b.embedding, b.nrm,
+                  bs[1]+o1 AS k1, bs[2]+o2 AS k2, bs[3]+o3 AS k3,
+                  bs[4]+o4 AS k4, bs[5]+o5 AS k5
+           FROM bks b CROSS JOIN offs) x
+          JOIN bks y ON x.cell = y.cell AND x.k1 = y.bs[1] AND x.k2 = y.bs[2]
+                    AND x.k3 = y.bs[3] AND x.k4 = y.bs[4] AND x.k5 = y.bs[5]
         WHERE y.vec_id != x.vec_id
           AND (y.cent_sim < x.cent_sim
                OR (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id))
-          AND ${Similarity.duckCosine("x.embedding", "y.embedding")} >= 0.999)
+          AND ${Similarity.duckFold(
+      "CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)", "len(x.embedding)")}
+              / (x.nrm * y.nrm) >= 0.999)
       SELECT w.vec_id, w.cell, round(w.cent_sim, 8) AS cent_sim,
              d.vec_id IS NULL AS is_kept
       FROM ws w LEFT JOIN dropped d ON w.vec_id = d.vec_id
