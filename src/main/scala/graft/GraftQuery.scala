@@ -10,7 +10,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class GraftQuery(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    staged: Option[StagedOracle] = None)
+
+/** Large-scale oracle variant for queries whose full oracle chain is
+  * tractable only up to ~sf1 (the md5-mode MinHash family: DuckDB
+  * re-computes 10^8-10^9 shingle-hash rehashes through per-element
+  * lambdas — measured >20 min per query at sf10 in BOTH the cross-join
+  * and in-row forms, against ~20 s for the engine's native kernels).
+  *
+  * `write(spark, sfDir, stageDir)` persists the query's natural
+  * intermediate — the signature/shingle table the engine's own pipeline
+  * computes and would persist at production scale anyway — into
+  * `stageDir`; `sql` is the oracle DOWNSTREAM (banding, candidate join,
+  * verification, clustering) reading that intermediate via the `{STAGE}`
+  * placeholder. The intermediate itself is NOT trusted blindly: the full
+  * chain, including the upstream the stage replaces, is hash-verified
+  * against the all-DuckDB oracle at every smaller gated scale
+  * (sf0.01/sf0.1/sf1), and the staged downstream text is shared verbatim
+  * with the full oracle's, so the two variants can only diverge in the
+  * upstream being staged.
+  */
+final case class StagedOracle(
+    write: (SparkSession, String, String) => Unit,
+    sql: String)
 
 object GraftQuery {
   /** Exact-sum idiom used throughout the oracles: accumulate money-like

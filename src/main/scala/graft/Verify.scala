@@ -43,6 +43,24 @@ object Verify {
         }
       }
     }
+    // Staged-oracle mode (SPARK_GRAFT_STAGE_DIR): for queries whose full
+    // oracle chain is intractable at the target scale (the md5-mode
+    // MinHash family at sf10), persist the engine-computed signature
+    // intermediate into the stage dir and dump the staged oracle SQL
+    // (which reads it) instead of the full one. The per-round driver gate
+    // never sets this env — it always runs the full all-DuckDB oracles.
+    val stageDir = sys.env.get("SPARK_GRAFT_STAGE_DIR")
+      .map(d => { new java.io.File(d).mkdirs(); new java.io.File(d).getAbsolutePath })
+    stageDir.foreach { sd =>
+      SparkEntry.registry
+        .filter(gq => only.forall(_.contains(gq.name)))
+        .foreach(gq => gq.staged.foreach { st =>
+          try st.write(spark, sfDir, sd)
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] stage write for ${gq.name} failed: ${e.getMessage}")
+          }
+        })
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -55,7 +73,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracleMap: Map[String, String] = SparkEntry.registry.flatMap { gq =>
+      val sql = (stageDir, gq.staged) match {
+        case (Some(sd), Some(st)) => Some(st.sql.replace("{STAGE}", sd))
+        case _ => gq.oracle
+      }
+      sql.map(s => gq.name -> s.trim)
+    }.toMap
+    val json = oracleMap
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

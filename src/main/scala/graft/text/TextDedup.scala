@@ -451,19 +451,80 @@ object TextDedup {
 
   private val duckShingles: String = duckShinglesFor("doc_id")
 
+  /** sigs(doc_id, sig) → bands(doc_id, band_id, band_key): the band
+    * slices alone — shared verbatim by the full oracle and the staged
+    * (signature-reading) sf10 variant, so the two can only diverge in
+    * the upstream the stage replaces.
+    */
+  private def duckBandsCte(k: Int, bands: Int): String = {
+    val rows = k / bands
+    s"""bands AS MATERIALIZED (SELECT doc_id, band_id,
+       |    list_slice(sig, band_id * $rows + 1, band_id * $rows + $rows) AS band_key
+       |  FROM sigs CROSS JOIN range($bands) r(band_id))""".stripMargin
+  }
+
   /** hbase(doc_id, h) → sigs(doc_id, sig) → bands(doc_id, band_id,
     * band_key): the k-family signature and its band slices.
     */
-  private def duckSigBands(k: Int, bands: Int): String = {
-    val rows = k / bands
+  private def duckSigBands(k: Int, bands: Int): String =
     s"""${Md5P61.duckFams(k)},
        |mins AS (SELECT b.doc_id, fm.f, min(${Md5P61.duckRehash("b.h")}) AS mn
        |  FROM hbase b CROSS JOIN fams fm GROUP BY b.doc_id, fm.f),
        |sigs AS MATERIALIZED (SELECT doc_id, list(mn ORDER BY f) AS sig FROM mins GROUP BY doc_id),
-       |bands AS MATERIALIZED (SELECT doc_id, band_id,
-       |    list_slice(sig, band_id * $rows + 1, band_id * $rows + $rows) AS band_key
-       |  FROM sigs CROSS JOIN range($bands) r(band_id))""".stripMargin
+       |${duckBandsCte(k, bands)}""".stripMargin
+
+  // ---- staged (sf10) oracle support ---------------------------------------
+  //
+  // The corpus→ne→sigs upstream is the one oracle fragment that is
+  // intractable in DuckDB at sf10 (>20 min per query: 5x10^8 hugeint
+  // rehashes through per-element lambdas, measured in both the cross-join
+  // and in-row forms, vs ~20 s for the engine's native kernels). The
+  // staged variants persist that upstream ONCE from the engine — the same
+  // signature table a production deployment persists anyway — and the
+  // oracle re-runs everything downstream of it (banding, bucket caps,
+  // candidate joins, exact-Jaccard verification, transitive clustering).
+  // See [[graft.StagedOracle]] for the trust argument.
+
+  /** Persist (doc_id, sh, sig) for a doc-level minhash corpus variant —
+    * the engine-kernel equivalent of the oracle's corpus→ne→sigs chain.
+    * Idempotent per stage dir (q50 and q51 share one table).
+    */
+  private def stageDocSigs(tail: Boolean, table: String)(
+      spark: SparkSession, sfDir: String, stageDir: String): Unit = {
+    val dest = new java.io.File(stageDir, table)
+    if (dest.exists()) return
+    val d = Tables.documents(spark, sfDir)
+    val planted =
+      if (tail) d.orderBy(col("doc_id")).limit(20).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(substring(col("text"), 1, 10000), lit(" planted tail")).as("text"))
+      else d.orderBy(col("doc_id")).limit(20).select(
+        (col("doc_id") + 1000000).as("doc_id"), col("text"))
+    d.select(col("doc_id"), col("text")).unionByName(planted)
+      .select(col("doc_id"),
+        TextExprs.tokenShingles(spark, TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", TextExprs.minhashSig(spark, col("sh"), 16, "md5"))
+      .write.mode("overwrite").parquet(dest.getAbsolutePath)
   }
+
+  /** Staged replacements for the ne/sigs CTEs: both read the one persisted
+    * signature table.
+    */
+  private def stagedNeSigs(table: String): String =
+    s"""ne AS MATERIALIZED (SELECT doc_id, sh FROM read_parquet('{STAGE}/$table/*.parquet')),
+       |sigs AS MATERIALIZED (SELECT doc_id, sig FROM read_parquet('{STAGE}/$table/*.parquet'))""".stripMargin
+
+  /** corpus doc-id universe (planted ids included) without the text
+    * column — the staged finals need only ids, and this keeps the doc
+    * universe derived from the RAW table rather than the stage.
+    */
+  private val duckCorpusIds: String =
+    s"""corpus AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id
+       |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20))""".stripMargin
 
   /** Exact Jaccard of two shingle-list SQL expressions (mirror of
     * [[jaccard]]; same form as the q25 oracle).
@@ -646,23 +707,10 @@ object TextDedup {
     * (shingle → sign → band → bucket-join → verify) is transliterated to
     * DuckDB, so the driver hash-checks the ALGORITHM end to end.
     */
-  val qMinhash = GraftQuery(
-    "q26_minhash_lsh_dedup",
-    (s, dir) => {
-      // Plant near-duplicates so the operator has work to do at any SF:
-      // the 20 lowest-doc_id docs get a 95%-prefix twin.
-      val d = Tables.documents(s, dir)
-      val planted = d.orderBy(col("doc_id")).limit(20).select(
-        (col("doc_id") + 1000000).as("doc_id"),
-        concat(substring(col("text"), 1, 10000), lit(" planted tail")).as("text"))
-      val corpus = d.select(col("doc_id"), col("text")).unionByName(planted)
-      minhashDupPairs(corpus, threshold = 0.3, hashMode = "md5")
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-    Some(s"""
-      WITH ${duckCorpus(tail = true)},
-      $duckShingles,
-      ${duckSigBands(16, 4)},
+  /** q26 oracle downstream (everything after ne/sigs/bands) — one string,
+    * shared verbatim by the full and staged variants.
+    */
+  private val q26Downstream: String = s"""
       capped AS MATERIALIZED (SELECT * FROM bands
         QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= 1000),
       cand AS (
@@ -683,7 +731,30 @@ object TextDedup {
       SELECT doc_a, doc_b, est_jaccard, jaccard
       FROM scored
       WHERE jaccard >= 0.3
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b"""
+
+  val qMinhash = GraftQuery(
+    "q26_minhash_lsh_dedup",
+    (s, dir) => {
+      // Plant near-duplicates so the operator has work to do at any SF:
+      // the 20 lowest-doc_id docs get a 95%-prefix twin.
+      val d = Tables.documents(s, dir)
+      val planted = d.orderBy(col("doc_id")).limit(20).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(substring(col("text"), 1, 10000), lit(" planted tail")).as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(planted)
+      minhashDupPairs(corpus, threshold = 0.3, hashMode = "md5")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH ${duckCorpus(tail = true)},
+      $duckShingles,
+      ${duckSigBands(16, 4)},$q26Downstream"""),
+    staged = Some(graft.StagedOracle(
+      stageDocSigs(tail = true, "minhash_sigs_tail.parquet"),
+      s"""
+      WITH ${stagedNeSigs("minhash_sigs_tail.parquet")},
+      ${duckBandsCte(16, 4)},$q26Downstream""")))
 
   val qSimhash = GraftQuery(
     "q27_simhash",
@@ -705,20 +776,8 @@ object TextDedup {
     * one output row per doc (the scale-safe dedup shape). md5 hash mode →
     * the bucket-min / candidate-min / verify pipeline has a real oracle.
     */
-  val qMinhashCanonical = GraftQuery(
-    "q50_minhash_canonical",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-      val planted = d.orderBy(col("doc_id")).limit(20).select(
-        (col("doc_id") + 1000000).as("doc_id"), col("text"))
-      minhashCanonical(d.select(col("doc_id"), col("text")).unionByName(planted),
-        threshold = 0.5, hashMode = "md5")
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""
-      WITH ${duckCorpus(tail = false)},
-      $duckShingles,
-      ${duckSigBands(16, 4)},
+  /** q50 oracle downstream, shared by the full and staged variants. */
+  private val q50Downstream: String = s"""
       bmin AS (SELECT band_id, band_key, min(doc_id) AS bucket_min
         FROM bands GROUP BY band_id, band_key),
       cand AS (
@@ -737,7 +796,28 @@ object TextDedup {
              coalesce(v.cand, c.doc_id) AS canonical_id,
              v.cand IS NULL AS is_canonical
       FROM corpus c LEFT JOIN ver v ON v.doc_id = c.doc_id
-      ORDER BY c.doc_id"""))
+      ORDER BY c.doc_id"""
+
+  val qMinhashCanonical = GraftQuery(
+    "q50_minhash_canonical",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val planted = d.orderBy(col("doc_id")).limit(20).select(
+        (col("doc_id") + 1000000).as("doc_id"), col("text"))
+      minhashCanonical(d.select(col("doc_id"), col("text")).unionByName(planted),
+        threshold = 0.5, hashMode = "md5")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${duckCorpus(tail = false)},
+      $duckShingles,
+      ${duckSigBands(16, 4)},$q50Downstream"""),
+    staged = Some(graft.StagedOracle(
+      stageDocSigs(tail = false, "minhash_sigs_copies.parquet"),
+      s"""
+      WITH $duckCorpusIds,
+      ${stagedNeSigs("minhash_sigs_copies.parquet")},
+      ${duckBandsCte(16, 4)},$q50Downstream""")))
 
   /** Transitive dedup clusters over documents + planted duplicates:
     * exercises the connected-components path. The oracle computes true
@@ -746,20 +826,8 @@ object TextDedup {
     * proves the alternating-star algorithm labels every node with its
     * component minimum.
     */
-  val qDedupClusters = GraftQuery(
-    "q51_dedup_clusters",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-      val planted = d.orderBy(col("doc_id")).limit(20).select(
-        (col("doc_id") + 1000000).as("doc_id"), col("text"))
-      minhashClusters(d.select(col("doc_id"), col("text")).unionByName(planted),
-        threshold = 0.5, hashMode = "md5")
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""
-      WITH RECURSIVE ${duckCorpus(tail = false)},
-      $duckShingles,
-      ${duckSigBands(16, 4)},
+  /** q51 oracle downstream, shared by the full and staged variants. */
+  private val q51Downstream: String = s"""
       bmin AS (SELECT band_id, band_key, min(doc_id) AS dst
         FROM bands GROUP BY band_id, band_key),
       star AS (
@@ -784,7 +852,28 @@ object TextDedup {
                   ELSE l.mn END AS cluster_id,
              (l.mn IS NULL OR l.mn > c.doc_id) AS is_canonical
       FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id
-      ORDER BY c.doc_id"""))
+      ORDER BY c.doc_id"""
+
+  val qDedupClusters = GraftQuery(
+    "q51_dedup_clusters",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val planted = d.orderBy(col("doc_id")).limit(20).select(
+        (col("doc_id") + 1000000).as("doc_id"), col("text"))
+      minhashClusters(d.select(col("doc_id"), col("text")).unionByName(planted),
+        threshold = 0.5, hashMode = "md5")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${duckCorpus(tail = false)},
+      $duckShingles,
+      ${duckSigBands(16, 4)},$q51Downstream"""),
+    staged = Some(graft.StagedOracle(
+      stageDocSigs(tail = false, "minhash_sigs_copies.parquet"),
+      s"""
+      WITH RECURSIVE $duckCorpusIds,
+      ${stagedNeSigs("minhash_sigs_copies.parquet")},
+      ${duckBandsCte(16, 4)},$q51Downstream""")))
 
   /** SimHash near-duplicate pairs: band the 64-bit fingerprint into
     * `bands` equal slices — by pigeonhole, two fingerprints within
@@ -937,13 +1026,44 @@ object TextDedup {
       ${duckShinglesFor("source")},
       ${Md5P61.duckFams(64)},
       smins AS MATERIALIZED (SELECT b.source, fm.f, min(${Md5P61.duckRehash("b.h")}) AS mn
-        FROM hbase b CROSS JOIN fams fm GROUP BY b.source, fm.f)
+        FROM hbase b CROSS JOIN fams fm GROUP BY b.source, fm.f)$q55Final"""),
+    // q55's substance IS the signature build (the compare over 64-row
+    // sketches is trivial), so its stage point is the per-(source, family)
+    // signature itself: the engine's sketch aggregate, position-exploded.
+    staged = Some(graft.StagedOracle(
+      stageSourceSmins("minhash_smins_by_source.parquet"),
+      s"""
+      WITH smins AS MATERIALIZED (
+        SELECT source, f, mn
+        FROM read_parquet('{STAGE}/minhash_smins_by_source.parquet/*.parquet'))$q55Final""")))
+
+  /** q55 oracle final select, shared by the full and staged variants. */
+  private def q55Final: String = """
       SELECT a.source AS source_a, b.source AS source_b,
              CAST(sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS DOUBLE) / 64.0
                AS est_jaccard
       FROM smins a JOIN smins b ON a.f = b.f AND a.source < b.source
       GROUP BY a.source, b.source
-      ORDER BY source_a, source_b"""))
+      ORDER BY source_a, source_b"""
+
+  /** Persist the per-(source, family) minhash signature — the engine's
+    * q55 sketch aggregate, position-exploded to the oracle's smins shape.
+    */
+  private def stageSourceSmins(table: String)(
+      spark: SparkSession, sfDir: String, stageDir: String): Unit = {
+    val dest = new java.io.File(stageDir, table)
+    if (dest.exists()) return
+    val k = 64
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        TextExprs.tokenShingles(spark, TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("source"), TextExprs.minhashSig(spark, col("sh"), k, "md5").as("sig"))
+    sigs.groupBy(col("source"))
+      .agg(TextExprs.minhashSketchAgg(col("sig"), k).as("sketch"))
+      .select(col("source"), posexplode(col("sketch")).as(Seq("f", "mn")))
+      .write.mode("overwrite").parquet(dest.getAbsolutePath)
+  }
 
   /** Exact substring-level dedup (the cross-document repeated-substring
     * pass from "Deduplicating Training Data Makes Language Models Better",
