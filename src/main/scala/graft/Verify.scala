@@ -40,6 +40,18 @@ object Verify {
         try attempt()
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a mid-write failure can leave PARTIAL part files behind, and
+          // the compare would then read them as the engine's answer —
+          // remove the dir so a failed query reports NO OUTPUT, never
+          // partial rows (seen on the r14 extreme-numerics sweep)
+          try {
+            val d = java.nio.file.Paths.get(s"$outDir/$name")
+            if (java.nio.file.Files.isDirectory(d)) {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+                .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+            }
+          } catch { case _: Throwable => () }
         }
       }
     }

@@ -272,9 +272,15 @@ object EventsStream {
     import spark.implicits._
     val name = s"stream_latest_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // an event with a null id/user/time/value can't decode into the typed
-    // state row — drop at the boundary (the ingest validation rule)
+    // state row — drop at the boundary (the ingest validation rule).
+    // isNotNull per column, NOT na.drop: na.drop also treats NaN as
+    // missing for double columns, and a NaN-VALUED event is a decodable,
+    // legitimate record the batch dual (q06) keeps — the r14 extreme-
+    // numerics sweep caught the streaming side silently dropping it and
+    // electing an older event as a user's latest.
     val q = latestPerUser(stagedEventStream(spark, sfDir)
-      .na.drop(Seq("event_id", "ts", "user_id", "value")).as[Event])
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull).as[Event])
       .writeStream.outputMode("update").format("memory").queryName(name)
       .option("checkpointLocation", shmTempDir(name))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
