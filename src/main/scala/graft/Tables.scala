@@ -89,7 +89,26 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** The embeddings table with the VECTOR DOMAIN RULE applied at the
+    * boundary: a vector containing NaN or ±Inf is corrupt and is excluded
+    * before any similarity kernel sees it. Without this, a NaN-valued
+    * similarity silently takes OPPOSITE threshold branches across engines
+    * — Spark orders NaN greater than everything even in comparisons, so
+    * `cos >= tau` is TRUE for a NaN cosine, while IEEE engines (DuckDB)
+    * evaluate it FALSE; the r14 extreme-numerics sweep measured exactly
+    * that divergence on five queries (q29/q30/q56/q111/q126). Dropping at
+    * the boundary mirrors the reference's ingest-validation model (typed
+    * cast-fail → drop) and every embeddings ORACLE applies the identical
+    * filter. NULL vectors and NULL ELEMENTS are NOT dropped here — their
+    * defined handling lives at each operator's typed boundary (r13
+    * semantics, unchanged); only definite NaN/Inf elements exclude a row.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(s, d, "embeddings").filter(!coalesce(
+      exists(col("embedding"), e => isnan(e) || abs(e) === lit(Float.PositiveInfinity)),
+      lit(false)))
+  }
 
   /** Spread a frame across the session's shuffle parallelism before a
     * CPU-dense kernel (MinHash/SimHash signatures, embedding distance,

@@ -52,7 +52,7 @@ object Topics {
     Some("""
       WITH dl AS (
         SELECT e.label, d.text
-        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        FROM documents d JOIN (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e ON d.doc_id = e.vec_id),
       terms AS (
         SELECT label, unnest(string_split_regex(trim(text), '\s+')) AS term
         FROM dl),

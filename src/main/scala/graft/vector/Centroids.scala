@@ -65,7 +65,7 @@ object Centroids {
     Some(s"""
       WITH vals AS (
         SELECT label, d.i - 1 AS dim, CAST(embedding[d.i] AS DOUBLE) AS v
-        FROM embeddings CROSS JOIN generate_series(1, 64) d(i)
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings CROSS JOIN generate_series(1, 64) d(i)
         WHERE len(embedding) = 64),
       cent AS (
         SELECT label, dim, count(*) AS n,

@@ -339,9 +339,9 @@ object IvfIndex {
         .select(col("vec_id"), col("cos_sim"))
     },
     Some(s"""
-      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      WITH q AS (SELECT embedding AS qv FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE vec_id = 0)
       SELECT e.vec_id, ${Similarity.duckCosine("e.embedding", "q.qv")} AS cos_sim
-      FROM embeddings e CROSS JOIN q
+      FROM (SELECT * FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e CROSS JOIN q
       ORDER BY cos_sim DESC, e.vec_id
       LIMIT 20"""))
 
@@ -413,7 +413,7 @@ object IvfIndex {
       .map(k => assignStage(k) + ",\n" + recomputeStage(k))
     val stages = (rounds :+ assignStage(iters)).mkString(",\n")
     s"""
-      WITH vecs AS (SELECT vec_id, embedding FROM embeddings
+      WITH vecs AS (SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings
                     WHERE len(embedding) = $dims),
       vnorm AS (SELECT vec_id, ${norm("embedding")} AS nx FROM vecs),
       seeds AS (

@@ -128,13 +128,13 @@ object Mmr {
       Tables.embeddings(s, dir).filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"))),
     Some(s"""
-      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      WITH q AS (SELECT embedding AS qv FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE vec_id = 0),
       scored AS MATERIALIZED (
         SELECT vec_id, embedding,
                ${dotSql("embedding", "qv")} AS dt,
                sqrt(${dotSql("embedding", "embedding")}) AS nrm,
                sqrt(${dotSql("qv", "qv")}) AS nq
-        FROM embeddings CROSS JOIN q),
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings CROSS JOIN q),
       pool AS MATERIALIZED (
         SELECT vec_id, embedding, nrm,
                CASE WHEN nrm = 0 OR nq = 0 THEN 0.0 ELSE dt / (nrm * nq) END AS rel

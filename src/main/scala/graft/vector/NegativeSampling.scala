@@ -61,13 +61,13 @@ object NegativeSampling {
       Some(s"""
       WITH pool AS (
         SELECT vec_id AS neg_id, label AS neg_label
-        FROM embeddings
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings
         ORDER BY $base, vec_id
         LIMIT 64),
       fanout AS (
         SELECT e.vec_id AS anchor_id, p.neg_id,
                CAST(p.neg_label AS BIGINT) AS neg_label
-        FROM embeddings e JOIN pool p
+        FROM (SELECT * FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e JOIN pool p
           ON e.label <> p.neg_label AND e.vec_id <> p.neg_id),
       ranked AS (
         SELECT anchor_id, neg_id, neg_label,

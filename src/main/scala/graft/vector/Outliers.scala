@@ -32,9 +32,17 @@ object Outliers {
     * L2 distance in original (unquantized) units.
     */
   def centroidOutliers(emb: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    // The lambda must be TOTAL even though [[Tables.embeddings]] excludes
+    // NaN/Inf vectors at the boundary: whole-stage codegen hoists this
+    // transform as an unconditional subexpression inside the filter that
+    // carries the inferred isnotnull(qv) constraint, so it evaluates on
+    // rows the boundary filter rejects — and the ANSI long cast of a NaN
+    // aborts the stage (r14 extreme-numerics sweep). The guard branch can
+    // never reach the output; it only keeps the hoisted eval from throwing.
     val quant = emb.select(col("vec_id"), col("label"),
       transform(col("embedding").cast("array<double>"),
-        v => round(v * Q).cast("long")).as("qv"))
+        v => when(isnan(v) || abs(v) === lit(Double.PositiveInfinity), lit(0L))
+          .otherwise(round(v * Q).cast("long"))).as("qv"))
 
     val centroid = quant
       .select(posexplode(col("qv")).as(Seq("dim", "qval")))
@@ -82,7 +90,7 @@ object Outliers {
         SELECT vec_id, label,
                list_transform(embedding,
                  v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-        FROM embeddings
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings
       ), d AS (
         SELECT u.dim AS dim, u.qval AS qval FROM (
           SELECT unnest(list_transform(generate_series(1, len(qv)),

@@ -141,7 +141,7 @@ object Pca {
         SELECT list_transform(embedding,
                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
                AS qv
-        FROM embeddings),
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings),
       pairs AS (
         SELECT ti.i, tj.j,
                qv[ti.i] * qv[tj.j] AS p, qv[ti.i] AS xi, qv[tj.j] AS xj

@@ -145,10 +145,10 @@ object SemDedup {
     },
     Some(s"""
       WITH vecs AS (
-        SELECT vec_id, embedding FROM embeddings
+        SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings
         UNION ALL
         SELECT vec_id + 1000000 AS vec_id, embedding
-        FROM embeddings WHERE vec_id < 10),
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE vec_id < 10),
       seeds AS (
         SELECT vec_id AS seed_id, embedding AS seed_vec FROM vecs
         ORDER BY ${graft.text.Md5P61.duckBase("CAST(vec_id AS VARCHAR)")}, vec_id

@@ -273,7 +273,7 @@ object Similarity {
     (s, dir) =>
       cosineTopK(Tables.embeddings(s, dir), queryVec(s, dir), 20),
     Some("""
-      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      WITH q AS (SELECT embedding AS qv FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE vec_id = 0),
       scored AS (
         SELECT vec_id, label,
           list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -288,7 +288,7 @@ object Similarity {
             list_transform(generate_series(1, len(qv)),
               i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))),
             (acc, v) -> acc + v)) AS n_q
-        FROM embeddings CROSS JOIN q)
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings CROSS JOIN q)
       SELECT vec_id, label,
         CASE WHEN n_a = 0 OR n_q = 0 THEN 0.0 ELSE dot / (n_a * n_q) END AS cos_sim
       FROM scored
@@ -310,7 +310,7 @@ object Similarity {
     Some("""
       WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv
-        FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE vec_id IN (0, 1, 2)),
       scored AS (
         SELECT q.query_id, e.vec_id,
           list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -325,7 +325,7 @@ object Similarity {
             list_transform(generate_series(1, len(q.qv)),
               i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
             (acc, v) -> acc + v)) AS n_q
-        FROM embeddings e CROSS JOIN q),
+        FROM (SELECT * FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e CROSS JOIN q),
       ranked AS (
         SELECT query_id, vec_id,
           CASE WHEN n_e = 0 OR n_q = 0 THEN 0.0 ELSE dot / (n_e * n_q) END AS cos_sim
@@ -351,7 +351,7 @@ object Similarity {
     (s, dir) =>
       annLsh(Tables.embeddings(s, dir), queryVec(s, dir), 20, hashMode = "md5"),
     Some(s"""
-      WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+      WITH vecs AS (SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings),
       ${duckCoefs(18)},
       ${duckBuckets(6)},
       qbuckets AS (SELECT tbl, bucket AS qbucket FROM buckets WHERE vec_id = 0),
@@ -363,10 +363,10 @@ object Similarity {
       cands AS (
         SELECT DISTINCT b.vec_id
         FROM buckets b JOIN probes q ON b.tbl = q.tbl AND b.bucket = q.probe),
-      qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      qv AS (SELECT embedding AS qe FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE vec_id = 0)
       SELECT e.vec_id, e.label,
              ${duckCosine("e.embedding", "q.qe")} AS cos_sim
-      FROM embeddings e JOIN cands cd ON cd.vec_id = e.vec_id CROSS JOIN qv q
+      FROM (SELECT * FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e JOIN cands cd ON cd.vec_id = e.vec_id CROSS JOIN qv q
       ORDER BY cos_sim DESC, e.vec_id
       LIMIT 20"""))
 
@@ -388,10 +388,10 @@ object Similarity {
     },
     Some(s"""
       WITH vecs AS (
-        SELECT vec_id, embedding FROM embeddings
+        SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings
         UNION ALL
         SELECT vec_id + 1000000 AS vec_id, embedding
-        FROM embeddings WHERE vec_id < 10),
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE vec_id < 10),
       ${duckCoefs(6)},
       ${duckBuckets(6)},
       capped AS (SELECT vec_id, bucket FROM buckets
@@ -428,10 +428,10 @@ object Similarity {
     },
     Some(s"""
       WITH vecs AS (
-        SELECT vec_id, embedding FROM embeddings
+        SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings
         UNION ALL
         SELECT vec_id + 1000000 AS vec_id, embedding
-        FROM embeddings WHERE vec_id < 10),
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE vec_id < 10),
       ${duckCoefs(18)},
       ${duckBuckets(6)},
       bmin AS (SELECT tbl, bucket, min(vec_id) AS bucket_min
@@ -537,7 +537,7 @@ object Similarity {
           list_transform(generate_series(1, 64),
             __pi -> CAST(e.embedding[__pi] AS DOUBLE) * rl.rlist[__pi])),
           (__pa, __pb) -> __pa + __pb) AS value
-      FROM embeddings e CROSS JOIN rl
+      FROM (SELECT * FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e CROSS JOIN rl
       WHERE len(e.embedding) = 64
       ORDER BY vec_id, out_dim"""))
 
@@ -551,7 +551,7 @@ object Similarity {
       Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
       k = 5, hashMode = "md5"),
     Some(s"""
-      WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+      WITH vecs AS (SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings),
       ${duckCoefs(6)},
       ${duckBuckets(6)},
       capped AS (SELECT vec_id, bucket FROM buckets
