@@ -92,7 +92,17 @@ def main(sf_dir, out_dir):
             # Gate on allocation-type failures only: re-running genuinely
             # broken SQL doubles time-to-fail on large-SF runs.
             msg = str(e).lower()
-            if not any(k in msg for k in ("memory", "allocat", "temp_directory", "could not allocate")):
+            # match by exception TYPE first (an allocation failure phrased
+            # without the substrings below must still get the retry), then
+            # by message; IOException-class transients also get one retry —
+            # only genuinely broken SQL (ParserException/BinderException/
+            # ConversionException…) fails fast
+            retryable = isinstance(
+                e, (duckdb.OutOfMemoryException, duckdb.IOException,
+                    duckdb.ConnectionException)
+            ) or any(k in msg for k in ("memory", "allocat", "temp_directory",
+                                        "could not allocate"))
+            if not retryable:
                 print(f"{name}: ORACLE SQL ERROR: {e}"); n_fail += 1; continue
             try:
                 con = connect(sf_dir)

@@ -6,16 +6,20 @@
 #
 #   scripts/verify_sf10_md5.sh [outDir] [stageDir]
 #
-# 27 of the 31 run the FULL all-DuckDB oracle (triage at sf10: every one
+# 26 of the 31 run the FULL all-DuckDB oracle (triage at sf10: every one
 # completes in <= 130 s; the q80 dominance scan needed the lossless
 # angular pre-filter, commit 1524f24). The four MinHash shingle-chain
-# queries (q26/q50/q51/q55) run in STAGED mode (SPARK_GRAFT_STAGE_DIR):
-# the engine persists the signature intermediate once and the oracle
-# re-runs everything downstream of it — banding, bucket caps, candidate
-# joins, exact-Jaccard verification, transitive clustering. Their full
-# chains, including the staged-away upstream, are hash-verified at
-# sf0.01/sf0.1/sf1 by the regular gates, and the staged downstream SQL is
-# shared verbatim with the full oracle's (see StagedOracle's scaladoc).
+# queries (q26/q50/q51/q55) and q80 run in STAGED mode
+# (SPARK_GRAFT_STAGE_DIR): the engine persists the signature/assignment
+# intermediate once and the oracle re-runs everything downstream of it —
+# banding, bucket caps, candidate joins, exact-Jaccard verification,
+# transitive clustering (for q80: quantized centroids + dominance scan;
+# its corpus-scaled nClusters makes the n·k argmax intractable for
+# DuckDB's per-element lambdas at sf10 — ~0.14M cosine pairs/s measured
+# → ~30 min for that CTE alone). Every full chain, including the
+# staged-away upstream, is hash-verified at sf0.01/sf0.1/sf1 by the
+# regular gates, and the staged downstream SQL is shared verbatim with
+# the full oracle's (see StagedOracle's scaladoc).
 #
 # Expect ~25 min for the Spark side and ~15 min for the DuckDB side.
 set -e

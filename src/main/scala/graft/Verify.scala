@@ -63,6 +63,12 @@ object Verify {
     // never sets this env — it always runs the full all-DuckDB oracles.
     val stageDir = sys.env.get("SPARK_GRAFT_STAGE_DIR")
       .map(d => { new java.io.File(d).mkdirs(); new java.io.File(d).getAbsolutePath })
+    // Queries whose stage write failed must NOT emit staged SQL referencing
+    // the missing {STAGE} parquet — compare.py would fail far from the root
+    // cause with an opaque read_parquet error. Fall back to the full oracle
+    // for those queries (slow but correct), or a sentinel naming the failed
+    // stage if no full oracle exists.
+    val failedStages = scala.collection.mutable.Set[String]()
     stageDir.foreach { sd =>
       SparkEntry.registry
         .filter(gq => only.forall(_.contains(gq.name)))
@@ -70,6 +76,7 @@ object Verify {
           try st.write(spark, sfDir, sd)
           catch { case e: Throwable =>
             System.err.println(s"[verify] stage write for ${gq.name} failed: ${e.getMessage}")
+            failedStages += gq.name
           }
         })
     }
@@ -87,7 +94,11 @@ object Verify {
     } + "\""
     val oracleMap: Map[String, String] = SparkEntry.registry.flatMap { gq =>
       val sql = (stageDir, gq.staged) match {
-        case (Some(sd), Some(st)) => Some(st.sql.replace("{STAGE}", sd))
+        case (Some(sd), Some(st)) if !failedStages.contains(gq.name) =>
+          Some(st.sql.replace("{STAGE}", sd))
+        case (Some(_), Some(_)) =>
+          gq.oracle.orElse(Some(
+            s"SELECT 'graft stage write FAILED for ${gq.name} — see verify stderr' AS stage_error"))
         case _ => gq.oracle
       }
       sql.map(s => gq.name -> s.trim)

@@ -492,7 +492,7 @@ object TextDedup {
   private def stageDocSigs(tail: Boolean, table: String)(
       spark: SparkSession, sfDir: String, stageDir: String): Unit = {
     val dest = new java.io.File(stageDir, table)
-    if (dest.exists()) return
+    if (graft.StagedOracle.isFresh(dest, sfDir)) return
     val d = Tables.documents(spark, sfDir)
     val planted =
       if (tail) d.orderBy(col("doc_id")).limit(20).select(
@@ -506,6 +506,7 @@ object TextDedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", TextExprs.minhashSig(spark, col("sh"), 16, "md5"))
       .write.mode("overwrite").parquet(dest.getAbsolutePath)
+    graft.StagedOracle.markComplete(dest, sfDir)
   }
 
   /** Staged replacements for the ne/sigs CTEs: both read the one persisted
@@ -1052,7 +1053,7 @@ object TextDedup {
   private def stageSourceSmins(table: String)(
       spark: SparkSession, sfDir: String, stageDir: String): Unit = {
     val dest = new java.io.File(stageDir, table)
-    if (dest.exists()) return
+    if (graft.StagedOracle.isFresh(dest, sfDir)) return
     val k = 64
     val sigs = Tables.documents(spark, sfDir)
       .select(col("source"),
@@ -1063,6 +1064,7 @@ object TextDedup {
       .agg(TextExprs.minhashSketchAgg(col("sig"), k).as("sketch"))
       .select(col("source"), posexplode(col("sketch")).as(Seq("f", "mn")))
       .write.mode("overwrite").parquet(dest.getAbsolutePath)
+    graft.StagedOracle.markComplete(dest, sfDir)
   }
 
   /** Exact substring-level dedup (the cross-document repeated-substring

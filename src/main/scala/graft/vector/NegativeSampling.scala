@@ -67,7 +67,7 @@ object NegativeSampling {
       fanout AS (
         SELECT e.vec_id AS anchor_id, p.neg_id,
                CAST(p.neg_label AS BIGINT) AS neg_label
-        FROM (SELECT * FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e JOIN pool p
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e JOIN pool p
           ON e.label <> p.neg_label AND e.vec_id <> p.neg_id),
       ranked AS (
         SELECT anchor_id, neg_id, neg_label,

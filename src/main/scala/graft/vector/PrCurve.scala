@@ -82,7 +82,7 @@ object PrCurve {
       scored AS (
         SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos,
                ${graft.GraftQuery.duckQz(Similarity.duckCosine("e.embedding", "c.cv"), 2)} AS th
-        FROM (SELECT * FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e CROSS JOIN cvt c
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e CROSS JOIN cvt c
         WHERE len(embedding) = 64),
       buckets AS (
         SELECT th, CAST(sum(pos) AS BIGINT) AS pos,

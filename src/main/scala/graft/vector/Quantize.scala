@@ -61,7 +61,7 @@ object Quantize {
     Some("""
       WITH vals AS (
         SELECT d.i - 1 AS dim, CAST(e.embedding[d.i] AS DOUBLE) AS v
-        FROM (SELECT * FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e
         CROSS JOIN generate_series(1, 64) d(i)
         WHERE len(e.embedding) = 64),
       ranges AS (

@@ -36,9 +36,32 @@ object SemDedup {
 
   private val Q = 1000000.0
 
-  def semanticDedup(emb: DataFrame, nClusters: Int, tau: Double): DataFrame = {
+  /** The paper's own cluster-count knob: nClusters ≈ corpus / target
+    * cluster size (SemDeDup sizes k so the within-cluster pair scan stays
+    * bounded — the clustering EXISTS to bound that stage). A fixed k makes
+    * cluster populations grow linearly with the corpus and the pair work
+    * quadratically (the r14 q80 54×-growth finding); deriving k from the
+    * input count caps expected cluster size at `targetClusterSize`, so the
+    * pair stage is O(n · target) instead of O(n²/k). Integer ceil, floor 8
+    * (the historical fixture k — sf0.01 corpora keep their exact prior
+    * results), mirrored verbatim by the oracle's cnt CTE.
+    */
+  def nClustersFor(n: Long, targetClusterSize: Long = 1000L): Int =
+    math.min(math.max(8L, (n + targetClusterSize - 1) / targetClusterSize),
+      1L << 20).toInt
+
+  def semanticDedup(emb: DataFrame, nClusters: Int, tau: Double): DataFrame =
+    dedupAssigned(assign(emb, nClusters), tau)
+
+  /** Assignment stage alone — (vec_id, embedding, cell). Split out so the
+    * sf10 staged oracle can persist exactly this table (the argmax over
+    * seeds is the one q80 fragment DuckDB cannot afford at sf10: n·k
+    * 64-dim cosines through per-element lambdas measure ~0.14M pairs/s →
+    * ~30 min for the 2.5×10⁸-pair scored CTE, vs seconds for the engine's
+    * codegen'd kernel).
+    */
+  def assign(emb: DataFrame, nClusters: Int): DataFrame = {
     require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
-    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     val vecs = emb.select(col("vec_id"), col("embedding"))
 
     val seedKey = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
@@ -48,13 +71,19 @@ object SemDedup {
 
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("seed_id"))
-    val assigned = vecs.crossJoin(broadcast(seeds))
+    vecs.crossJoin(broadcast(seeds))
       .withColumn("cos", VectorExprs.cosineSim(col("embedding"), col("seed_vec")))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"),
-        transform(col("embedding").cast("array<double>"),
-          v => round(v * Q).cast("long")).as("qv"))
+      .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"))
+  }
+
+  /** Everything downstream of assignment: quantized centroids, dominance. */
+  private[vector] def dedupAssigned(assignedIn: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val assigned = assignedIn.select(col("vec_id"), col("embedding"), col("cell"),
+      transform(col("embedding").cast("array<double>"),
+        v => round(v * Q).cast("long")).as("qv"))
 
     val cent = assigned
       .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "qval")))
@@ -96,7 +125,7 @@ object SemDedup {
       .withColumn("g", expr(
         s"(count(1) over (partition by cell) + ${bucketSize - 1}) div $bucketSize"))
       .withColumn("b", pmod(xxhash64(col("vec_id")), col("g")).cast("int"))
-    val p = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val p = assignedIn.sparkSession.sessionState.conf.numShufflePartitions
     val xSide = bucketed.select(col("cell"), col("b").as("i"),
       explode(sequence(col("b"), col("g").cast("int") - 1)).as("j"),
       col("vec_id").as("x_id"), col("embedding").as("x_emb"),
@@ -127,43 +156,20 @@ object SemDedup {
 
   // ---- queries -------------------------------------------------------------
 
-  /** q80: embeddings + planted exact copies (the corpus is random, so
-    * near-twins only exist if planted — the q30/q56 pattern); every planted
-    * copy must be dropped in favor of its lower-id original. The oracle
-    * replays the full pipeline: seed selection, argmax assignment,
-    * quantized centroids, dominance test.
+  /** The qv quantization, shared character-identically by the full oracle's
+    * assigned CTE and the staged one (the staged table stores only
+    * vec_id/cell/embedding; qv is derived the same way in both variants).
     */
-  val qSemDedup = GraftQuery(
-    "q80_semantic_dedup",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val planted = e.filter(col("vec_id") < 10).select(
-        (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
-      semanticDedup(
-        e.select(col("vec_id"), col("embedding")).unionByName(planted),
-        nClusters = 8, tau = 0.999)
-    },
-    Some(s"""
-      WITH vecs AS (
-        SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings
-        UNION ALL
-        SELECT vec_id + 1000000 AS vec_id, embedding
-        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE vec_id < 10),
-      seeds AS (
-        SELECT vec_id AS seed_id, embedding AS seed_vec FROM vecs
-        ORDER BY ${graft.text.Md5P61.duckBase("CAST(vec_id AS VARCHAR)")}, vec_id
-        LIMIT 8),
-      scored AS (
-        SELECT v.vec_id, v.embedding, s.seed_id,
-               ${Similarity.duckCosine("v.embedding", "s.seed_vec")} AS cos
-        FROM vecs v CROSS JOIN seeds s),
-      assigned AS (
-        SELECT vec_id, embedding, seed_id AS cell,
-               list_transform(embedding,
-                 v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY cos DESC, seed_id) AS rn FROM scored)
-        WHERE rn = 1),
+  private val duckQv: String =
+    "list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+
+  /** Everything downstream of the assigned CTE — centroids, dominance scan,
+    * final projection — shared VERBATIM between the full and staged oracle
+    * variants (the StagedOracle trust argument: the two can only diverge in
+    * the upstream being staged, and that upstream is hash-verified by the
+    * full oracle at sf0.01/sf0.1/sf1 where k is small enough for DuckDB).
+    */
+  private def q80Downstream: String = s"""
       cd AS (
         SELECT cell, dim, sum(qval) AS s, count(*) AS n FROM (
           SELECT cell, u.dim AS dim, u.qval AS qval FROM (
@@ -193,6 +199,17 @@ object SemDedup {
       -- exact cosines (measured 3.5x10^8 candidate pairs pre-cell at sf10).
       -- The per-row norm is hoisted (identical expression, evaluated once),
       -- so the surviving pairs' cosine is the same op tree as duckCosine.
+      -- ASSUMPTION (asserted below, not silent): the proof requires
+      -- UNIFORM-LENGTH vectors — with mixed lengths the fold runs over
+      -- len(x) while each norm runs over its own length, the tested
+      -- quantity is no longer a true cosine, and the triangle-inequality
+      -- cover no longer reaches every qualifying pair. ulen makes a
+      -- mixed-length corpus fail LOUDLY instead of diverging silently.
+      ulen AS (
+        SELECT CASE WHEN count(DISTINCT len(embedding)) <= 1 THEN 1
+               ELSE CAST(error('q80 angular pre-filter assumes uniform embedding length; corpus is mixed-length') AS INT)
+               END AS ok
+        FROM ws),
       bks AS MATERIALIZED (
         SELECT vec_id, cell, cent_sim, embedding, nrm,
                list_transform(generate_series(1, 5),
@@ -204,7 +221,7 @@ object SemDedup {
                 sqrt(${Similarity.duckFold(
       "CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)", "len(embedding)")}) AS nrm
               FROM ws) pre
-        WHERE nrm > 0),
+        WHERE nrm > 0 AND (SELECT ok FROM ulen) = 1),
       offs AS (
         SELECT d1.o AS o1, d2.o AS o2, d3.o AS o3, d4.o AS o4, d5.o AS o5
         FROM (VALUES (-1),(0),(1)) d1(o) CROSS JOIN (VALUES (-1),(0),(1)) d2(o)
@@ -227,7 +244,79 @@ object SemDedup {
       SELECT w.vec_id, w.cell, round(w.cent_sim, 8) AS cent_sim,
              d.vec_id IS NULL AS is_kept
       FROM ws w LEFT JOIN dropped d ON w.vec_id = d.vec_id
-      ORDER BY w.vec_id"""))
+      ORDER BY w.vec_id"""
+
+  /** Persist the assignment table (vec_id, cell, embedding) for the sf10
+    * staged oracle — the one q80 fragment whose all-DuckDB form is
+    * intractable at that scale (the n·k argmax: ~0.14M 64-dim cosine
+    * pairs/s through per-element lambdas → ~30 min measured; the engine's
+    * codegen kernel does it in seconds). Guarded by the [[graft.StagedOracle]]
+    * freshness contract (_SUCCESS + fixture fingerprint).
+    */
+  private def stageAssigned(table: String)(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      stageDir: String): Unit = {
+    val dest = new java.io.File(stageDir, table)
+    if (graft.StagedOracle.isFresh(dest, sfDir)) return
+    val e = Tables.embeddings(spark, sfDir)
+    val planted = e.filter(col("vec_id") < 10).select(
+      (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val corpus = e.select(col("vec_id"), col("embedding")).unionByName(planted)
+    assign(corpus, nClustersFor(corpus.count()))
+      .write.mode("overwrite").parquet(dest.getAbsolutePath)
+    graft.StagedOracle.markComplete(dest, sfDir)
+  }
+
+  /** q80: embeddings + planted exact copies (the corpus is random, so
+    * near-twins only exist if planted — the q30/q56 pattern); every planted
+    * copy must be dropped in favor of its lower-id original. The oracle
+    * replays the full pipeline: seed selection, argmax assignment,
+    * quantized centroids, dominance test. nClusters follows the paper's
+    * knob (corpus/1000, floor 8) in BOTH engines, so cluster populations —
+    * and with them the dominance stage's O(cluster²) pair work — stay
+    * bounded as the corpus grows (the r14 54×-growth fix).
+    */
+  val qSemDedup = GraftQuery(
+    "q80_semantic_dedup",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val planted = e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(planted)
+      // one cheap count action to size k — the same count the oracle's cnt
+      // CTE takes; at sf0.01 (510 vecs) this is the historical k = 8
+      semanticDedup(corpus, nClusters = nClustersFor(corpus.count()), tau = 0.999)
+    },
+    Some(s"""
+      WITH vecs AS MATERIALIZED (
+        SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE vec_id < 10),
+      cnt AS (
+        SELECT greatest(8, CAST(ceil(count(*) / 1000.0) AS BIGINT)) AS k FROM vecs),
+      seeds AS (
+        SELECT vec_id AS seed_id, embedding AS seed_vec
+        FROM (SELECT vec_id, embedding, row_number() OVER (
+                ORDER BY ${graft.text.Md5P61.duckBase("CAST(vec_id AS VARCHAR)")},
+                         vec_id) AS rn
+              FROM vecs) sr
+        WHERE rn <= (SELECT k FROM cnt)),
+      scored AS (
+        SELECT v.vec_id, v.embedding, s.seed_id,
+               ${Similarity.duckCosine("v.embedding", "s.seed_vec")} AS cos
+        FROM vecs v CROSS JOIN seeds s),
+      assigned AS (
+        SELECT vec_id, embedding, seed_id AS cell, $duckQv AS qv
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, seed_id) AS rn FROM scored)
+        WHERE rn = 1),$q80Downstream"""),
+    staged = Some(graft.StagedOracle(
+      write = stageAssigned("semdedup_assigned.parquet"),
+      sql = s"""
+      WITH assigned AS MATERIALIZED (
+        SELECT vec_id, embedding, cell, $duckQv AS qv
+        FROM read_parquet('{STAGE}/semdedup_assigned.parquet/*.parquet')),$q80Downstream""")))
 
   val queries: Seq[GraftQuery] = Seq(qSemDedup)
 }

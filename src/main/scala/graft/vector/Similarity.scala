@@ -325,7 +325,7 @@ object Similarity {
             list_transform(generate_series(1, len(q.qv)),
               i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
             (acc, v) -> acc + v)) AS n_q
-        FROM (SELECT * FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e CROSS JOIN q),
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e CROSS JOIN q),
       ranked AS (
         SELECT query_id, vec_id,
           CASE WHEN n_e = 0 OR n_q = 0 THEN 0.0 ELSE dot / (n_e * n_q) END AS cos_sim
@@ -366,7 +366,7 @@ object Similarity {
       qv AS (SELECT embedding AS qe FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE vec_id = 0)
       SELECT e.vec_id, e.label,
              ${duckCosine("e.embedding", "q.qe")} AS cos_sim
-      FROM (SELECT * FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e JOIN cands cd ON cd.vec_id = e.vec_id CROSS JOIN qv q
+      FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e JOIN cands cd ON cd.vec_id = e.vec_id CROSS JOIN qv q
       ORDER BY cos_sim DESC, e.vec_id
       LIMIT 20"""))
 
@@ -537,7 +537,7 @@ object Similarity {
           list_transform(generate_series(1, 64),
             __pi -> CAST(e.embedding[__pi] AS DOUBLE) * rl.rlist[__pi])),
           (__pa, __pb) -> __pa + __pb) AS value
-      FROM (SELECT * FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e CROSS JOIN rl
+      FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) e CROSS JOIN rl
       WHERE len(e.embedding) = 64
       ORDER BY vec_id, out_dim"""))
 
