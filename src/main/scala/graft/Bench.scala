@@ -194,6 +194,13 @@ object Bench {
         k -> fmt(resMap(k) - f)
     })
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Floor flag for ratio readers: rows under ~0.5 s are dominated by
+    // Spark's fixed ~0.1-0.3 s stage-scheduling floor, so per-query ratios
+    // vs a millisecond-latency engine (the DuckDB oracle) are meaningless
+    // there — the honest per-query scale signal is sf10 growth (SCALE.md).
+    val floorDominated = results.count { case (_, v) => v >= 0 && v < 0.5 }
+    val floorNote =
+      s""""floor_dominated_rows":$floorDominated,"floor_note":"rows <0.5s sit on Spark's fixed scheduling floor; per-query ratios not meaningful there - read sf10 growth instead""""
     val regs = jmap(results.collect {
       case (k, v) if regressed(k, v) =>
         k -> ("[" + fmt(prev(k)) + "," + fmt(v) + "]")
@@ -208,11 +215,11 @@ object Bench {
     // regressions, stream floors, and the slowest 30 queries (the ones
     // perf triage reads) — and write the full per-query map to the file
     // artifact, which the line names.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"regressions":$regs,"baseline_committed":"${committed._1}","regressions_vs_committed":$regsCommitted,"window_suspect":$windowSuspect,"stream_floor":$floors,"stream_net":$nets,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"regressions":$regs,"baseline_committed":"${committed._1}","regressions_vs_committed":$regsCommitted,"window_suspect":$windowSuspect,$floorNote,"stream_floor":$floors,"stream_net":$nets,"sf":"$sfDir"}"""
     def slimLine(nSlow: Int, regsJson: String): String = {
       val slowest = jmap(results.filter(_._2 >= 0).sortBy(-_._2).take(nSlow)
         .map { case (k, v) => k -> fmt(v) })
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"queries":$slowest,"queries_note":"slowest $nSlow of ${results.size}; full map in $outPath","regressions":$regsJson,"baseline_committed":"${committed._1}","flagged_vs_committed":${results.count { case (k, v) => regressedVsCommitted(k, v) }},"window_suspect":$windowSuspect,"stream_floor":$floors,"stream_net":$nets,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"queries":$slowest,"queries_note":"slowest $nSlow of ${results.size}; full map in $outPath","regressions":$regsJson,"baseline_committed":"${committed._1}","flagged_vs_committed":${results.count { case (k, v) => regressedVsCommitted(k, v) }},"window_suspect":$windowSuspect,$floorNote,"stream_floor":$floors,"stream_net":$nets,"sf":"$sfDir"}"""
     }
     val candidates = Iterator(
       slimLine(30, regs), slimLine(15, regs),

@@ -34,4 +34,68 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Object-store (S3-compatible) configuration surface — the Spark
+    * equivalent of the reference's httpfs credentials block
+    * (`create_enhanced_views.py:16-33` sets s3_endpoint / s3_access_key_id /
+    * s3_secret_access_key / s3_url_style=path for a MinIO-style store).
+    *
+    * Conf-only by design: the sandbox has no network, so this maps the
+    * reference's knobs onto the standard `fs.s3a.*` Hadoop properties and
+    * nothing more. On a real cluster, apply to a session and every
+    * `spark.read.parquet("s3a://bucket/...")` in the engine works unchanged
+    * — all sources take a directory string, never a scheme-specific path.
+    *
+    * @param pathStyle  true = path-style URLs (MinIO/httpfs `s3_url_style=
+    *                   path`); false = virtual-hosted (AWS default)
+    * @param ssl        connect over TLS (reference's `s3_use_ssl`)
+    */
+  case class ObjectStoreConf(endpoint: String,
+                             accessKey: String,
+                             secretKey: String,
+                             pathStyle: Boolean = true,
+                             ssl: Boolean = false) {
+    /** The `fs.s3a.*` Hadoop properties this conf denotes. */
+    def hadoopProps: Map[String, String] = Map(
+      "fs.s3a.endpoint" -> endpoint,
+      "fs.s3a.access.key" -> accessKey,
+      "fs.s3a.secret.key" -> secretKey,
+      "fs.s3a.path.style.access" -> pathStyle.toString,
+      "fs.s3a.connection.ssl.enabled" -> ssl.toString,
+      // httpfs-parity: static creds, not instance-profile chains
+      "fs.s3a.aws.credentials.provider" ->
+        "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
+
+    /** Apply to a live session's Hadoop configuration (cluster-wide for
+      * executors launched after; for submit-time scope use `applyTo` on
+      * the builder instead). */
+    def applyTo(spark: SparkSession): SparkSession = {
+      hadoopProps.foreach { case (k, v) =>
+        spark.sparkContext.hadoopConfiguration.set(k, v)
+      }
+      spark
+    }
+
+    /** Apply at build time (preferred: reaches executors via
+      * `spark.hadoop.*` conf propagation). */
+    def applyTo(b: SparkSession.Builder): SparkSession.Builder =
+      hadoopProps.foldLeft(b) { case (bb, (k, v)) =>
+        bb.config("spark.hadoop." + k, v)
+      }
+  }
+
+  object ObjectStoreConf {
+    /** Read from the environment using the reference's variable names
+      * (`resources.py:203-342` reads S3_ENDPOINT / S3_ACCESS_KEY_ID /
+      * S3_SECRET_ACCESS_KEY); None when no endpoint is configured. */
+    def fromEnv(env: Map[String, String] = sys.env): Option[ObjectStoreConf] =
+      env.get("S3_ENDPOINT").map { ep =>
+        ObjectStoreConf(
+          endpoint = ep,
+          accessKey = env.getOrElse("S3_ACCESS_KEY_ID", ""),
+          secretKey = env.getOrElse("S3_SECRET_ACCESS_KEY", ""),
+          pathStyle = env.getOrElse("S3_URL_STYLE", "path") == "path",
+          ssl = env.getOrElse("S3_USE_SSL", "false").toBoolean)
+      }
+  }
 }

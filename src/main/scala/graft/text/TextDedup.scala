@@ -308,6 +308,28 @@ object TextDedup {
     connectedComponents(docs.select(col("doc_id")), verified, maxIter)
   }
 
+  /** Edge-count cutoff below which [[connectedComponents]] may collect the
+    * deduped edge set and union-find on the driver. Derived from driver
+    * memory, not a constant: budget 5% of the heap, at a conservative
+    * ~250 bytes per collected edge (GenericRow + two boxed Longs + the
+    * union-find HashMap entries), floored at 100k edges so tiny test
+    * drivers still take the measured-2×-faster local path on fixture-size
+    * graphs. Reads `spark.driver.memory` when set (the cluster-submit
+    * case); falls back to the live JVM heap (`Runtime.maxMemory`), which
+    * in local mode IS the driver heap. 8 GiB driver → ~1.7M edges.
+    */
+  private[graft] def defaultDriverThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    defaultDriverThresholdFor(
+      spark.sparkContext.getConf.getOption("spark.driver.memory"))
+
+  private[graft] def defaultDriverThresholdFor(driverMemory: Option[String]): Long = {
+    val heapBytes: Long = driverMemory
+      .flatMap(s => scala.util.Try(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)).toOption)
+      .getOrElse(Runtime.getRuntime.maxMemory())
+    math.max(100000L, heapBytes / 20 / 250)
+  }
+
   /** Connected components by alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
     * converges in O(log n) rounds on ANY graph — plain min-label
@@ -323,7 +345,7 @@ object TextDedup {
     */
   private[graft] def connectedComponents(nodes: DataFrame, edgesIn: DataFrame,
                                          maxIter: Int = 25,
-                                         driverThreshold: Long = 500000): DataFrame = {
+                                         driverThreshold: Long = -1L): DataFrame = {
     // large-star: for every neighbor v > u, link v to m = min(Γ(u) ∪ {u});
     // output edges are oriented large→small
     def largeStar(e: DataFrame): DataFrame = {
@@ -370,9 +392,16 @@ object TextDedup {
     // union-find replaces ~6 Spark jobs per alternating-star round with
     // one collect (measured ~2× on the registry query). The distributed
     // path remains the 100 TB route and is exercised by the spec with
-    // driverThreshold = 0.
+    // driverThreshold = 0. The default threshold is DERIVED from driver
+    // memory ([[defaultDriverThreshold]]), not a constant: a fixed cutoff
+    // would either OOM a small driver on an edge set that narrowly fits
+    // the constant, or send a large driver's easily-collectable graph
+    // down the slow distributed path.
+    val effThreshold =
+      if (driverThreshold >= 0) driverThreshold
+      else defaultDriverThreshold(nodes.sparkSession)
     val labels: DataFrame =
-      if (sig._1 <= driverThreshold) {
+      if (sig._1 <= effThreshold) {
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
           var r = x

@@ -284,6 +284,26 @@ class TextSpec extends SparkSpec {
     assert(byPath(0) == byPath(1))
   }
 
+  test("connected components: default driver threshold derives from driver memory") {
+    // The fast-path cutoff must scale with the driver heap, not sit at a
+    // constant: a 100 TB dedup graph narrowly over a constant silently
+    // takes the slow path while one narrowly under OOMs a small driver.
+    val at8g = TextDedup.defaultDriverThresholdFor(Some("8g"))
+    val at64g = TextDedup.defaultDriverThresholdFor(Some("64g"))
+    // linear in heap, modulo integer-division truncation (±8 edges)
+    assert(math.abs(at64g - at8g * 8) <= 8,
+      s"threshold must scale linearly with heap: $at8g vs $at64g")
+    // 5% of heap / 250 B per edge: 8 GiB -> ~1.7M edges
+    assert(at8g == (8L << 30) / 20 / 250, s"8g threshold drifted: $at8g")
+    // floor: a tiny driver still takes the fast path on fixture graphs
+    assert(TextDedup.defaultDriverThresholdFor(Some("1m")) == 100000L)
+    // unset / unparsable -> live JVM heap, never a throw
+    assert(TextDedup.defaultDriverThresholdFor(Some("not-a-size")) >= 100000L)
+    assert(TextDedup.defaultDriverThresholdFor(None) >= 100000L)
+    // the session-reading wrapper resolves without throwing
+    assert(TextDedup.defaultDriverThreshold(spark) >= 100000L)
+  }
+
   test("simhash dedup pairs: exact twins at hamming 0, unrelated text absent") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
