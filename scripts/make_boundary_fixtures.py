@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Build the round-15 boundary-shape sweep fixtures (reproducible).
+
+Usage: python3 scripts/make_boundary_fixtures.py [srcDir] [outRoot]
+
+Creates two schema-preserving copies of the source scale dir:
+
+  <outRoot>/fix_tworow   every table cut to exactly 2 rows (ordered by its
+                         first column for reproducibility) — the n = 2
+                         boundary of every n-1 denominator (sample stddev/
+                         variance/correlation), quantile interpolation,
+                         and 2-point binning/range path
+  <outRoot>/fix_maxlen   documents.text replaced by ~100-200 KB strings
+                         (the crawl-page shape): even doc_ids share one
+                         identical highly-repetitive long text (a planted
+                         exact-dup cluster with huge duplicate spans), odd
+                         doc_ids get unique-per-doc repetitive text;
+                         n_chars updated to match; 12 docs; every other
+                         table cut to 12 rows so the sweep exercises the
+                         tokenize/shingle/BPE/fingerprint kernels on long
+                         inputs rather than bulk row count
+
+Sweep protocol (mirrors make_extreme_fixtures.py / SCALE.md round 14):
+  scripts/run.sh graft.Verify <fixture> /tmp/v_b
+  python3 scripts/compare.py <fixture> /tmp/v_b
+Expected state on the round-15 engine: both fixtures 199/199 hash-green.
+The same two shapes are pinned registry-wide (no-throw + execution) in
+EmptyInputSpec.
+"""
+import sys, os
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# even docs: one shared, highly repetitive ~190 KB text (exact-dup cluster
+# with giant duplicate spans — the Lee-et-al substring-dedup stress);
+# odd docs: per-doc repetitive ~150 KB text (unique shingle sets)
+SHARED_PHRASE = ("the quick brown fox jumps over the lazy dog while the "
+                 "cat watches quietly from the warm windowsill nearby ")
+UNIQUE_PHRASE = " with assorted words chosen to vary the shingle stream "
+
+
+def make_tworow(con, src, dst):
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        p = f"{src}/{t}.parquet"
+        first = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{p}')").fetchall()[0][0]
+        con.execute(f"""COPY (SELECT * FROM read_parquet('{p}')
+                        ORDER BY {first} LIMIT 2)
+                        TO '{dst}/{t}.parquet' (FORMAT PARQUET)""")
+
+
+def make_maxlen(con, src, dst):
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        p = f"{src}/{t}.parquet"
+        first = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{p}')").fetchall()[0][0]
+        if t == "documents":
+            con.execute(f"""COPY (
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0
+                  THEN repeat('{SHARED_PHRASE}', 1800) || 'shared-tail'
+                  ELSE repeat('unique phrase ' || doc_id || '{UNIQUE_PHRASE}', 2500)
+                       || doc_id
+                END AS text,
+                lang, source,
+                len(CASE WHEN doc_id % 2 = 0
+                  THEN repeat('{SHARED_PHRASE}', 1800) || 'shared-tail'
+                  ELSE repeat('unique phrase ' || doc_id || '{UNIQUE_PHRASE}', 2500)
+                       || doc_id END)::BIGINT AS n_chars
+              FROM read_parquet('{p}') ORDER BY doc_id LIMIT 12)
+              TO '{dst}/{t}.parquet' (FORMAT PARQUET)""")
+        else:
+            con.execute(f"""COPY (SELECT * FROM read_parquet('{p}')
+                            ORDER BY {first} LIMIT 12)
+                            TO '{dst}/{t}.parquet' (FORMAT PARQUET)""")
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp"
+    con = duckdb.connect()
+    make_tworow(con, src, f"{out}/fix_tworow")
+    make_maxlen(con, src, f"{out}/fix_maxlen")
+    print(f"wrote {out}/fix_tworow and {out}/fix_maxlen from {src}")
+
+
+if __name__ == "__main__":
+    main()

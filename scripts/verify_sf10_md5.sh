@@ -29,9 +29,11 @@ STAGE="${2:-/tmp/stage_sf10_md5}"
 SF10=tmp/sf10
 MD5Q=q118_dataset_split,q126_knn_graph,q127_weighted_sample,q136_dedup_report,q148_source_novelty,q157_entity_resolution,q165_bootstrap_ci,q169_filter_cascade,q16_string_funcs,q170_shard_balance,q174_sql_functions,q179_corpus_card,q180_negative_sampling,q20_exact_dedup,q26_minhash_lsh_dedup,q27_simhash,q29_ann_lsh,q30_embedding_dedup,q38_ivf_build,q47_stratified_sample,q50_minhash_canonical,q51_dedup_clusters,q52_simhash_dedup,q53_corpus_curation,q55_source_sketch,q56_embedding_canonical,q67_corpus_shuffle,q69_random_projection,q80_semantic_dedup,q82_exact_sample,q96_mixture_resample
 if [ ! -d "$SF10" ]; then
-  echo "[verify_sf10_md5] generating $SF10 (ScaleUp x100 of sf0.1)..."
-  SPARK_DRIVER_MEM=16g scripts/run.sh graft.ScaleUp /root/testdata/sf0.1 tmp/sf1 10
-  SPARK_DRIVER_MEM=24g scripts/run.sh graft.ScaleUp tmp/sf1 "$SF10" 10
+  # ONE pass, replicas=100 — composing x10 of an x10 output collides the
+  # replica key offsets (i+j sums) and mints duplicate keys; ScaleUp now
+  # fails loud on such input (see assertStrideFits, round-15 post-mortem)
+  echo "[verify_sf10_md5] generating $SF10 (ScaleUp x100 of sf0.1, single pass)..."
+  SPARK_DRIVER_MEM=24g scripts/run.sh graft.ScaleUp /root/testdata/sf0.1 "$SF10" 100
 fi
 SPARK_DRIVER_MEM=24g SPARK_GRAFT_STAGE_DIR="$STAGE" \
   scripts/run.sh graft.Verify "$SF10" "$OUT" "$MD5Q"

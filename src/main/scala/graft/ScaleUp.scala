@@ -48,6 +48,30 @@ object ScaleUp {
       else d
     }
 
+  /** Replica offsets are collision-free only when every source key fits
+    * inside ONE stride: offset i·stride + key < offset (i+1)·stride ⇔
+    * max(key) − min(key) < stride. COMPOSING ScaleUp (x10 of an x10
+    * output) violates this — replica (i, j) lands at offset (i+j)·stride,
+    * so a two-stage x100 collapses 100 replicas onto 19 distinct key
+    * offsets and every "unique" key appears up to 10× (the round-15
+    * post-mortem: duplicate (event_id, ts) twins at sf10 made the q45
+    * session oracle's window tie-order nondeterministic, 20 drifting rows
+    * out of 1.8M). Scale in ONE pass (replicas=100) instead; this guard
+    * fails loud on the composed input rather than silently minting
+    * duplicate keys.
+    */
+  private def assertStrideFits(name: String, df: DataFrame): Unit =
+    KeyStride.foreach { case (k, stride) =>
+      if (df.columns.contains(k)) {
+        val r = df.agg(min(col(k).cast("long")), max(col(k).cast("long"))).collect()(0)
+        if (!r.isNullAt(0) && r.getLong(1) - r.getLong(0) >= stride)
+          sys.error(
+            s"[scaleup] $name.$k spans ${r.getLong(0)}..${r.getLong(1)} ≥ stride $stride: " +
+              "the input looks like a prior ScaleUp output. Composed runs collide replica " +
+              "key offsets (i+j sums); re-run as ONE pass with replicas = the full factor.")
+      }
+    }
+
   private def replicate(df: DataFrame, r: Int)(tweak: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until r).map(i => tweak(replica(df, i), i)).reduce(_ unionByName _)
 
@@ -86,16 +110,22 @@ object ScaleUp {
       }
     Seq("customer", "supplier", "part", "orders", "lineitem", "events")
       .foreach { t =>
-        write(t, replicate(spark.read.parquet(s"$src/$t.parquet"), r)(suffixNames))
+        val srcDf = spark.read.parquet(s"$src/$t.parquet")
+        assertStrideFits(t, srcDf)
+        write(t, replicate(srcDf, r)(suffixNames))
       }
+    val srcDocs = spark.read.parquet(s"$src/documents.parquet")
+    assertStrideFits("documents", srcDocs)
     write("documents",
-      replicate(spark.read.parquet(s"$src/documents.parquet"), r) { (d, i) =>
+      replicate(srcDocs, r) { (d, i) =>
         if (i == 0) d
         else d.withColumn("text",
           regexp_replace(col("text"), "((?:\\S+\\s+){5})", "$1§r" + i + " "))
       })
+    val srcEmb = spark.read.parquet(s"$src/embeddings.parquet")
+    assertStrideFits("embeddings", srcEmb)
     write("embeddings",
-      replicate(spark.read.parquet(s"$src/embeddings.parquet"), r) { (d, i) =>
+      replicate(srcEmb, r) { (d, i) =>
         if (i == 0) d
         else d.withColumn("embedding",
           transform(col("embedding"), (x, j) =>

@@ -40,10 +40,12 @@ object CsvFolderSource {
     * headered CSV under a failures/ prefix).
     */
   def writeFailuresFixture(): String = {
-    val dir = java.nio.file.Paths.get("/tmp/graft_wrm_fixture/failures")
+    val dir = java.nio.file.Paths.get(s"${graft.wrm.WrmScale.root}/failures")
     java.nio.file.Files.createDirectories(dir)
-    val rows = (1 to 40).map { i =>
-      val station = 1 + (i % 8)
+    // scale-aware (SPARK_GRAFT_WRM_SCALE): R× the report rows over an
+    // R×-wider station key space — same growth shape as the raw fixture
+    val rows = (1 to 40 * graft.wrm.WrmScale.scale).map { i =>
+      val station = 1 + (i % (8 * graft.wrm.WrmScale.rowFactor))
       val kind = Seq("brake", "tire", "chain", "lock")(i % 4)
       f"2025-05-${1 + i % 2}%02d,$station%d,$kind%s,${i % 3}%d"
     }
@@ -77,12 +79,12 @@ object CsvFolderSource {
           countDistinct(col("station_id")).as("n_stations"))
         .orderBy(col("failure_type"))
     },
-    Some("""
+    Some(s"""
       SELECT failure_type,
              count(*) AS n,
              CAST(sum(severity) AS BIGINT) AS total_severity,
              count(DISTINCT station_id) AS n_stations
-      FROM read_csv('/tmp/graft_wrm_fixture/failures/*.csv', header=true,
+      FROM read_csv('${graft.wrm.WrmScale.root}/failures/*.csv', header=true,
              columns={'report_date': 'VARCHAR', 'station_id': 'INTEGER',
                       'failure_type': 'VARCHAR', 'severity': 'INTEGER'})
       GROUP BY failure_type

@@ -353,11 +353,14 @@ object CorpusPrep {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                   AS doc_offset
               FROM t JOIN ord ON t.doc_id = ord.doc_id),
-      tok AS (SELECT doc_offset + u.pos AS gpos, u.tok AS tok FROM (
-                SELECT doc_offset,
-                       unnest(list_transform(generate_series(1, len(toks)),
-                         i -> struct_pack(pos := i - 1, tok := toks[i]))) AS u
-                FROM off) s)
+      tok AS (
+        -- zipped unnest, not a per-position slice of the captured list:
+        -- list_transform(generate_series, i -> toks[i]) re-materializes
+        -- the whole list per element — O(tokens^2) per doc (the round-15
+        -- maxlen-sweep hang class, see q61's oracle)
+        SELECT doc_offset + unnest(generate_series(1, len(toks))) - 1 AS gpos,
+               unnest(toks) AS tok
+        FROM off)
       SELECT CAST(gpos // 32 AS BIGINT) AS window_id, count(*) AS n_tokens,
              string_agg(tok, ' ' ORDER BY gpos) AS text
       FROM tok GROUP BY 1 ORDER BY window_id"""))

@@ -1170,12 +1170,22 @@ object TextDedup {
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         FROM documents
         WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 4
+      ), words AS (
+        -- zipped unnest + window lead, NOT a per-position slice of the
+        -- captured token list: list_transform(generate_series, i -> t[i:i+3])
+        -- re-materializes the whole list per element, O(tokens^2) per doc —
+        -- the round-15 maxlen sweep (190 KB docs) hung the oracle on it
+        SELECT doc_id,
+               unnest(generate_series(1, len(t))) - 1 AS pos,
+               unnest(t) AS tok
+        FROM toks
       ), grams AS (
-        SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM (
-          SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 3),
-            i -> struct_pack(pos := i - 1,
-                             gram := array_to_string(t[i:i+3], ' ')))) AS pg
-          FROM toks) s
+        SELECT doc_id, pos,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+               lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w AS gram
+        FROM words
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(tok, 3) OVER w IS NOT NULL
       ), dup AS (
         SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
       ), marked AS (
@@ -1243,12 +1253,20 @@ object TextDedup {
         FROM documents
       ), toks AS (
         SELECT doc_id, t FROM toksall WHERE len(t) >= 4
+      ), words AS (
+        -- linear zipped unnest (see q61's oracle note on the quadratic
+        -- per-position slice this replaces)
+        SELECT doc_id,
+               unnest(generate_series(1, len(t))) - 1 AS pos,
+               unnest(t) AS tok
+        FROM toks
       ), grams AS (
-        SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM (
-          SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 3),
-            i -> struct_pack(pos := i - 1,
-                             gram := array_to_string(t[i:i+3], ' ')))) AS pg
-          FROM toks) s
+        SELECT doc_id, pos,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+               lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w AS gram
+        FROM words
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(tok, 3) OVER w IS NOT NULL
       ), dup AS (
         SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
       ), marked AS (
@@ -1264,10 +1282,10 @@ object TextDedup {
         SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
         FROM sids GROUP BY doc_id, span_id
       ), pos AS (
-        SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
-          SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
-            i -> struct_pack(pos := i - 1, tok := t[i]))) AS u
-          FROM toksall) s
+        SELECT doc_id,
+               unnest(generate_series(1, len(t))) - 1 AS pos,
+               unnest(t) AS tok
+        FROM toksall
       ), kept AS (
         SELECT p.doc_id, p.pos, p.tok FROM pos p
         WHERE NOT EXISTS (SELECT 1 FROM spans sp

@@ -30,16 +30,21 @@ object WrmFixture {
 
   /** Write `ticksPerDate` snapshot files for each date under
     * `root/dt=<date>/wrm_stations_<ts>.txt` and return the root. Reuses an
-    * existing directory (deterministic content).
+    * existing directory (deterministic content). Filenames stay the
+    * historical `HH-00-00` shape up to 14 ticks/date (hours 10..23); past
+    * that, ticks spread over 10-minute slots (`HH-M0-00`, 6 per hour) so
+    * the filename-timestamp extraction (S7) always sees a valid time.
     */
-  def writeRawFiles(root: Path, dates: Seq[String], ticksPerDate: Int = 3): Path = {
+  def writeRawFiles(root: Path, dates: Seq[String], ticksPerDate: Int = 3,
+                    n: Int = 8, nBikes: Int = 4): Path = {
     dates.zipWithIndex.foreach { case (date, d) =>
       val dir = root.resolve(s"dt=$date")
       Files.createDirectories(dir)
       (0 until ticksPerDate).foreach { t =>
-        val hh = 10 + t
-        val f = dir.resolve(f"wrm_stations_${date}_$hh%02d-00-00.txt")
-        val bytes = payload(d * 10 + t).getBytes(StandardCharsets.UTF_8)
+        val (hh, mm) = if (ticksPerDate <= 14) (10 + t, 0)
+                       else (10 + t / 6, (t % 6) * 10)
+        val f = dir.resolve(f"wrm_stations_${date}_$hh%02d-$mm%02d-00.txt")
+        val bytes = payload(d * 100 + t, n, nBikes).getBytes(StandardCharsets.UTF_8)
         // skip the rewrite when content already matches: Files.write
         // truncates first, and a concurrent reader (another JVM's Spark
         // listing) must never observe a half-written fixture
@@ -51,10 +56,15 @@ object WrmFixture {
     root
   }
 
-  /** Shared fixture for the wrm_* queries: built once per JVM under /tmp. */
+  /** Shared fixture for the wrm_* queries: built once per JVM under the
+    * scale-suffixed root (see [[WrmScale]]; /tmp/graft_wrm_fixture at the
+    * default scale 1, 100× rows via SPARK_GRAFT_WRM_SCALE=100).
+    */
   lazy val defaultRoot: Path = {
-    val root = Paths.get("/tmp/graft_wrm_fixture/raw")
-    writeRawFiles(root, Seq("2025-05-01", "2025-05-02"))
+    val root = Paths.get(s"${WrmScale.root}/raw")
+    writeRawFiles(root, Seq("2025-05-01", "2025-05-02"),
+      ticksPerDate = 3 * WrmScale.fileFactor,
+      n = 8 * WrmScale.rowFactor, nBikes = 4 * WrmScale.rowFactor)
     root
   }
 }

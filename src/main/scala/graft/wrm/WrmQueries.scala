@@ -24,7 +24,7 @@ object WrmQueries {
     * (the driver's DuckDB registers only the testdata tables, so domain
     * oracles reference this dump by absolute path).
     */
-  val DumpPath = "/tmp/graft_wrm_fixture/enhanced_parquet"
+  val DumpPath = s"${WrmScale.root}/enhanced_parquet"
 
   private val Dump = s"read_parquet('$DumpPath/*.parquet')"
 

@@ -5,10 +5,12 @@ import org.apache.spark.sql.DataFrame
 
 /** Registry-wide degenerate-input robustness: every query must return a
   * result — never throw — when every table has zero rows, exactly one
-  * row, one row duplicated 100× (zero-entropy hot-key data), or ten rows
-  * of nothing but NULLs (nulls in every column are a fact of life in any
-  * at-scale corpus; typed-Dataset decodes of primitive fields are the
-  * crash class).
+  * row, exactly two rows (the n−1 = 1 boundary of every sample-statistic
+  * denominator and 2-point interpolation), one row duplicated 100×
+  * (zero-entropy hot-key data), ten rows of nothing but NULLs (nulls in
+  * every column are a fact of life in any at-scale corpus; typed-Dataset
+  * decodes of primitive fields are the crash class), or ~190 KB
+  * max-length document strings (the crawl-page shape).
   *
   * Why these are first-class properties and not edge cases: at scale,
   * scheduled jobs routinely see inputs that prune to almost nothing (a
@@ -54,6 +56,7 @@ class EmptyInputSpec extends SparkSpec {
   }
   private lazy val emptyDir: String = fixture(0)
   private lazy val oneRowDir: String = fixture(1)
+  private lazy val twoRowDir: String = fixture(2)
   private lazy val dupDir: String = fixture(1, dup = 100)
   private lazy val nullDir: String = {
     val dir = Files.createTempDirectory("graft_sf_nulls").toFile
@@ -64,6 +67,41 @@ class EmptyInputSpec extends SparkSpec {
       base.select(base.schema.fields.map(f =>
           org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)): _*)
         .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/$t.parquet")
+    }
+    dir.getAbsolutePath
+  }
+
+  // Max-length strings (the crawl-page shape, VERDICT r14 item 3):
+  // documents.text ~150-190 KB per doc — even doc_ids share one identical
+  // highly repetitive text (a planted exact-dup cluster with giant
+  // duplicate spans), odd doc_ids unique repetitive text. Stresses the
+  // tokenize/shingle/BPE/fingerprint/substring-dedup kernels on long
+  // inputs; every kernel must stay per-byte linear (no catastrophic regex
+  // backtracking, no length-quadratic pass). Same construction as
+  // scripts/make_boundary_fixtures.py, whose fixture is additionally
+  // hash-checked cross-engine via scripts/compare.py (SCALE.md round 15).
+  private lazy val maxLenDir: String = {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sf_maxlen").toFile
+    dir.deleteOnExit()
+    val src = "/root/testdata/sf0.001"
+    val sharedPhrase = "the quick brown fox jumps over the lazy dog while " +
+      "the cat watches quietly from the warm windowsill nearby "
+    Tables.AllNames.foreach { t =>
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val out =
+        if (t == "documents")
+          base.orderBy("doc_id").limit(12)
+            .withColumn("text",
+              when(col("doc_id") % 2 === 0,
+                concat(repeat(lit(sharedPhrase), 1800), lit("shared-tail")))
+                .otherwise(concat(repeat(concat(lit("unique phrase "),
+                  col("doc_id").cast("string"),
+                  lit(" with assorted words chosen to vary the shingle stream ")),
+                  2500), col("doc_id").cast("string"))))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        else base.limit(12)
+      out.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/$t.parquet")
     }
     dir.getAbsolutePath
   }
@@ -83,7 +121,9 @@ class EmptyInputSpec extends SparkSpec {
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     sweep("empty", () => emptyDir, fn, name)
     sweep("single-row", () => oneRowDir, fn, name)
+    sweep("two-row", () => twoRowDir, fn, name)
     sweep("all-duplicate", () => dupDir, fn, name)
     sweep("all-null", () => nullDir, fn, name)
+    sweep("max-length-string", () => maxLenDir, fn, name)
   }
 }
