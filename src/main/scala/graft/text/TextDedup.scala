@@ -718,13 +718,17 @@ object TextDedup {
         .orderBy(col("doc_a"))
     },
     Some("""
-      WITH sh AS MATERIALIZED (
+      WITH toks AS MATERIALIZED (
+        -- split ONCE per doc: re-evaluating regexp_split_to_array inside
+        -- the lambda re-splits the whole text per gram index — O(tokens ×
+        -- text_len) per doc, the round-15 maxlen-sweep hang class
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+      ), sh AS MATERIALIZED (
         SELECT doc_id, source,
-          list_distinct(list_transform(
-            generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 0)),
-            i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
-                 regexp_split_to_array(trim(text), '\s+')[i+1])) AS grams
-        FROM documents)
+          list_distinct(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+            i -> t[i] || ' ' || t[i+1])) AS grams
+        FROM toks)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
              ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -1336,12 +1340,13 @@ object TextDedup {
         SELECT doc_id, text FROM documents
         UNION ALL SELECT doc_id, text FROM pl),
       sh AS MATERIALIZED (
+        -- split once per doc (see q25's oracle note)
         SELECT doc_id,
-          list_distinct(list_transform(
-            generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 0)),
-            i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
-                 regexp_split_to_array(trim(text), '\s+')[i+1])) AS grams
-        FROM corpus)
+          list_distinct(list_transform(generate_series(1, greatest(len(ct) - 1, 0)),
+            i -> ct[i] || ' ' || ct[i+1])) AS grams
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS ct
+              FROM corpus) c)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CASE WHEN len(a.grams) = 0 THEN 0.0
              ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
