@@ -48,13 +48,16 @@ object GraftSession {
     *
     * @param pathStyle  true = path-style URLs (MinIO/httpfs `s3_url_style=
     *                   path`); false = virtual-hosted (AWS default)
-    * @param ssl        connect over TLS (reference's `s3_use_ssl`)
+    * @param ssl        connect over TLS; defaults TRUE to match the
+    *                   reference (`resources.py:170` sets
+    *                   `s3_use_ssl: "true"`) — an unset S3_USE_SSL must
+    *                   not silently downgrade the TLS posture
     */
   case class ObjectStoreConf(endpoint: String,
                              accessKey: String,
                              secretKey: String,
                              pathStyle: Boolean = true,
-                             ssl: Boolean = false) {
+                             ssl: Boolean = true) {
     /** The `fs.s3a.*` Hadoop properties this conf denotes. */
     def hadoopProps: Map[String, String] = Map(
       "fs.s3a.endpoint" -> endpoint,
@@ -95,7 +98,21 @@ object GraftSession {
           accessKey = env.getOrElse("S3_ACCESS_KEY_ID", ""),
           secretKey = env.getOrElse("S3_SECRET_ACCESS_KEY", ""),
           pathStyle = env.getOrElse("S3_URL_STYLE", "path") == "path",
-          ssl = env.getOrElse("S3_USE_SSL", "false").toBoolean)
+          ssl = env.get("S3_USE_SSL").map(parseBool(_, "S3_USE_SSL"))
+            .getOrElse(true))
+      }
+
+    /** Tolerant env-var boolean: accepts true/false/1/0/yes/no/on/off,
+      * case-insensitively — `"1"` must not throw where a shell script
+      * would mean "enabled". Unrecognized values fail loud with the
+      * variable name rather than a bare IllegalArgumentException. */
+    private[graft] def parseBool(s: String, name: String): Boolean =
+      s.trim.toLowerCase match {
+        case "true" | "1" | "yes" | "on"  => true
+        case "false" | "0" | "no" | "off" => false
+        case other =>
+          throw new IllegalArgumentException(
+            s"$name: cannot parse '$other' as a boolean (expected true/false/1/0/yes/no/on/off)")
       }
   }
 }

@@ -66,9 +66,12 @@ object ScaleUp {
         val r = df.agg(min(col(k).cast("long")), max(col(k).cast("long"))).collect()(0)
         if (!r.isNullAt(0) && r.getLong(1) - r.getLong(0) >= stride)
           sys.error(
-            s"[scaleup] $name.$k spans ${r.getLong(0)}..${r.getLong(1)} ≥ stride $stride: " +
-              "the input looks like a prior ScaleUp output. Composed runs collide replica " +
-              "key offsets (i+j sums); re-run as ONE pass with replicas = the full factor.")
+            s"[scaleup] $name.$k spans ${r.getLong(0)}..${r.getLong(1)} ≥ stride $stride. " +
+              "Either (a) the input is a prior ScaleUp output — composed runs collide replica " +
+              "key offsets (i+j sums); re-run as ONE pass with replicas = the full factor — or " +
+              "(b) this is a genuinely larger natural source whose key span exceeds the stride; " +
+              s"then raise KeyStride.$k past the observed span (next power of 10 above " +
+              s"${r.getLong(1) - r.getLong(0)}) and re-run.")
       }
     }
 

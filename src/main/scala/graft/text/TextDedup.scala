@@ -323,9 +323,13 @@ object TextDedup {
       spark.sparkContext.getConf.getOption("spark.driver.memory"))
 
   private[graft] def defaultDriverThresholdFor(driverMemory: Option[String]): Long = {
+    // byteStringAsMb, not AsBytes: Spark itself parses a UNITLESS
+    // spark.driver.memory as MiB (SparkContext memory confs default to
+    // the MiB suffix), so "4096" means 4 GiB — AsBytes would read it as
+    // 4096 BYTES and collapse the threshold to the floor
     val heapBytes: Long = driverMemory
       .flatMap(s => scala.util.Try(
-        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)).toOption)
+        org.apache.spark.network.util.JavaUtils.byteStringAsMb(s) * 1024L * 1024L).toOption)
       .getOrElse(Runtime.getRuntime.maxMemory())
     math.max(100000L, heapBytes / 20 / 250)
   }

@@ -28,23 +28,39 @@ object WrmFixture {
     (Header +: (stations ++ bikes)).mkString("\n")
   }
 
+  /** Filename wall-clock slot for tick `t`: stays the historical
+    * `HH-00-00` shape up to 14 ticks/date (hours 10..23) and the
+    * 10-minute-slot shape up to 84 (both preserve the byte-identical
+    * fixtures earlier rounds gated on); past 84 ticks spread over
+    * per-minute slots from midnight (1440/day), and past 1440 over
+    * per-second slots (86400/day) — so S7 timestamp extraction always
+    * sees a valid time at any supported [[WrmScale]].
+    */
+  private[wrm] def tickHms(t: Int, ticksPerDate: Int): (Int, Int, Int) =
+    if (ticksPerDate <= 14) (10 + t, 0, 0)
+    else if (ticksPerDate <= 84) (10 + t / 6, (t % 6) * 10, 0)
+    else if (ticksPerDate <= 1440) (t / 60, t % 60, 0)
+    else (t / 3600, (t / 60) % 60, t % 60)
+
   /** Write `ticksPerDate` snapshot files for each date under
     * `root/dt=<date>/wrm_stations_<ts>.txt` and return the root. Reuses an
-    * existing directory (deterministic content). Filenames stay the
-    * historical `HH-00-00` shape up to 14 ticks/date (hours 10..23); past
-    * that, ticks spread over 10-minute slots (`HH-M0-00`, 6 per hour) so
-    * the filename-timestamp extraction (S7) always sees a valid time.
+    * existing directory (deterministic content); see [[tickHms]] for the
+    * filename-timestamp shape.
     */
   def writeRawFiles(root: Path, dates: Seq[String], ticksPerDate: Int = 3,
                     n: Int = 8, nBikes: Int = 4): Path = {
+    // tick base per date: disjoint tick ranges across dates (no payload
+    // epoch collision → the content-hash dedup gate never sees identical
+    // snapshots on different dates); 100 preserves the historical
+    // fixtures byte-for-byte at ticksPerDate <= 100
+    val tickBase = math.max(100, ticksPerDate)
     dates.zipWithIndex.foreach { case (date, d) =>
       val dir = root.resolve(s"dt=$date")
       Files.createDirectories(dir)
       (0 until ticksPerDate).foreach { t =>
-        val (hh, mm) = if (ticksPerDate <= 14) (10 + t, 0)
-                       else (10 + t / 6, (t % 6) * 10)
-        val f = dir.resolve(f"wrm_stations_${date}_$hh%02d-$mm%02d-00.txt")
-        val bytes = payload(d * 100 + t, n, nBikes).getBytes(StandardCharsets.UTF_8)
+        val (hh, mm, ss) = tickHms(t, ticksPerDate)
+        val f = dir.resolve(f"wrm_stations_${date}_$hh%02d-$mm%02d-$ss%02d.txt")
+        val bytes = payload(d * tickBase + t, n, nBikes).getBytes(StandardCharsets.UTF_8)
         // skip the rewrite when content already matches: Files.write
         // truncates first, and a concurrent reader (another JVM's Spark
         // listing) must never observe a half-written fixture

@@ -48,9 +48,20 @@ class ObjectStoreConfSpec extends SparkSpec {
       "S3_USE_SSL" -> "true"))
     assert(got.contains(ObjectStoreConf("http://e:9000", "a", "s",
       pathStyle = false, ssl = true)))
-    // defaults: path-style, no TLS (the MinIO/httpfs posture)
+    // defaults: path-style AND TLS on — the reference's own default
+    // (resources.py:170 s3_use_ssl: "true"); an unset S3_USE_SSL must
+    // not silently flip the TLS posture off
     val d = ObjectStoreConf.fromEnv(Map("S3_ENDPOINT" -> "http://e:9000")).get
-    assert(d.pathStyle && !d.ssl)
+    assert(d.pathStyle && d.ssl)
+  }
+
+  test("S3_USE_SSL parses shell-style booleans tolerantly; junk fails loud") {
+    def ssl(v: String) = ObjectStoreConf.fromEnv(
+      Map("S3_ENDPOINT" -> "http://e:9000", "S3_USE_SSL" -> v)).get.ssl
+    assert(ssl("1") && ssl("true") && ssl("TRUE") && ssl("yes") && ssl("on"))
+    assert(!ssl("0") && !ssl("false") && !ssl("False") && !ssl("no") && !ssl("off"))
+    val e = intercept[IllegalArgumentException](ssl("maybe"))
+    assert(e.getMessage.contains("S3_USE_SSL")) // names the variable
   }
 
   test("builder applyTo prefixes spark.hadoop. for executor propagation") {

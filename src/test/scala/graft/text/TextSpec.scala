@@ -295,6 +295,11 @@ class TextSpec extends SparkSpec {
       s"threshold must scale linearly with heap: $at8g vs $at64g")
     // 5% of heap / 250 B per edge: 8 GiB -> ~1.7M edges
     assert(at8g == (8L << 30) / 20 / 250, s"8g threshold drifted: $at8g")
+    // UNITLESS values are MiB, matching Spark's own parse of
+    // spark.driver.memory: "4096" is 4 GiB, not 4096 bytes (which would
+    // mis-collapse to the floor)
+    assert(TextDedup.defaultDriverThresholdFor(Some("4096")) ==
+      TextDedup.defaultDriverThresholdFor(Some("4g")))
     // floor: a tiny driver still takes the fast path on fixture graphs
     assert(TextDedup.defaultDriverThresholdFor(Some("1m")) == 100000L)
     // unset / unparsable -> live JVM heap, never a throw

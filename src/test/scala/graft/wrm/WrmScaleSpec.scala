@@ -9,17 +9,20 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class WrmScaleSpec extends AnyFunSuite {
 
-  test("scale factors multiply to ~scale and stay >= 1") {
-    // fileFactor × rowFactor must cover the requested multiplier within
-    // the integer-sqrt remainder (exact for perfect squares — the gate
-    // uses 100 → 10 × 10)
-    Seq(1, 4, 9, 25, 100).foreach { s =>
+  test("scale factors cover scale (never undershoot) and stay >= 1") {
+    // fileFactor × rowFactor must COVER the requested multiplier: exact
+    // for perfect squares (the gate uses 100 → 10 × 10), rounded UP
+    // otherwise (10 → 3 × 4 = 12, not the old 3 × 3 = 9 undershoot)
+    Seq(1, 4, 9, 10, 25, 50, 100, 10000).foreach { s =>
       val f = math.max(1, math.sqrt(s.toDouble).toInt)
-      val r = math.max(1, s / f)
-      assert(f * r == s, s"scale $s: $f x $r")
+      val r = (s + f - 1) / f
+      assert(f * r >= s, s"scale $s: $f x $r undershoots")
+      assert(f * r < s + f, s"scale $s: $f x $r overshoots by >= fileFactor")
+      val sq = math.sqrt(s.toDouble)
+      if (sq == sq.toInt.toDouble) assert(f * r == s, s"perfect square $s")
     }
     assert(WrmScale.scale >= 1 && WrmScale.fileFactor >= 1 && WrmScale.rowFactor >= 1)
-    assert(WrmScale.fileFactor * WrmScale.rowFactor <= WrmScale.scale)
+    assert(WrmScale.fileFactor * WrmScale.rowFactor >= WrmScale.scale)
   }
 
   test("default scale keeps the historical root; scaled roots are disjoint") {
@@ -30,21 +33,26 @@ class WrmScaleSpec extends AnyFunSuite {
   }
 
   test("scaled tick filenames stay valid wall-clock times for S7 extraction") {
-    // up to 14 ticks/date: historical HH-00-00 (hours 10..23); beyond:
-    // 10-minute slots, 6/hour — hour must stay < 24 for the gate's 30
-    // ticks/date and well past it
-    def hhmm(t: Int, ticksPerDate: Int): (Int, Int) =
-      if (ticksPerDate <= 14) (10 + t, 0) else (10 + t / 6, (t % 6) * 10)
+    // historical shapes preserved: <=14 ticks HH-00-00, <=84 ticks
+    // 10-minute slots
     (0 until 3).foreach { t =>
-      val (hh, mm) = hhmm(t, 3); assert(hh == 10 + t && mm == 0)
+      val (hh, mm, ss) = WrmFixture.tickHms(t, 3)
+      assert(hh == 10 + t && mm == 0 && ss == 0)
     }
     (0 until 30).foreach { t =>
-      val (hh, mm) = hhmm(t, 30)
-      assert(hh >= 10 && hh < 24 && mm >= 0 && mm < 60 && mm % 10 == 0)
+      val (hh, mm, ss) = WrmFixture.tickHms(t, 30)
+      assert(hh >= 10 && hh < 24 && mm % 10 == 0 && ss == 0)
     }
-    // 84 ticks/date (the 6/hour × 14h ceiling) still valid
-    (0 until 84).foreach { t =>
-      val (hh, _) = hhmm(t, 84); assert(hh < 24)
+    // every supported density up to the per-second ceiling stays a valid
+    // time AND every tick gets a distinct slot (filename uniqueness)
+    Seq(84, 300, 1440, 30000, 86400).foreach { ticks =>
+      val slots = (0 until ticks).map { t =>
+        val (hh, mm, ss) = WrmFixture.tickHms(t, ticks)
+        assert(hh >= 0 && hh < 24 && mm >= 0 && mm < 60 && ss >= 0 && ss < 60,
+          s"ticks=$ticks t=$t -> $hh:$mm:$ss")
+        (hh, mm, ss)
+      }
+      assert(slots.distinct.size == ticks, s"ticks=$ticks slot collision")
     }
   }
 
