@@ -11,21 +11,33 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Per-query times from the newest committed `BENCH_r*.json` in
+  /** Per-query times from the newest committed bench artifact in
     * `repoDir` whose scale factor matches `sfDir` — the second,
     * independent regression baseline (the r11 post-mortem: the local-run
     * baseline can itself be contended, so round-long contention could
     * never trigger re-measurement against it; the committed artifact is
-    * the round-graded record). The driver file embeds the slimmed bench
-    * line (total + slowest 30 — exactly the perf-triage set) inside its
-    * JSON-escaped "tail" string; parse it out, newest round first,
-    * skipping rounds whose embedded line is absent or at another SF.
-    * Returns (fileName, perQueryTimes); ("", empty) when no usable
-    * baseline exists.
+    * the round-graded record).
+    *
+    * Two artifact families, matched on sfDir's basename:
+    *  - `BENCH_r*.json` (driver-wrapped, sf0.* testdata runs): the driver
+    *    file embeds the slimmed bench line (total + slowest 30 — exactly
+    *    the perf-triage set) inside its JSON-escaped "tail" string;
+    *  - `BENCH_sf10_r*.json` (full Bench format, the per-round sf10
+    *    growth record): raw `"queries"` map. The sf10 corpus has no
+    *    affordable same-scale DuckDB pair, so round-over-round
+    *    growth-ratio regression against the PRIOR sf10 artifact is its
+    *    only regression guard (VERDICT r15 item 8) — without this branch
+    *    every sf10 run read `baseline_committed:""`.
+    *
+    * Parsed newest round first, skipping rounds whose map is absent or at
+    * another SF. Returns (fileName, perQueryTimes); ("", empty) when no
+    * usable baseline exists.
     */
   def committedBaseline(repoDir: String, sfDir: String): (String, Map[String, Double]) =
     try {
-      val rFile = """BENCH_r(\d+)\.json""".r
+      val sf10 = new java.io.File(sfDir).getName == "sf10"
+      val rFile = if (sf10) """BENCH_sf10_r(\d+)\.json""".r
+                  else """BENCH_r(\d+)\.json""".r
       val candidates = Option(new java.io.File(repoDir).listFiles())
         .getOrElse(Array.empty)
         .flatMap(f => f.getName match {
@@ -34,17 +46,30 @@ object Bench {
         }).sortBy(-_._1)
       candidates.iterator.map { case (_, f) =>
         val txt = java.nio.file.Files.readString(f.toPath)
-        val sfOk = """"sf":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
-          .exists(m => sfDir.endsWith("sf" + m.group(1)))
-        if (!sfOk) (f.getName, Map.empty[String, Double])
-        else {
-          val inner = """\\"queries\\":\{(.*?)\}""".r
-            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-          val qs = """\\"([A-Za-z0-9_]+)\\":(-?[0-9.]+)""".r
-            .findAllMatchIn(inner)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          (f.getName, qs)
-        }
+        val qs =
+          if (sf10) {
+            // full format: "sf" is a directory path ending in sf10
+            val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+              .exists(m => new java.io.File(m.group(1)).getName == "sf10")
+            if (!sfOk) Map.empty[String, Double]
+            else """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt)
+              .map(m => """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+                .findAllMatchIn(m.group(1))
+                .map(q => q.group(1) -> q.group(2).toDouble).toMap)
+              .getOrElse(Map.empty[String, Double])
+          } else {
+            val sfOk = """"sf":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+              .exists(m => sfDir.endsWith("sf" + m.group(1)))
+            if (!sfOk) Map.empty[String, Double]
+            else {
+              val inner = """\\"queries\\":\{(.*?)\}""".r
+                .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+              """\\"([A-Za-z0-9_]+)\\":(-?[0-9.]+)""".r
+                .findAllMatchIn(inner)
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            }
+          }
+        (f.getName, qs)
       }.find(_._2.nonEmpty).getOrElse(("", Map.empty))
     } catch { case _: Throwable => ("", Map.empty[String, Double]) }
 

@@ -2,7 +2,6 @@ package graft.vector
 
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Semantic deduplication over embeddings (SemDeDup, Abbas et al. 2023):
@@ -22,9 +21,12 @@ import org.apache.spark.sql.functions._
   *  - the drop rule is a one-pass dominance test (a higher-priority
   *    in-cluster vector within τ exists) — no iteration, no RNG.
   *
-  * At 100 TB: the seed matrix is nClusters rows (broadcast); assignment is
-  * a narrow map + a k-rows-per-vector window (bounded by construction);
-  * the centroid update shuffles (cell, dim) scalars; the dominance join is
+  * At 100 TB: assignment is two-level — a small coarse-center matrix
+  * (√k rows) broadcast for a narrow candidate-cell map, then an exact
+  * cosine argmax against only the candidate cells' seed lists (see
+  * [[assign]]; the old single-level form broadcast the FULL k-row seed
+  * matrix — 512 MB at the 1<<20 cap — and scored all n·k pairs); the
+  * centroid update shuffles (cell, dim) scalars; the dominance join is
   * (cell, bucket-pair)-partitioned with O(cluster²) comparisons total —
   * bounded by sizing nClusters ≈ corpus/target_cluster_size exactly as the
   * paper does (the clustering exists to bound this stage; same knob as
@@ -53,29 +55,214 @@ object SemDedup {
   def semanticDedup(emb: DataFrame, nClusters: Int, tau: Double): DataFrame =
     dedupAssigned(assign(emb, nClusters), tau)
 
+  /** Below this seed count the single-level dense scan (broadcast all k
+    * seeds, score n·k pairs) is unconditionally cheaper: the broadcast is
+    * ≤ ~40 KB and the pruned path's model build + candidate shuffle can't
+    * pay for themselves. 128 sits below the sf10 gate's k = 201, so the
+    * 100× correctness gate exercises the two-level scale path, not the
+    * toy one.
+    */
+  private[vector] val DenseSeedMax = 128
+
+  /** Ceiling for the ADAPTIVE dense fallback: when the two-level path
+    * measures (on a deterministic 1% hash-sample) that the candidate
+    * filter has no pruning power — uniform/unclusterable geometry, the
+    * prune's provable worst case — and the full seed broadcast is still
+    * small (≤ ~2.5 MB here), scanning densely beats shipping n·|C| ≈ n·m
+    * candidate rows through a shuffle for the same pair count. Past this
+    * k the broadcast is no longer small and the candidate join is the
+    * only shape that scales, whatever the geometry.
+    */
+  private[vector] val DenseFallbackMax = 8192
+
+  /** Test/gate override: force "dense" or "pruned" regardless of the
+    * adaptive dispatch (both are the exact argmax — this is a plan
+    * selector, never a semantics knob). */
+  private def forcedPath: Option[String] =
+    sys.env.get("SPARK_GRAFT_SEMDEDUP_FORCE").filter(v => v == "dense" || v == "pruned")
+
+  /** Safety margin absorbing double/acos rounding in the angular prune —
+    * see [[VectorExprs.CandidateCells]]; it only ever ENLARGES candidate
+    * sets. */
+  private val PruneEps = 1e-6
+
+  private def seedKey: org.apache.spark.sql.Column =
+    conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Exact per-vector argmax over the scored (vec_id, embedding, seed_id,
+    * cos) candidates, ties to the smaller seed_id — the same total order
+    * as the historical `row_number OVER (ORDER BY cos DESC, seed_id)`
+    * window, but as an aggregate: partial map-side combine collapses each
+    * partition to one row per vec_id BEFORE the shuffle, so n rows move
+    * instead of the n·k scored set the window form exchanged.
+    */
+  private def argmaxSeed(scored: DataFrame): DataFrame =
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"),
+        (-col("seed_id")).as("nseed"), // max(-id) = min id on the cos tie
+        col("seed_id").as("cell"), col("embedding").as("emb"))).as("m"))
+      .select(col("vec_id"), col("m.emb").as("embedding"), col("m.cell").as("cell"))
+
   /** Assignment stage alone — (vec_id, embedding, cell). Split out so the
     * sf10 staged oracle can persist exactly this table (the argmax over
     * seeds is the one q80 fragment DuckDB cannot afford at sf10: n·k
     * 64-dim cosines through per-element lambdas measure ~0.14M pairs/s →
     * ~30 min for the 2.5×10⁸-pair scored CTE, vs seconds for the engine's
     * codegen'd kernel).
+    *
+    * Dispatches on k: dense single-level scan up to [[DenseSeedMax]]
+    * seeds, the two-level angular-pruned scan past it (which may itself
+    * fall back adaptively — see [[assignPruned]]). EVERY path is the
+    * exact argmax (the prune is lossless —
+    * [[VectorExprs.CandidateCells]]), so dispatch is a pure performance
+    * knob, never a semantic one; SemDedupSpec pins dense ≡ pruned on
+    * both random and clustered corpora.
     */
   def assign(emb: DataFrame, nClusters: Int): DataFrame = {
     require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
     val vecs = emb.select(col("vec_id"), col("embedding"))
+    forcedPath match {
+      case Some("dense")  => assignDense(vecs, nClusters)
+      case Some("pruned") => assignPruned(vecs, nClusters, adaptive = false)
+      case _ if nClusters <= DenseSeedMax => assignDense(vecs, nClusters)
+      case _ => assignPruned(vecs, nClusters, adaptive = true)
+    }
+  }
 
-    val seedKey = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+  private[vector] def assignDense(vecs: DataFrame, nClusters: Int): DataFrame = {
     val seeds = vecs.orderBy(seedKey, col("vec_id")).limit(nClusters)
       .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    argmaxSeed(vecs.crossJoin(broadcast(seeds))
+      .withColumn("cos", VectorExprs.cosineSim(col("embedding"), col("seed_vec"))))
+  }
 
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("seed_id"))
-    vecs.crossJoin(broadcast(seeds))
+  /** Two-level EXACT assignment (the large-k scale path — SemDeDup's own
+    * practice at claimed 100M+ corpus sizes, made lossless):
+    *
+    *  1. seed selection avoids sorting the corpus: the k smallest md5-p61
+    *     keys are uniform in [0, 16^15), so a 4×-slack hash-threshold
+    *     prefilter keeps ~4k rows and only THOSE are sorted (exact
+    *     fallback to the full sort if the filter ever undershoots — a
+    *     count guards it, so the result is always the same k seeds);
+    *  2. a √k-center coarse quantizer trained over the seed set with
+    *     [[IvfIndex]]'s deterministic Lloyd machinery, with per-cell
+    *     cover radii from one seed-side aggregate ([[coarseModel]]);
+    *  3. each vector maps to its candidate coarse cells via the lossless
+    *     triangle-inequality filter ([[VectorExprs.CandidateCells]] — the
+    *     only broadcast is the √k-row coarse matrix), then joins the
+    *     candidate cells' seed lists, salted into ≤256-seed sub-buckets
+    *     (the dominance join's remedy) so one hot coarse cell cannot
+    *     serialize into a single task;
+    *  4. exact cosine + [[argmaxSeed]].
+    *
+    * On clusterable (real) corpora candidate sets are O(1) cells →
+    * O(n·√k) work; on uniform random high-dim data radii approach π/2
+    * and it degrades to the dense pair count (still exact, still
+    * map-side-combined — no method that must return the exact argmax
+    * beats brute force on unclusterable data).
+    */
+  /** The coarse quantizer for the pruned scan: m centers trained with
+    * [[IvfIndex]]'s Lloyd machinery (k-means|| init, 2 iterations —
+    * deterministic xxhash coins, so the model is identical at any
+    * partitioning) over the SEED set only (k rows — trivial next to n),
+    * plus the per-cell cover radii r_j = max member angle + [[PruneEps]].
+    * Sentinel r_j = −1 marks a memberless cell (excluded from both prune
+    * bounds — it holds no seeds); r_j = π pins a zero-norm center's cell
+    * un-prunable (its angles are the pinned-0 convention, not a metric).
+    * Exactness never depends on what the centers are — they only shape
+    * how much the lossless filter manages to prune.
+    */
+  private[vector] def coarseModel(seeds: DataFrame, m: Int): (Array[Array[Float]], Array[Double]) = {
+    val spark = seeds.sparkSession
+    import spark.implicits._
+    val seedCorpus = seeds.select(col("seed_id").as("vec_id"),
+      col("seed_vec").as("embedding"))
+    // hash-Forgy init, not k-means||: the model is built over k seed rows
+    // (small next to n), where Forgy + 2 Lloyd rounds reach the same
+    // coarse quality in ~5 Spark jobs vs k-means||'s dozen-plus driver
+    // round-trips; pruning quality only shapes SPEED, never the result
+    val coarse: Array[Array[Float]] = IvfIndex.train(seedCorpus, m, iters = 2,
+        init = IvfIndex.initHashForgy)
+      .select(col("cell"), col("centroid")).as[(Int, Array[Float])].collect()
+      .sortBy(_._1).map(_._2)
+    val radii = Array.fill(coarse.length)(-1.0)
+    seeds.withColumn("nc", VectorExprs.nearestCentroid(col("seed_vec"), coarse))
+      .select(col("nc.cell").as("ccell"),
+        acos(greatest(lit(-1.0), least(lit(1.0), col("nc.sim")))).as("theta"))
+      .groupBy(col("ccell")).agg(max(col("theta")).as("r")).collect()
+      .foreach(r => radii(r.getInt(0)) = r.getDouble(1) + PruneEps)
+    coarse.zipWithIndex.foreach { case (ce, j) =>
+      if (radii(j) >= 0 && ce.forall(_ == 0.0f)) radii(j) = math.Pi
+    }
+    (coarse, radii)
+  }
+
+  private[vector] def assignPruned(vecs0: DataFrame, k: Int,
+                                   adaptive: Boolean = false): DataFrame = {
+    val spark = vecs0.sparkSession
+    import spark.implicits._
+    val vecs = vecs0.localCheckpoint() // 3 consumers: count, seed scan, candidates
+    val n = vecs.count()
+    if (n == 0)
+      return vecs.select(col("vec_id"), col("embedding"),
+        col("vec_id").as("cell")).limit(0)
+
+    val withKey = vecs.withColumn("skey", seedKey)
+    val space = BigInt(16).pow(15)
+    val tau = space * BigInt(4L * k) / BigInt(n)
+    val pool0 = if (tau >= space) withKey
+                else withKey.filter(col("skey") <= tau.toLong)
+    val pool = if (pool0.count() >= math.min(k.toLong, n)) pool0 else withKey
+    val seeds = pool.orderBy(col("skey"), col("vec_id")).limit(k)
+      .select(col("skey"), col("vec_id").as("seed_id"),
+        col("embedding").as("seed_vec"))
+      .localCheckpoint()
+
+    val m = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val (coarse, radii) = coarseModel(seeds, m)
+
+    // Adaptive fallback: measure the filter's pruning power on a
+    // deterministic 1% hash-sample. Near-full candidate sets mean
+    // uniform/unclusterable geometry — the same n·k pair count either
+    // way — so while the full seed broadcast stays small, the dense scan
+    // (no candidate shuffle) is strictly cheaper. Same seeds, same
+    // argmax: a plan decision only.
+    if (adaptive && k <= DenseFallbackMax) {
+      val live = radii.count(_ >= 0.0).toDouble
+      val sampled = vecs
+        .filter(pmod(xxhash64(col("vec_id"), lit("semdedup-dispatch")), lit(100)) < 1)
+        .select(avg(size(VectorExprs.candidateCells(col("embedding"), coarse, radii, PruneEps))))
+        .collect()(0)
+      val meanCands = if (sampled.isNullAt(0)) live else sampled.getDouble(0)
+      if (meanCands > 0.5 * live)
+        return argmaxSeed(vecs
+          .crossJoin(broadcast(seeds.select(col("seed_id"), col("seed_vec"))))
+          .withColumn("cos", VectorExprs.cosineSim(col("embedding"), col("seed_vec"))))
+    }
+
+    val sa = seeds
+      .withColumn("nc", VectorExprs.nearestCentroid(col("seed_vec"), coarse))
+      .select(col("seed_id"), col("seed_vec"), col("nc.cell").as("ccell"))
+      .localCheckpoint()
+
+    val S = 256
+    val seedBuckets = sa
+      .withColumn("g", expr(
+        s"cast((count(1) over (partition by ccell) + ${S - 1}) div $S as int)"))
+      .withColumn("sb", pmod(xxhash64(col("seed_id")), col("g")).cast("int"))
+    val cellG = seedBuckets.select(col("ccell"), col("g")).distinct()
+    val seedSide = seedBuckets.drop("theta", "g")
+
+    val p = spark.sessionState.conf.numShufflePartitions
+    val cands = vecs
+      .withColumn("ccell",
+        explode(VectorExprs.candidateCells(col("embedding"), coarse, radii, PruneEps)))
+      .join(broadcast(cellG), Seq("ccell")) // inner: memberless cells drop out
+      .withColumn("sb", explode(sequence(lit(0), col("g") - 1)))
+    val scored = cands.repartition(p, col("ccell"), col("sb"))
+      .join(seedSide.repartition(p, col("ccell"), col("sb")), Seq("ccell", "sb"))
       .withColumn("cos", VectorExprs.cosineSim(col("embedding"), col("seed_vec")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"))
+    argmaxSeed(scored)
   }
 
   /** Everything downstream of assignment: quantized centroids, dominance. */

@@ -284,9 +284,102 @@ object VectorExprs {
       copy(child = c)
   }
 
+  /** LOSSLESS coarse-cell candidate filter for exact argmax-cosine seed
+    * assignment (SemDeDup's two-level prune): given m coarse centers (any
+    * quantizer — SemDedup trains them with [[IvfIndex]]'s Lloyd machinery
+    * over the seed set) and per-cell cover radii r_j = max member angle
+    * (sentinel r_j < 0 for a memberless cell), emit every cell that could
+    * contain the globally-nearest seed.
+    *
+    * Math: argmax cosine ≡ argmin angle (acos is strictly decreasing), and
+    * angular distance is a metric on the sphere. Both directions of the
+    * triangle inequality are used, so centers need NOT be seeds:
+    *  - upper bound: every member s of a nonempty cell j has θ(x,s) ≤
+    *    θ(x,c_j) + r_j, so the best seed angle θ* ≤ U = min_j (θ_j + r_j);
+    *  - lower bound: a seed s in cell j has θ(x,s) ≥ θ(x,c_j) − r_j, so a
+    *    cell with θ_j − r_j > U + eps cannot hold the argmax (nor any
+    *    exact tie) and is pruned.
+    * `eps` (1e-6 rad) absorbs double/acos rounding — acos amplifies a
+    * 1e-15 cosine error to ≤ ~5e-8 rad near ±1 — so fp noise can only
+    * ENLARGE the candidate set, never drop the true argmax.
+    *
+    * Zero norms use the engine's pinned cosine-0 convention (θ = π/2):
+    *  - zero-norm INPUT → every nonempty cell is a candidate (no pruning);
+    *  - a zero-norm SEED forces its cell's radius ≥ π/2 (its convention
+    *    angle to any center is π/2), keeping both bounds valid for it;
+    *  - for a zero-norm CENTER the caller pins r_j = π (its angles are
+    *    synthetic, not a metric): the cell is never pruned and its U
+    *    contribution θ_j + π ≥ π is trivially a correct upper bound.
+    *
+    * On clusterable corpora (real embeddings) candidate sets are O(1)
+    * cells; on pathological uniform high-dim data radii approach π/2 and
+    * the filter degrades to all-cells — still EXACT, just un-pruned (no
+    * exact method beats brute force on unclusterable data).
+    */
+  case class CandidateCells(child: Expression, centroids: Array[Array[Float]],
+                            radii: Array[Double], eps: Double)
+      extends UnaryExpression with CodegenFallback {
+    require(centroids.length == radii.length,
+      s"centroids (${centroids.length}) and radii (${radii.length}) must align")
+    require(radii.exists(_ >= 0.0), "at least one cell must have members")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val norms: Array[Double] =
+      centroids.map { ce =>
+        var s = 0.0; var i = 0
+        while (i < ce.length) { s += ce(i).toDouble * ce(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }
+    private def clampAcos(c: Double): Double =
+      math.acos(math.max(-1.0, math.min(1.0, c)))
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val t = elemType(child)
+      val m = centroids.length
+      val nonEmpty = (0 until m).filter(radii(_) >= 0.0)
+      val nx = {
+        var s = 0.0; var i = 0
+        while (i < x.numElements()) { val xi = toDouble(x, i, t); s += xi * xi; i += 1 }
+        math.sqrt(s)
+      }
+      if (nx == 0.0) // cosine pinned to 0 against everything: no bound holds
+        return new GenericArrayData(nonEmpty.toArray)
+      val theta = new Array[Double](m)
+      var u = Double.PositiveInfinity
+      var c = 0
+      while (c < m) {
+        if (radii(c) >= 0.0) {
+          val ce = centroids(c)
+          var dot = 0.0
+          val n = math.min(x.numElements(), ce.length)
+          var i = 0
+          while (i < n) { dot += toDouble(x, i, t) * ce(i); i += 1 }
+          val sim = if (norms(c) == 0.0) 0.0 else dot / (nx * norms(c))
+          theta(c) = clampAcos(sim)
+          if (theta(c) + radii(c) < u) u = theta(c) + radii(c)
+        }
+        c += 1
+      }
+      val out = new Array[Int](m)
+      var k = 0
+      c = 0
+      while (c < m) {
+        if (radii(c) >= 0.0 && theta(c) - radii(c) <= u + eps) { out(k) = c; k += 1 }
+        c += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, k))
+    }
+    override protected def withNewChildInternal(c: Expression): CandidateCells =
+      copy(child = c)
+  }
+
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def candidateCells(emb: Column, centroids: Array[Array[Float]],
+                     radii: Array[Double], eps: Double = 1e-6): Column =
+    ColumnBridge.column(
+      CandidateCells(ColumnBridge.expression(emb), centroids, radii, eps))
 
   def nearestCentroid(emb: Column, centroids: Array[Array[Float]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(emb), centroids))

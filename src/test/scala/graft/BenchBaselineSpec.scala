@@ -36,6 +36,32 @@ class BenchBaselineSpec extends AnyFunSuite {
     }
   }
 
+  test("sf10 runs read the newest BENCH_sf10_r*.json full-format artifact") {
+    // the sf10 corpus has no affordable DuckDB pair; its only regression
+    // guard is round-over-round growth vs the prior sf10 artifact
+    // (VERDICT r15 item 8) — pin against the real committed file
+    val (name, qs) = Bench.committedBaseline("/root/repo", "/root/repo/tmp/sf10")
+    assert(name.matches("BENCH_sf10_r\\d+\\.json"), s"unexpected sf10 baseline: $name")
+    assert(qs.size > 150, s"expected the full per-query map, got ${qs.size}")
+    assert(qs.values.forall(_ >= 0))
+    // a synthetic full-format artifact parses, and "sf" must END in sf10
+    val tmp = java.nio.file.Files.createTempDirectory("bench_sf10_spec")
+    val art = """{"metric":"total","value":9.9,"unit":"sec","queries":{"qa":1.5,"qb":2.5},"regressions":{},"sf":"tmp/sf10"}"""
+    java.nio.file.Files.writeString(tmp.resolve("BENCH_sf10_r09.json"), art)
+    java.nio.file.Files.writeString(tmp.resolve("BENCH_sf10_r08.json"),
+      art.replace("tmp/sf10", "tmp/sf1")) // other corpus: must be skipped
+    try {
+      val got = Bench.committedBaseline(tmp.toString, "/any/where/sf10")
+      assert(got == ("BENCH_sf10_r09.json", Map("qa" -> 1.5, "qb" -> 2.5)))
+      // non-sf10 sfDir never reads the sf10 family
+      assert(Bench.committedBaseline(tmp.toString, "/data/sf0.1")._2.isEmpty)
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp.resolve("BENCH_sf10_r09.json"))
+      java.nio.file.Files.deleteIfExists(tmp.resolve("BENCH_sf10_r08.json"))
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   test("other-SF and missing baselines return empty, never throw") {
     assert(Bench.committedBaseline("/root/repo", "/root/testdata/sf9.9")._2.isEmpty)
     assert(Bench.committedBaseline("/nonexistent/dir", "/root/testdata/sf0.1")._2.isEmpty)

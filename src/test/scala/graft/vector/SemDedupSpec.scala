@@ -1,6 +1,7 @@
 package graft.vector
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class SemDedupSpec extends SparkSpec {
   import spark.implicits._
@@ -47,5 +48,85 @@ class SemDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SemDedup.semanticDedup(emb, nClusters = 1, tau = 1.5)
     }
+  }
+
+  // deterministic pseudo-random corpus (seeded; no Math.random in specs)
+  private def randomCorpus(n: Int, dims: Int, seed: Long,
+                           shift: Int => Array[Float] = _ => null) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val base = Array.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)
+      val s = shift(i)
+      val v = if (s == null) base
+              else base.indices.map(d => base(d) * 0.05f + s(d)).toArray
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def collectAssign(df: org.apache.spark.sql.DataFrame) =
+    df.select("vec_id", "cell").as[(Long, Long)].collect().sortBy(_._1).toSeq
+
+  test("pruned assignment ≡ dense exact argmax on an unclusterable random corpus") {
+    // uniform random high-dim data is the prune's WORST case (radii near
+    // π/2, candidate sets approach all cells): the guarantee under test is
+    // exactness, not speed — pruned must still return the identical
+    // argmax, ties included
+    val emb = randomCorpus(600, 16, seed = 42)
+    val k = 24
+    val dense = collectAssign(SemDedup.assignDense(emb, k))
+    val pruned = collectAssign(SemDedup.assignPruned(emb, k))
+    assert(dense.size == 600 && pruned == dense)
+    // the adaptive dispatch (which falls back to a dense scan when the
+    // sampled candidate ratio shows no pruning power, as here) must also
+    // be output-identical — it's a plan decision, never a semantic one
+    val adaptive = collectAssign(SemDedup.assignPruned(emb, k, adaptive = true))
+    assert(adaptive == dense)
+  }
+
+  test("pruned assignment ≡ dense AND actually prunes on a clustered corpus") {
+    // 6 well-separated cluster directions in 24-dim space with small
+    // jitter — the geometry real embedding corpora have and SemDeDup's
+    // clustering presumes; m = ⌈√48⌉ = 7 learned centers can isolate them
+    val dims = 24
+    val centers = (0 until 6).map { c =>
+      val v = Array.fill(dims)(0.0f); v(4 * c) = 1.0f
+      v(4 * c + 1) = if (c % 2 == 0) 0.3f else -0.3f
+      v
+    }
+    val emb = randomCorpus(600, dims, seed = 7, shift = i => centers(i % 6))
+    val k = 48
+    val dense = collectAssign(SemDedup.assignDense(emb, k))
+    val pruned = collectAssign(SemDedup.assignPruned(emb, k))
+    assert(pruned == dense)
+
+    // effectiveness: the candidate filter must examine a strict subset of
+    // cells on average — inspect the trained coarse model directly
+    val m = math.ceil(math.sqrt(k.toDouble)).toInt
+    val seedRows = emb
+      .withColumn("skey",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long"))
+      .orderBy("skey", "vec_id").limit(k)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      .localCheckpoint()
+    val (coarse, radii) = SemDedup.coarseModel(seedRows, m)
+    val cands = emb
+      .select(size(VectorExprs.candidateCells(col("embedding"), coarse, radii)))
+      .as[Int].collect()
+    assert(cands.forall(c => c >= 1 && c <= m))
+    val mean = cands.sum.toDouble / cands.length
+    assert(mean < m / 2.0, s"expected real pruning on clustered data: mean $mean of $m cells")
+  }
+
+  test("pruned path end-to-end: semanticDedup via large k matches dense dedup") {
+    // force the pruned path through the PUBLIC api (k > DenseSeedMax) and
+    // pin the full dedup output — assignment, centroids, dominance —
+    // against the dense path at the same k
+    val emb = randomCorpus(400, 8, seed = 11)
+    val k = SemDedup.DenseSeedMax + 20
+    val viaPublic = SemDedup.semanticDedup(emb, nClusters = k, tau = 0.999)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val viaDense = SemDedup.dedupAssigned(SemDedup.assignDense(emb, k), tau = 0.999)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(viaPublic == viaDense && viaPublic.size == 400)
   }
 }
