@@ -78,13 +78,68 @@ def make_maxlen(con, src, dst):
                             TO '{dst}/{t}.parquet' (FORMAT PARQUET)""")
 
 
+# --- round-16 shape 7: unicode/multibyte-heavy corpus ---------------------
+# Every text kernel was only ever gated on ASCII-dominant fixtures;
+# byte-vs-codepoint-vs-grapheme position semantics (substring, length,
+# split, regex classes, casing) are a classic cross-engine divergence.
+# Templates cover: CJK (no spaces inside runs), emoji incl. ZWJ families +
+# skin-tone modifiers + flags (surrogate pairs in UTF-16 engines),
+# combining diacritics (é as e+U+0301 — NFD, 2 codepoints 1 grapheme),
+# RTL Arabic/Hebrew, Greek/Cyrillic, and Latin filler so tokenizers/
+# stopword kernels still see words.
+UNICODE_TEMPLATES = [
+    "機械学習のモデルは大規模な計算資源を必要とする 自然言語処理と分散システム",
+    "数据库系统在大规模数据处理中的查询优化与索引结构设计 分布式计算框架",
+    "data pipeline \U0001F680 with emoji \U0001F468‍\U0001F469‍\U0001F467‍\U0001F466 clusters \U0001F9D1\U0001F3FD‍\U0001F4BB and flags \U0001F1F5\U0001F1F1 plus ✨\U0001F525\U0001F4BE",
+    "café résumé naïve dejà vu combining marks",
+    "معالجة اللغة الطبيعية وتعلم الآلة في الأنظمة الموزعة",
+    "עיבוד שפה טבעית ולמידת מכונה במערכות מבוזרות",
+    "Αλγόριθμοι και δομές δεδομένων Алгоритмы и структуры данных",
+]
+
+
+def make_unicode(con, src, dst):
+    os.makedirs(dst, exist_ok=True)
+    # shared exact-dup text for doc_id % 10 == 0 (a planted multibyte dup
+    # cluster); everyone else cycles templates with a unique latin prefix
+    shared = " ".join(UNICODE_TEMPLATES) + " shared tail"
+    for t in TABLES:
+        p = f"{src}/{t}.parquet"
+        first = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{p}')").fetchall()[0][0]
+        if t == "documents":
+            rows = con.execute(
+                f"SELECT doc_id, lang, source FROM read_parquet('{p}') "
+                f"ORDER BY doc_id LIMIT 40").fetchall()
+            recs = []
+            for (doc_id, lang, source) in rows:
+                if doc_id % 10 == 0:
+                    text = shared
+                else:
+                    tpl = UNICODE_TEMPLATES[doc_id % len(UNICODE_TEMPLATES)]
+                    text = (f"doc {doc_id} begins here {tpl} and mixes in "
+                            f"{UNICODE_TEMPLATES[(doc_id * 3 + 1) % len(UNICODE_TEMPLATES)]}"
+                            f" unique marker {doc_id}")
+                recs.append((doc_id, text, lang, source, len(text)))
+            con.execute("CREATE OR REPLACE TABLE _u(doc_id BIGINT, text VARCHAR,"
+                        " lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+            con.executemany("INSERT INTO _u VALUES (?,?,?,?,?)", recs)
+            con.execute(f"COPY (SELECT * FROM _u ORDER BY doc_id) TO "
+                        f"'{dst}/{t}.parquet' (FORMAT PARQUET)")
+        else:
+            con.execute(f"""COPY (SELECT * FROM read_parquet('{p}')
+                            ORDER BY {first} LIMIT 40)
+                            TO '{dst}/{t}.parquet' (FORMAT PARQUET)""")
+
+
 def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp"
     con = duckdb.connect()
     make_tworow(con, src, f"{out}/fix_tworow")
     make_maxlen(con, src, f"{out}/fix_maxlen")
-    print(f"wrote {out}/fix_tworow and {out}/fix_maxlen from {src}")
+    make_unicode(con, src, f"{out}/fix_unicode")
+    print(f"wrote {out}/fix_tworow, {out}/fix_maxlen and {out}/fix_unicode from {src}")
 
 
 if __name__ == "__main__":

@@ -105,7 +105,16 @@ object Bpe {
     */
   def learnMergesLocal(wordCounts: Seq[(String, Long)], k: Int): Seq[(String, String)] = {
     require(k >= 1, s"learnMergesLocal k must be >= 1, got $k")
-    var words = wordCounts.map { case (w, c) => (w.split("").toVector, c) }
+    // Split into CODE POINTS, not String.split("")'s UTF-16 code units:
+    // split("") halves astral characters (emoji, rare CJK) into lone
+    // surrogates, which diverges from the regexp '(.)' per-codepoint
+    // symbols of the distributed path and the DuckDB oracle — and a lone
+    // surrogate doesn't even survive the UTF-8 merge-cache round-trip
+    // (encoded as '?'). Found by the round-16 unicode corpus sweep.
+    var words = wordCounts.map { case (w, c) =>
+      (w.codePoints().toArray.toVector
+        .map(cp => new String(Character.toChars(cp))), c)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.size < k && !done) {

@@ -9,8 +9,10 @@ import org.apache.spark.sql.DataFrame
   * denominator and 2-point interpolation), one row duplicated 100×
   * (zero-entropy hot-key data), ten rows of nothing but NULLs (nulls in
   * every column are a fact of life in any at-scale corpus; typed-Dataset
-  * decodes of primitive fields are the crash class), or ~190 KB
-  * max-length document strings (the crawl-page shape).
+  * decodes of primitive fields are the crash class), ~190 KB
+  * max-length document strings (the crawl-page shape), or a
+  * unicode/multibyte-heavy corpus (CJK/emoji/NFD/RTL — the codepoint
+  * semantics shape).
   *
   * Why these are first-class properties and not edge cases: at scale,
   * scheduled jobs routinely see inputs that prune to almost nothing (a
@@ -106,6 +108,49 @@ class EmptyInputSpec extends SparkSpec {
     dir.getAbsolutePath
   }
 
+  // Unicode/multibyte-heavy corpus (round-16 shape 7, VERDICT r15 item 4):
+  // CJK, ZWJ-family emoji + skin tones + flags (astral → surrogate pairs
+  // in UTF-16 engines), NFD combining diacritics, RTL Arabic/Hebrew,
+  // Greek/Cyrillic — the byte-vs-codepoint-vs-grapheme position semantics
+  // every text kernel silently assumes away on ASCII fixtures. Same
+  // construction as scripts/make_boundary_fixtures.py fix_unicode, whose
+  // fixture is hash-checked cross-engine via scripts/compare.py (found
+  // the learnMergesLocal split("") lone-surrogate bug; SCALE.md r16).
+  private lazy val unicodeDir: String = {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sf_unicode").toFile
+    dir.deleteOnExit()
+    val src = "/root/testdata/sf0.001"
+    val templates = Seq(
+      "機械学習のモデル 自然言語処理",
+      "数据库系统 查询优化与索引",
+      "data pipeline 🚀 with 👨‍👩‍👧 and 🧑🏽‍💻 flags 🇵🇱",
+      "café résumé naïve dejà vu combining marks",
+      "معالجة اللغة الطبيعية",
+      "עיבוד שפה טבעית",
+      "Αλγόριθμοι Алгоритмы")
+    val shared = templates.mkString(" ") + " shared tail"
+    Tables.AllNames.foreach { t =>
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val out =
+        if (t == "documents") {
+          val tplArr = array(templates.map(lit): _*)
+          base.orderBy("doc_id").limit(40)
+            .withColumn("text",
+              when(col("doc_id") % 10 === 0, lit(shared))
+                .otherwise(concat(
+                  lit("doc "), col("doc_id").cast("string"), lit(" begins here "),
+                  element_at(tplArr, (col("doc_id") % templates.size).cast("int") + 1),
+                  lit(" and mixes in "),
+                  element_at(tplArr, ((col("doc_id") * 3 + 1) % templates.size).cast("int") + 1),
+                  lit(" unique marker "), col("doc_id").cast("string"))))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        } else base.limit(40)
+      out.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/$t.parquet")
+    }
+    dir.getAbsolutePath
+  }
+
   private def sweep(shape: String, dir: () => String,
                     fn: (org.apache.spark.sql.SparkSession, String) => DataFrame,
                     name: String): Unit =
@@ -125,5 +170,6 @@ class EmptyInputSpec extends SparkSpec {
     sweep("all-duplicate", () => dupDir, fn, name)
     sweep("all-null", () => nullDir, fn, name)
     sweep("max-length-string", () => maxLenDir, fn, name)
+    sweep("unicode-multibyte", () => unicodeDir, fn, name)
   }
 }

@@ -59,6 +59,25 @@ class BpeSpec extends SparkSpec {
     // frequent word trains the vocabulary
     val capped = Bpe.learnMergesCapped(docs, 2, vocabCap = 1)
     assert(capped.map(m => show(m._1)) == Seq("<a><a>", "<aa><a>"))
+    // equivalence must hold on ASTRAL characters too: the local learner's
+    // old String.split("") halved emoji into UTF-16 lone surrogates while
+    // the distributed path (regexp '(.)') and the DuckDB oracle split by
+    // codepoints — the r16 unicode-sweep bug. The ZWJ-family emoji below
+    // needs surrogate-pair-aware symbol splitting to round-trip at all.
+    val uniDocs = Seq(
+      (0L, "🚀x 🚀x data 👨‍👩 data"),
+      (1L, "café café café 🚀x")).toDF("doc_id", "text")
+    val uniDist = Bpe.learnMerges(uniDocs, 4)
+    val uniLocal = Bpe.learnMergesCapped(uniDocs, 4)
+    assert(uniLocal == uniDist, "astral/combining-char merge divergence")
+    // and every learned symbol is a well-formed string (no lone surrogate)
+    uniLocal.foreach { case (p, r) =>
+      assert(!p.exists(Character.isSurrogate) ||
+        p.codePoints().toArray.forall(Character.isValidCodePoint),
+        s"lone surrogate in merge pattern")
+      assert(new String((p + r).getBytes("UTF-8"), "UTF-8") == p + r,
+        "merge does not survive the UTF-8 cache round-trip")
+    }
   }
 
   test("persisted merge table: cold learn == warm reload, keyed by corpus") {
