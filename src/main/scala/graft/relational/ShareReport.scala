@@ -44,22 +44,29 @@ object ShareReport {
 
   /** Per part: the supplier with the lowest observed average unit price
     * (ties broken on supplier key), with that price.
+    *
+    * The rn=1 rank window this used through r15 is an ARGMIN — expressed
+    * as `min(struct(unit_price, suppkey))` it becomes an aggregate whose
+    * partial combine collapses each partition to one row per part BEFORE
+    * the exchange, where the window had to sort and ship the full
+    * (part, supplier) table (r16 StageProfile: the window+sort stages
+    * were ~2 s of the 14.5 s sf10 run, and at 100 TB a whole-table sort
+    * exchange vs an n-parts one). The struct's lexicographic order is
+    * exactly the window's (unit_price ASC, suppkey ASC) — ties, NULLs
+    * (first) and NaNs (last) included — so the result is bit-identical.
     */
-  def cheapestSupplier(lineitem: DataFrame): DataFrame = {
-    val unit = lineitem
+  def cheapestSupplier(lineitem: DataFrame): DataFrame =
+    lineitem
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(
         (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
           .as("unit_price"))
-    val w = Window.partitionBy(col("l_partkey"))
-      .orderBy(col("unit_price"), col("l_suppkey"))
-    unit.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("l_partkey"), col("l_suppkey").as("best_suppkey"),
-        col("unit_price"))
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("unit_price"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey"), col("m.l_suppkey").as("best_suppkey"),
+        col("m.unit_price").as("unit_price"))
       .orderBy(col("l_partkey"))
-  }
 
   // ---- queries -------------------------------------------------------------
 

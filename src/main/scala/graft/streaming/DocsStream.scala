@@ -130,7 +130,8 @@ object DocsStream {
     * holds the overall min, and min over the log equals it.
     */
   def runDocDedupStream(spark: SparkSession, sfDir: String): DataFrame =
-    EventsStream.withStreamPartitions(spark) {
+    EventsStream.withStreamPartitions(spark,
+        EventsStream.streamPartitionsFor(s"$sfDir/documents.parquet")) {
       import spark.implicits._
       val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = dedupFirstSeen(
@@ -166,7 +167,8 @@ object DocsStream {
     * max-over-updates IS the final state.
     */
   def runTokenTopKStream(spark: SparkSession, sfDir: String, k: Int): DataFrame =
-    EventsStream.withStreamPartitions(spark) {
+    EventsStream.withStreamPartitions(spark,
+        EventsStream.streamPartitionsFor(s"$sfDir/documents.parquet")) {
       import spark.implicits._
       val name = s"stream_topk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = tokenCounts(
@@ -202,7 +204,8 @@ object DocsStream {
     */
   def runSourceCardsStream(spark: SparkSession, sfDir: String,
                            shortLen: Long): DataFrame =
-    EventsStream.withStreamPartitions(spark) {
+    EventsStream.withStreamPartitions(spark,
+        EventsStream.streamPartitionsFor(s"$sfDir/documents.parquet")) {
       import spark.implicits._
       val name = s"stream_cards_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = sourceCards(
@@ -271,7 +274,8 @@ object DocsStream {
     * max over the update log per source is the final state.
     */
   def runQualityGateStream(spark: SparkSession, sfDir: String): DataFrame =
-    EventsStream.withStreamPartitions(spark) {
+    EventsStream.withStreamPartitions(spark,
+        EventsStream.streamPartitionsFor(s"$sfDir/documents.parquet")) {
       import spark.implicits._
       val name = s"stream_gate_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       // null text yields null counts/flags, which can't decode into the
