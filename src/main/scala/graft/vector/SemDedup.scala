@@ -201,7 +201,12 @@ object SemDedup {
                                    adaptive: Boolean = false): DataFrame = {
     val spark = vecs0.sparkSession
     import spark.implicits._
-    val vecs = vecs0.localCheckpoint() // 3 consumers: count, seed scan, candidates
+    // NOT localCheckpointed despite 4 consumers (count, seed scan,
+    // dispatch sample, candidates): the lineage is a column-pruned
+    // parquet scan, and re-scanning beats materializing the whole
+    // corpus — the checkpoint write was ~1/3 of the adaptive path's
+    // overhead over plain dense at the sf10 gate
+    val vecs = vecs0
     val n = vecs.count()
     if (n == 0)
       return vecs.select(col("vec_id"), col("embedding"),
