@@ -22,12 +22,14 @@ object Bench {
     *  - `BENCH_r*.json` (driver-wrapped, sf0.* testdata runs): the driver
     *    file embeds the slimmed bench line (total + slowest 30 — exactly
     *    the perf-triage set) inside its JSON-escaped "tail" string;
-    *  - `BENCH_sf10_r*.json` (full Bench format, the per-round sf10
-    *    growth record): raw `"queries"` map. The sf10 corpus has no
-    *    affordable same-scale DuckDB pair, so round-over-round
-    *    growth-ratio regression against the PRIOR sf10 artifact is its
-    *    only regression guard (VERDICT r15 item 8) — without this branch
-    *    every sf10 run read `baseline_committed:""`.
+    *  - `BENCH_<sfBase>_r*.json` (full Bench format, the per-round
+    *    large-SF growth record, keyed by the corpus directory's basename —
+    *    sf10 today, sf30/sf100 the same way): raw `"queries"` map. A
+    *    ScaleUp corpus has no affordable same-scale DuckDB pair, so
+    *    round-over-round growth-ratio regression against the PRIOR
+    *    artifact of the same SF is its only regression guard (VERDICT r15
+    *    item 8) — without this branch every such run read
+    *    `baseline_committed:""`.
     *
     * Parsed newest round first, skipping rounds whose map is absent or at
     * another SF. Returns (fileName, perQueryTimes); ("", empty) when no
@@ -35,11 +37,19 @@ object Bench {
     */
   def committedBaseline(repoDir: String, sfDir: String): (String, Map[String, Double]) =
     try {
-      val sf10 = new java.io.File(sfDir).getName == "sf10"
-      val rFile = if (sf10) """BENCH_sf10_r(\d+)\.json""".r
+      val sfBase = new java.io.File(sfDir).getName
+      // ScaleUp corpora (sf10, sf30, ...) carry an integer SF basename;
+      // driver testdata (sf0.001/sf0.01/sf0.1) uses the wrapped family
+      val fullFormat = sfBase.matches("sf\\d+")
+      val rFile = if (fullFormat)
+                    ("""BENCH_""" + sfBase + """_r(\d+)\.json""").r
                   else """BENCH_r(\d+)\.json""".r
-      val candidates = Option(new java.io.File(repoDir).listFiles())
-        .getOrElse(Array.empty)
+      // root holds only the CURRENT round's artifacts; prior rounds are
+      // rotated into bench/ by scripts/bench_pair.sh — search both so the
+      // newest baseline wins wherever it lives
+      val candidates = Seq(new java.io.File(repoDir),
+          new java.io.File(repoDir, "bench"))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
         .flatMap(f => f.getName match {
           case rFile(n) => Some((n.toInt, f))
           case _ => None
@@ -47,10 +57,10 @@ object Bench {
       candidates.iterator.map { case (_, f) =>
         val txt = java.nio.file.Files.readString(f.toPath)
         val qs =
-          if (sf10) {
-            // full format: "sf" is a directory path ending in sf10
+          if (fullFormat) {
+            // full format: "sf" is a directory path ending in the basename
             val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
-              .exists(m => new java.io.File(m.group(1)).getName == "sf10")
+              .exists(m => new java.io.File(m.group(1)).getName == sfBase)
             if (!sfOk) Map.empty[String, Double]
             else """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt)
               .map(m => """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r

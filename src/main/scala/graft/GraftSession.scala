@@ -58,6 +58,18 @@ object GraftSession {
                              secretKey: String,
                              pathStyle: Boolean = true,
                              ssl: Boolean = true) {
+    // Migration guard (the ssl default flipped false→true in r16 to match
+    // resources.py:170): a plain-HTTP endpoint with TLS enabled can only
+    // be a broken combination — either the endpoint URL or S3_USE_SSL is
+    // stale from a pre-flip deployment. Warn loudly rather than fail:
+    // s3a ignores the URL scheme when connection.ssl.enabled is set, so
+    // the connect error downstream would not name the real cause.
+    if (ssl && endpoint.startsWith("http://"))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ObjectStoreConf: endpoint '$endpoint' is plain HTTP but ssl=true " +
+          "(the default since the S3_USE_SSL flip — see README §Object " +
+          "store); set S3_USE_SSL=false for plain-HTTP MinIO deployments")
+
     /** The `fs.s3a.*` Hadoop properties this conf denotes. */
     def hadoopProps: Map[String, String] = Map(
       "fs.s3a.endpoint" -> endpoint,

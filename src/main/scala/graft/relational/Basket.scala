@@ -40,15 +40,21 @@ object Basket {
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
 
   /** All a<b pairs of a sorted parts array, expanded IN-ROW (no join):
-    * element i pairs with every later element via nested `transform` +
-    * `slice`. Fan-out per basket is size²/2 — bounded by the basket-size
-    * constant, never a corpus term.
+    * element i pairs with every later element. Fan-out per basket is
+    * size²/2 — bounded by the basket-size constant, never a corpus term.
+    *
+    * Two chained generators (posexplode, then explode of the tail slice)
+    * rather than the nested higher-order `transform` + `flatten` form:
+    * lambda functions are CodegenFallback expressions, so the old form
+    * dropped the whole expansion out of codegen and built a nested
+    * array-of-struct per row before exploding — measured ~2× the CPU of
+    * this stage at sf0.1 for identical output.
     */
   private def basketPairs(b: DataFrame): DataFrame =
-    b.select(explode(flatten(transform(col("parts"), (x, i) =>
-        transform(slice(col("parts"), i + lit(2), size(col("parts"))), y =>
-          struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
-      .select(col("pr.part_a"), col("pr.part_b"))
+    b.select(col("parts"), posexplode(col("parts")).as(Seq("i", "part_a")))
+      .select(col("part_a"),
+        explode(slice(col("parts"), col("i") + lit(2), size(col("parts"))))
+          .as("part_b"))
 
   /** Unordered co-purchase pairs — the graph-construction form. The graph
     * operators (q93-q95, q106) consume this and `localCheckpoint` it, so a
@@ -72,6 +78,23 @@ object Basket {
   def copurchasePairs(lineitem: DataFrame, minSupport: Long): DataFrame =
     copurchasePairsUnsorted(lineitem, minSupport)
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
+
+  /** The symmetric weighted edge list (src, dst, w) of the co-purchase
+    * graph — the shared upstream of the graph operators (q93 PageRank,
+    * q95 label propagation, q106 BFS). Symmetrized IN-ROW (explode of a
+    * 2-struct array), not via `pairs UNION ALL pairs`: a self-union
+    * re-evaluates the whole basket self-join + pair aggregate once per
+    * branch (the alsoBought finding, measured ~2× the query), the explode
+    * reads each aggregated pair row once.
+    */
+  def copurchaseEdges(lineitem: DataFrame, minSupport: Long): DataFrame =
+    copurchasePairsUnsorted(lineitem, minSupport)
+      .select(explode(array(
+        struct(col("part_a").as("src"), col("part_b").as("dst"),
+          col("support").as("w")),
+        struct(col("part_b").as("src"), col("part_a").as("dst"),
+          col("support").as("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
 
   // ---- queries -------------------------------------------------------------
 

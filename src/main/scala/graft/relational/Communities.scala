@@ -31,10 +31,14 @@ object Communities {
     */
   def labelPropagation(edges: DataFrame, iters: Int = Iters): DataFrame = {
     require(iters >= 1 && iters <= 10, s"iters must be in [1, 10], got $iters")
-    // Materialize the derived edge set once and cut per-round lineage
+    // Persist the derived edge set once and cut per-round lineage
     // (TextDedup.connectedComponents pattern) — otherwise round k's plan
     // re-executes rounds 1..k-1 plus the upstream graph construction.
-    val e = edges.localCheckpoint()
+    // LAZY: e is re-read every round but each round references its
+    // predecessor exactly once, so the unrolled loop is a linear plan and
+    // the whole run is ONE job — the eager per-round checkpoints paid a
+    // scheduling round-trip per round (the r16 scheduling-floor finding).
+    val e = edges.localCheckpoint(eager = false)
     // Round 1 fused into graph construction: with labels0 = identity the
     // first edges⋈labels join is a no-op (label ≡ src), so round 1
     // collapses to a per-(dst, src) weight sum (parallel edges combine,
@@ -49,7 +53,7 @@ object Communities {
       .groupBy(col("node"))
       .agg(min(struct((-col("s")).as("ns"), col("label"))).as("m"))
       .select(col("node"), col("m.label").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Rounds 2..k: the round-1 argmax-aggregate shape generalizes — after
     // the edges⋈labels join, min(struct(-s, label)) replaces the
     // row_number window, trading the per-node sort exchange for a second
@@ -63,7 +67,7 @@ object Communities {
         .groupBy(col("node"))
         .agg(min(struct((-col("s")).as("ns"), col("label"))).as("m"))
         .select(col("node"), col("m.label").as("label"))
-        .localCheckpoint() // O(nodes) rows
+        .localCheckpoint(eager = false) // O(nodes) rows
     }
     labels.select(col("node"), col("label").as("community"))
       .orderBy(col("node"))
@@ -88,14 +92,8 @@ object Communities {
   /** q95: communities of the q87 co-purchase graph. */
   val qCommunities = GraftQuery(
     "q95_communities",
-    (s, dir) => {
-      val pairs = Basket.copurchasePairsUnsorted(Tables.lineitem(s, dir), minSupport = 2)
-      val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"),
-        col("support").as("w"))
-        .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst"),
-          col("support").as("w")))
-      labelPropagation(edges)
-    },
+    (s, dir) => labelPropagation(
+      Basket.copurchaseEdges(Tables.lineitem(s, dir), minSupport = 2)),
     Some(s"""
       WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       pairs AS MATERIALIZED (

@@ -28,42 +28,57 @@ object PageRank {
 
   /** edges: (src, dst, w) — directed; pass both directions for an
     * undirected graph. Returns (node, pagerank) with round-8 scores.
+    *
+    * Stage-budget design (the r16 scheduling-floor finding — at toy scale
+    * these iterative rows pay Spark's per-stage floor ~30 times): the
+    * per-edge share w/wsum is folded in ONCE (`ew`) instead of re-joining
+    * `deg` every iteration; the node count is a driver scalar instead of a
+    * per-iteration `crossJoin(broadcast(nn))` aggregate; and because each
+    * iteration references its predecessor exactly once (pr appears only
+    * inside contribs, contribs only inside the next pr), the unrolled loop
+    * is a LINEAR plan — no per-iteration checkpoint action is needed, the
+    * whole run is one job after the two upstream materializations.
     */
   def pageRank(edges: DataFrame, iters: Int = Iters, d: Double = Damping): DataFrame = {
     require(iters >= 1 && iters <= 10, s"iters must be in [1, 10], got $iters")
     require(d > 0.0 && d < 1.0, s"damping must be in (0, 1), got $d")
-    // Materialize the (possibly expensive) derived edge set ONCE and cut
-    // lineage each round — without this, iteration k's plan re-executes
-    // iterations 1..k-1 AND the upstream graph construction on every
-    // reference to `edges` (the q51 connected-components pattern,
-    // TextDedup.connectedComponents).
-    val e = edges.localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum")).localCheckpoint()
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    var pr = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    // Materialize the (possibly expensive) derived edge set with the
+    // degree share folded in ONCE — `ew` is referenced every iteration,
+    // so without the checkpoint each round would re-execute the upstream
+    // graph construction (the q51 connected-components pattern). The raw
+    // edge set is referenced twice below (deg + the share join): the LAZY
+    // checkpoint persists it on first use inside the ew job, so the
+    // upstream still executes once without a separate materialization job.
+    val e = edges.localCheckpoint(eager = false)
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val ew = e.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("wsum")).as("frac"))
+      .localCheckpoint()
+    val nodes = ew.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes.count() // O(1) scalar off the checkpointed node set
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     (1 to iters).foreach { _ =>
-      val contribs = e
+      val contribs = ew
         .join(pr, col("src") === col("node"))
-        .join(deg, Seq("src"))
         .select(col("dst"),
-          round(col("pr") * col("w") / col("wsum"), 8)
-            .cast("decimal(28,8)").as("c"))
+          round(col("pr") * col("frac"), 8).cast("decimal(28,8)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      pr = nodes.crossJoin(broadcast(nn))
+      pr = nodes
         .join(contribs, col("node") === col("dst"), "left")
         .select(col("node"),
-          (lit(1.0 - d) / col("n") +
+          (lit((1.0 - d) / n) +
             lit(d) * coalesce(col("c"), lit(0).cast("decimal(28,8)"))
               .cast("double")).as("pr"))
-        .localCheckpoint() // O(nodes) rows; truncates the per-round lineage
     }
     pr.select(col("node"), round(col("pr"), 8).as("pagerank"))
       .orderBy(col("node"))
   }
 
-  /** The oracle's iteration CTEs, generated from the same loop. */
+  /** The oracle's iteration CTEs, generated from the same loop. The
+    * per-edge share is pre-folded into `ew` exactly as the Spark plan
+    * does, so the per-iteration arithmetic — round(pr · frac, 8)
+    * accumulated as DECIMAL — is the same op tree in both engines.
+    */
   private def duckIters(iters: Int, d: Double): String =
     (1 to iters).map { i =>
       s"""pr$i AS MATERIALIZED (
@@ -73,10 +88,9 @@ object PageRank {
          |  FROM nodes n0 CROSS JOIN nn
          |  LEFT JOIN (
          |    SELECT e.dst AS node,
-         |           sum(CAST(round(p.pr * e.w / dg.wsum, 8) AS DECIMAL(28,8))) AS c
-         |    FROM edges e
+         |           sum(CAST(round(p.pr * e.frac, 8) AS DECIMAL(28,8))) AS c
+         |    FROM ew e
          |    JOIN pr${i - 1} p ON e.src = p.node
-         |    JOIN deg dg ON e.src = dg.src
          |    GROUP BY e.dst) s ON s.node = n0.node)""".stripMargin
     }.mkString(",\n")
 
@@ -85,12 +99,7 @@ object PageRank {
   /** q93: PageRank over the symmetric q87 co-purchase graph. */
   val qPageRank = GraftQuery(
     "q93_pagerank",
-    (s, dir) => {
-      val pairs = Basket.copurchasePairsUnsorted(Tables.lineitem(s, dir), minSupport = 2)
-      val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"), col("support").as("w"))
-        .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst"), col("support").as("w")))
-      pageRank(edges)
-    },
+    (s, dir) => pageRank(Basket.copurchaseEdges(Tables.lineitem(s, dir), minSupport = 2)),
     Some(s"""
       WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       pairs AS MATERIALIZED (
@@ -102,7 +111,10 @@ object PageRank {
         SELECT pa AS src, pb AS dst, w FROM pairs
         UNION ALL SELECT pb, pa, w FROM pairs),
       deg AS MATERIALIZED (SELECT src, sum(w) AS wsum FROM edges GROUP BY src),
-      nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+      ew AS MATERIALIZED (
+        SELECT e.src, e.dst, e.w / dg.wsum AS frac
+        FROM edges e JOIN deg dg ON e.src = dg.src),
+      nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ew),
       nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
       pr0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
       ${duckIters(Iters, Damping)}

@@ -40,23 +40,31 @@ object Paths {
   def bfsHops(edges: DataFrame, seeds: DataFrame, hops: Int,
               frontier: Boolean = false): DataFrame = {
     require(hops >= 1 && hops <= 10, s"hops must be in [1, 10], got $hops")
-    // Materialize the derived edge set once and cut per-round lineage:
-    // `dist` is referenced twice per round (union + join), so without the
-    // checkpoint the unexecuted plan — including the co-purchase aggregate
-    // feeding `edges` — roughly doubles per hop (~2^hops subtree copies).
-    val e = edges.localCheckpoint()
+    // Persist the derived edge set once and cut per-round lineage: `dist`
+    // is referenced twice per round (union + join), so without the cut the
+    // unexecuted plan — including the co-purchase aggregate feeding
+    // `edges` — roughly doubles per hop (~2^hops subtree copies). LAZY
+    // checkpoints (persist + lineage cut, no action) keep single-execution
+    // of every round while the whole relax loop runs as ONE job — the
+    // eager per-round form paid a scheduling round-trip per hop, the
+    // dominant cost of this operator at toy scale (the r16
+    // scheduling-floor finding).
+    val e = edges.localCheckpoint(eager = false)
     var dist = seeds.distinct().select(col("node"), lit(0).as("dist"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     if (frontier) {
       var front = dist.select(col("node"))
       var i = 1
       while (i <= hops && !front.isEmpty) {
+        // eager here: the loop's continue-condition is data-dependent, so
+        // each round must materialize anyway — fold the emptiness check
+        // into the checkpoint's own action instead of a separate scan
         val discovered = e.join(front, col("src") === col("node"))
           .select(col("dst").as("node")).distinct()
           .join(dist, Seq("node"), "left_anti")
           .localCheckpoint() // O(frontier) rows
         dist = dist.unionAll(discovered.select(col("node"), lit(i).as("dist")))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         front = discovered
         i += 1
       }
@@ -66,7 +74,7 @@ object Paths {
           .select(col("dst").as("node"), lit(i).as("dist"))
         dist = dist.unionAll(relaxed)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint() // O(nodes) rows
+          .localCheckpoint(eager = false) // O(nodes) rows
       }
     }
     dist.orderBy(col("node"))
@@ -91,13 +99,12 @@ object Paths {
   val qBfs = GraftQuery(
     "q106_bfs_hops",
     (s, dir) => {
-      val pairs = Basket.copurchasePairsUnsorted(Tables.lineitem(s, dir), minSupport = 2)
-      // checkpoint HERE, not just inside bfsHops: seeds also derive from
-      // edges, and an uncheckpointed reference would execute the whole
-      // co-purchase self-join a second time just to pick seed nodes
-      val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
-        .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
-        .localCheckpoint()
+      // lazy-checkpoint HERE, not just inside bfsHops: seeds also derive
+      // from edges, and an unpersisted reference would execute the whole
+      // co-purchase construction a second time just to pick seed nodes
+      val edges = Basket.copurchaseEdges(Tables.lineitem(s, dir), minSupport = 2)
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = false)
       val seeds = edges.select(col("src").as("node"))
         .filter(col("node") % SeedMod === 0)
       bfsHops(edges, seeds, Hops)

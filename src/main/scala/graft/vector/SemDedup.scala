@@ -75,11 +75,26 @@ object SemDedup {
     */
   private[vector] val DenseFallbackMax = 8192
 
+  /** Pair-count ceiling for the PRE-MODEL dense decision: when k is
+    * broadcastable (≤ [[DenseFallbackMax]]) and n·k is under this budget,
+    * the single codegen'd dense scan finishes before the two-level path's
+    * coarse-model build (≈10 driver round-trips) plus 1%-sample probe
+    * would even complete — the r16 sf10 gate measured that overhead at
+    * +55% on top of the dense fallback it chose anyway (k = 201,
+    * n·k ≈ 4×10⁷). Both inputs are known from two cheap counts, so the
+    * decision costs nothing. Value pinned by the SCALE.md §semdedup-sweep
+    * measurement of the dense/pruned crossover.
+    */
+  private[vector] val DensePairBudget = 2L << 30
+
   /** Test/gate override: force "dense" or "pruned" regardless of the
     * adaptive dispatch (both are the exact argmax — this is a plan
-    * selector, never a semantics knob). */
+    * selector, never a semantics knob). The system property serves
+    * in-JVM tests; the env var serves the gate scripts. */
   private def forcedPath: Option[String] =
-    sys.env.get("SPARK_GRAFT_SEMDEDUP_FORCE").filter(v => v == "dense" || v == "pruned")
+    sys.env.get("SPARK_GRAFT_SEMDEDUP_FORCE")
+      .orElse(sys.props.get("graft.semdedup.force"))
+      .filter(v => v == "dense" || v == "pruned")
 
   /** Safety margin absorbing double/acos rounding in the angular prune —
     * see [[VectorExprs.CandidateCells]]; it only ever ENLARGES candidate
@@ -120,7 +135,17 @@ object SemDedup {
     */
   def assign(emb: DataFrame, nClusters: Int): DataFrame = {
     require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    // NULL-embedding rows are dropped HERE, at the operator boundary, the
+    // same convention as IvfIndex.build (a row with no vector is
+    // undecodable for assignment): before this filter the two dispatch
+    // paths silently DIVERGED on such rows — the dense argmax kept them
+    // (null cosines lose every struct-max comparison but the groupBy key
+    // survives) while the pruned path's explode(candidateCells(null))
+    // removed them — violating the "dispatch is never a semantic knob"
+    // invariant, and a NULL seed would NPE the coarse-model build. The
+    // oracle's vecs CTE applies the identical `embedding IS NOT NULL`.
     val vecs = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
     forcedPath match {
       case Some("dense")  => assignDense(vecs, nClusters)
       case Some("pruned") => assignPruned(vecs, nClusters, adaptive = false)
@@ -198,7 +223,8 @@ object SemDedup {
   }
 
   private[vector] def assignPruned(vecs0: DataFrame, k: Int,
-                                   adaptive: Boolean = false): DataFrame = {
+                                   adaptive: Boolean = false,
+                                   pairBudget: Long = DensePairBudget): DataFrame = {
     val spark = vecs0.sparkSession
     import spark.implicits._
     // NOT localCheckpointed despite 4 consumers (count, seed scan,
@@ -211,6 +237,15 @@ object SemDedup {
     if (n == 0)
       return vecs.select(col("vec_id"), col("embedding"),
         col("vec_id").as("cell")).limit(0)
+
+    // Pre-model dense decision (r16: the adaptive path built the coarse
+    // model + ran the 1% sample and then chose dense anyway at the sf10
+    // gate's k = 201 — +55% pure overhead). Both inputs are already-known
+    // scalars, so when the full n·k scan is under budget and the seed
+    // broadcast is small, skip the model build entirely. Same seeds, same
+    // exact argmax — a plan decision only.
+    if (adaptive && k <= DenseFallbackMax && n * k.toLong <= pairBudget)
+      return assignDense(vecs, k)
 
     val withKey = vecs.withColumn("skey", seedKey)
     val space = BigInt(16).pow(15)
@@ -256,7 +291,8 @@ object SemDedup {
         s"cast((count(1) over (partition by ccell) + ${S - 1}) div $S as int)"))
       .withColumn("sb", pmod(xxhash64(col("seed_id")), col("g")).cast("int"))
     val cellG = seedBuckets.select(col("ccell"), col("g")).distinct()
-    val seedSide = seedBuckets.drop("theta", "g")
+    val seedSide = seedBuckets
+      .select(col("seed_id"), col("seed_vec"), col("ccell"), col("sb"))
 
     val p = spark.sessionState.conf.numShufflePartitions
     val cands = vecs
@@ -481,10 +517,13 @@ object SemDedup {
     },
     Some(s"""
       WITH vecs AS MATERIALIZED (
+        -- embedding IS NOT NULL mirrors assign()'s operator-boundary drop
         SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings
+        WHERE embedding IS NOT NULL
         UNION ALL
         SELECT vec_id + 1000000 AS vec_id, embedding
-        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings WHERE vec_id < 10),
+        FROM (SELECT * FROM embeddings WHERE NOT coalesce(list_bool_or(list_transform(embedding, __fe -> isnan(__fe) OR isinf(__fe))), FALSE)) embeddings
+        WHERE vec_id < 10 AND embedding IS NOT NULL),
       cnt AS (
         SELECT greatest(8, CAST(ceil(count(*) / 1000.0) AS BIGINT)) AS k FROM vecs),
       seeds AS (

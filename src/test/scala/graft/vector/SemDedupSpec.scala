@@ -76,11 +76,42 @@ class SemDedupSpec extends SparkSpec {
     val dense = collectAssign(SemDedup.assignDense(emb, k))
     val pruned = collectAssign(SemDedup.assignPruned(emb, k))
     assert(dense.size == 600 && pruned == dense)
-    // the adaptive dispatch (which falls back to a dense scan when the
-    // sampled candidate ratio shows no pruning power, as here) must also
-    // be output-identical — it's a plan decision, never a semantic one
-    val adaptive = collectAssign(SemDedup.assignPruned(emb, k, adaptive = true))
-    assert(adaptive == dense)
+    // BOTH adaptive fallbacks must be output-identical — plan decisions,
+    // never semantic ones: pairBudget = 0 forces past the pre-model n·k
+    // gate into the SAMPLED fallback (the candidate ratio shows no pruning
+    // power here, so it goes dense after building the model), the default
+    // budget takes the pre-model dense shortcut
+    val sampled = collectAssign(
+      SemDedup.assignPruned(emb, k, adaptive = true, pairBudget = 0L))
+    assert(sampled == dense)
+    val preDecided = collectAssign(SemDedup.assignPruned(emb, k, adaptive = true))
+    assert(preDecided == dense)
+  }
+
+  test("NULL-embedding rows drop identically on every dispatch path") {
+    // the operator-boundary convention (IvfIndex.build's): a row with no
+    // vector is undecodable for assignment — BOTH paths must drop it (the
+    // r16 advice finding: dense kept such rows via the surviving groupBy
+    // key while pruned's explode(null) removed them, and a NULL seed
+    // would NPE the coarse-model build; nulls must also never become
+    // seeds, which vec_id 3 here would otherwise be for some k)
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, null), (4L, Array(0.2f, 0.8f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    for (k <- Seq(2, SemDedup.DenseSeedMax + 4)) {
+      val out = SemDedup.assign(emb, k)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      assert(out == Seq(0L, 1L, 2L, 4L), s"k=$k kept $out")
+    }
+    // forced-pruned and forced-dense agree cell-for-cell on the corpus
+    val viaDense = collectAssign(
+      SemDedup.assignDense(emb.filter(col("embedding").isNotNull), 2))
+    System.setProperty("graft.semdedup.force", "pruned")
+    try {
+      val viaPruned = collectAssign(SemDedup.assign(emb, 2))
+      assert(viaPruned == viaDense)
+    } finally System.clearProperty("graft.semdedup.force")
   }
 
   test("pruned assignment ≡ dense AND actually prunes on a clustered corpus") {
@@ -118,9 +149,9 @@ class SemDedupSpec extends SparkSpec {
   }
 
   test("pruned path end-to-end: semanticDedup via large k matches dense dedup") {
-    // force the pruned path through the PUBLIC api (k > DenseSeedMax) and
     // pin the full dedup output — assignment, centroids, dominance —
-    // against the dense path at the same k
+    // through the PUBLIC api on BOTH plans: the default dispatch (which
+    // pre-decides dense at this n·k) and the force-pinned pruned path
     val emb = randomCorpus(400, 8, seed = 11)
     val k = SemDedup.DenseSeedMax + 20
     val viaPublic = SemDedup.semanticDedup(emb, nClusters = k, tau = 0.999)
@@ -128,5 +159,11 @@ class SemDedupSpec extends SparkSpec {
     val viaDense = SemDedup.dedupAssigned(SemDedup.assignDense(emb, k), tau = 0.999)
       .as[(Long, Long, Double, Boolean)].collect().toSeq
     assert(viaPublic == viaDense && viaPublic.size == 400)
+    System.setProperty("graft.semdedup.force", "pruned")
+    try {
+      val viaPruned = SemDedup.semanticDedup(emb, nClusters = k, tau = 0.999)
+        .as[(Long, Long, Double, Boolean)].collect().toSeq
+      assert(viaPruned == viaDense)
+    } finally System.clearProperty("graft.semdedup.force")
   }
 }
