@@ -21,9 +21,27 @@ object Verify {
       case s => s.split(",").toSet
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession
-      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
-      .getOrCreate()
+    // SPARK_GRAFT_MASTER overrides the in-process master — the
+    // local-cluster smoke (scripts/verify_local_cluster.sh) runs the
+    // whole registry with REAL executor JVMs, so task serialization and
+    // broadcast actually cross a process boundary (local[n] never
+    // exercises either; VERDICT r16 item 4). local-cluster workers don't
+    // inherit the driver's classpath, so pass it along explicitly.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b0 = GraftSession
+      .builder(master = master, shufflePartitions = cpus.toInt)
+    val spark = (if (master.startsWith("local-cluster"))
+      // app classes must ship as a JAR through Spark's own executor
+      // classloader — a bare directory on executor.extraClassPath
+      // deserializes closures against a different loader and dies with
+      // "cannot assign instance of SerializedLambda" (seen on the first
+      // local-cluster probe)
+      b0.config("spark.jars",
+          sys.env.getOrElse("SPARK_GRAFT_JAR",
+            "target/scala-2.13/bikedataflowspark_2.13-0.1.0.jar"))
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+    else b0).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

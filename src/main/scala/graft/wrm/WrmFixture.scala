@@ -12,15 +12,41 @@ object WrmFixture {
   val Header =
     "#id,1705147845.123|3600|-3600,name,lat,lon,bikes,spaces,installed,locked,temporary,total_docks,givesbonus_acceptspedelecs_fbbattlevel,pedelecs"
 
+  /** Station-name templates for the multibyte sweep (VERDICT r16 item 5:
+    * the wrm corpus was ASCII-dominant while the reference's ftfy tests
+    * are mojibake-centric, test_raw.py:100-123): CJK, Polish/Turkish
+    * diacritics, Cyrillic, Greek, RTL Arabic, emoji — plus one literal
+    * MOJIBAKE string carried AS DATA, pinning that the batch parse path
+    * preserves bytes verbatim (encoding repair runs at the S2
+    * ingest-save boundary, [[graft.sources.RawTextSink]], never inside
+    * the parse — same placement as the reference). No commas or pipes:
+    * both are the format's structural delimiters.
+    */
+  private[wrm] val MultibyteNames = Vector(
+    "Plac Grunwaldzki 広場前",
+    "Śródmieście–Łokietka",
+    "Şehir Merkezi İstasyonu",
+    "Вокзал Центральный",
+    "Πλατεία Νίκης",
+    "محطة المدينة",
+    "Rondo 🚲 Kaźmierza",
+    "Station Ã©lÃ¨ve å¤§")
+
   /** One synthetic snapshot: `n` stations + `nBikes` free bikes, offset by
-    * `tick` so consecutive snapshots differ.
+    * `tick` so consecutive snapshots differ. Stations beyond the base 8
+    * carry multibyte names (see [[MultibyteNames]]) — the scale-1 fixture
+    * stays byte-identical to every earlier round's, while any scaled run
+    * (the x100 stream/wrm gate, the x10000 parse gate) sweeps multibyte
+    * content through the whole raw→enhanced→oracle chain.
     */
   def payload(tick: Int, n: Int = 8, nBikes: Int = 4): String = {
     val epoch = 1705147845L + tick * 60
     val stations = (1 to n).map { i =>
       val bikes = (i + tick) % 10
       val spaces = 15 - bikes
-      f"$i%03d,$epoch.${100 + i}%d|3600|-3600,Station $i%d,${51.10 + i * 0.001}%.4f,${17.03 + i * 0.001}%.4f,$bikes%d,$spaces%d,true,false,false,15,false,${i % 3}%d"
+      val name = if (i <= 8) s"Station $i"
+                 else s"${MultibyteNames((i - 9) % MultibyteNames.size)} $i"
+      f"$i%03d,$epoch.${100 + i}%d|3600|-3600,$name%s,${51.10 + i * 0.001}%.4f,${17.03 + i * 0.001}%.4f,$bikes%d,$spaces%d,true,false,false,15,false,${i % 3}%d"
     }
     val bikes = (1 to nBikes).map { i =>
       f"fb$i%03d,$epoch.${200 + i}%d|3600|-3600,BIKE 640$i%02d,${51.11 + (i + tick) * 0.002}%.4f,${17.02 + (i + tick) * 0.002}%.4f,1,0,true,false,false,1,true,0"
