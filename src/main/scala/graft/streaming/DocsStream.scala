@@ -122,7 +122,8 @@ object DocsStream {
       EventsStream.stageParquet(src, d)
       (d.toString, spark.read.parquet(d.toString).schema)
     })
-    spark.readStream.schema(schema).parquet(dir)
+    // soak-mode micro-batch slicing — see EventsStream.withMaxFiles
+    EventsStream.withMaxFiles(spark.readStream.schema(schema)).parquet(dir)
   }
 
   /** Run the dedup as a real streaming query (update mode, AvailableNow)

@@ -133,10 +133,61 @@ object EventsStream {
       (d.toString, spark.read.parquet(d.toString).schema)
     })
     graft.Tables.normalizeTs(
-      spark.readStream
-        .schema(schema)
+      withMaxFiles(spark.readStream.schema(schema))
         .parquet(dir))
   }
+
+  /** Micro-batch slicing for soak runs (VERDICT r16 item 3): the file
+    * source admits at most SPARK_GRAFT_STREAM_MAX_FILES files per
+    * micro-batch, so setting 10 against the 100-part sf10 staging dirs
+    * turns every one-shot AvailableNow gate into a ≥10-micro-batch soak
+    * of the SAME query against the SAME batch oracle — the oracles are
+    * composition-independent by design (dedup keeps a min, windows
+    * re-aggregate, latest-per-key keeps a max), so the final table must
+    * hash-match whatever the batch slicing. Unset = the historical
+    * single-batch gate behavior.
+    */
+  private[streaming] def withMaxFiles(
+      r: org.apache.spark.sql.streaming.DataStreamReader):
+      org.apache.spark.sql.streaming.DataStreamReader =
+    sys.env.get("SPARK_GRAFT_STREAM_MAX_FILES")
+      .fold(r)(v => r.option("maxFilesPerTrigger", v))
+
+  /** Per-batch state-store telemetry for the soak (VERDICT r16 item 3):
+    * when SPARK_GRAFT_STREAM_METRICS names a file, every micro-batch
+    * appends one JSON line — input rows, batch wall, and each stateful
+    * operator's rows/memory/commit time — the evidence for the SCALE.md
+    * state-growth table. Registered once per JVM; a no-op otherwise.
+    */
+  private val metricsRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[streaming] def registerMetricsListener(spark: SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_STREAM_METRICS").foreach { path =>
+      if (metricsRegistered.compareAndSet(false, true)) {
+        spark.streams.addListener(
+          new org.apache.spark.sql.streaming.StreamingQueryListener {
+            import org.apache.spark.sql.streaming.StreamingQueryListener._
+            override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+            override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+            override def onQueryProgress(e: QueryProgressEvent): Unit = {
+              val p = e.progress
+              val states = p.stateOperators.map { s =>
+                s"""{"operator":"${s.operatorName}","numRowsTotal":${s.numRowsTotal},""" +
+                  s""""numRowsUpdated":${s.numRowsUpdated},"memoryUsedBytes":${s.memoryUsedBytes},""" +
+                  s""""commitTimeMs":${s.commitTimeMs}}"""
+              }.mkString("[", ",", "]")
+              val line = s"""{"query":"${Option(p.name).getOrElse(p.id.toString)}",""" +
+                s""""batchId":${p.batchId},"numInputRows":${p.numInputRows},""" +
+                s""""batchDurationMs":${p.batchDuration},"stateOperators":$states}""" + "\n"
+              EventsStream.this.synchronized {
+                java.nio.file.Files.write(java.nio.file.Paths.get(path),
+                  line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                  java.nio.file.StandardOpenOption.CREATE,
+                  java.nio.file.StandardOpenOption.APPEND)
+              }
+            }
+          })
+      }
+    }
 
   /** Stateful-operator parallelism for these single-batch AvailableNow
     * runs: the shuffle-partition count at query start fixes the number of
@@ -178,6 +229,7 @@ object EventsStream {
     }
 
   private[streaming] def withStreamPartitions[T](spark: SparkSession, n: Int = streamPartitions)(f: => T): T = {
+    registerMetricsListener(spark) // no-op unless SPARK_GRAFT_STREAM_METRICS
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
