@@ -129,12 +129,47 @@ object EventsStream {
       val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
       val d = java.nio.file.Paths.get(
         shmTempDir("events_stream", parquetSize(src)))
-      stageParquet(src, d)
+      if (sys.env.contains("SPARK_GRAFT_STREAM_MAX_FILES"))
+        stageTimeBucketed(spark, src, d)
+      else stageParquet(src, d)
       (d.toString, spark.read.parquet(d.toString).schema)
     })
     graft.Tables.normalizeTs(
       withMaxFiles(spark.readStream.schema(schema))
         .parquet(dir))
+  }
+
+  /** Soak-mode staging: multi-batch file consumption must deliver
+    * event-time-ordered micro-batches — the arrival order a production
+    * file feed provides — or watermark semantics CORRECTLY drop later
+    * batches' rows as late (the r17 soak caught exactly this:
+    * stream_purchase_view_join lost ~80% of its matches when every
+    * staged part file spanned the whole time range, so batch 1's
+    * watermark aged out batches 2..10 — right per the watermark
+    * contract, wrong as a delivery model). Range-partition the source by
+    * raw event time into ascending buckets and pin strictly increasing
+    * mtimes, so FileStreamSource's (mtime, path) order IS time order;
+    * every windowed/stateful operator is insensitive to the re-layout.
+    */
+  private def stageTimeBucketed(spark: SparkSession, src: java.nio.file.Path,
+                                destDir: java.nio.file.Path): Unit = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(src.toString)
+      .repartitionByRange(100, col("ts"))
+      .write.mode("overwrite").parquet(destDir.toString)
+    val s = java.nio.file.Files.list(destDir)
+    try {
+      val files = {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      }
+      val base = System.currentTimeMillis() - files.size * 1000L
+      files.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+      }
+    } finally s.close()
   }
 
   /** Micro-batch slicing for soak runs (VERDICT r16 item 3): the file

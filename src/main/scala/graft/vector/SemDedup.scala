@@ -82,10 +82,19 @@ object SemDedup {
     * would even complete — the r16 sf10 gate measured that overhead at
     * +55% on top of the dense fallback it chose anyway (k = 201,
     * n·k ≈ 4×10⁷). Both inputs are known from two cheap counts, so the
-    * decision costs nothing. Value pinned by the SCALE.md §semdedup-sweep
-    * measurement of the dense/pruned crossover.
+    * decision costs nothing.
+    *
+    * Value from the r17 `tools/SemDedupSweep` measurement (n = 100k,
+    * 64-dim, k ∈ {64..8192}, clustered AND uniform — SCALE.md r17): the
+    * clustered-corpus crossover sits in n·k ∈ [1e8, 4e8] (dense 6.8 s at
+    * 1e8 vs pruned 14.6 s; dense ≥ 2× pruned by 4e8), and on uniform
+    * corpora pruned NEVER wins (the sampled fallback past this budget
+    * handles that geometry). 2×10⁸ keeps the model build off every
+    * corpus where the dense scan is ≤ ~10 s anyway; with the operator's
+    * own nClustersFor coupling (k ≈ n/1000 → n·k ≈ 1000·k²) the budget
+    * flips to two-level at k ≈ 450, i.e. corpora past ~450k vectors.
     */
-  private[vector] val DensePairBudget = 2L << 30
+  private[vector] val DensePairBudget = 200000000L
 
   /** Test/gate override: force "dense" or "pruned" regardless of the
     * adaptive dispatch (both are the exact argmax — this is a plan
