@@ -8,13 +8,19 @@
 # bench_pair_<tag>_spark.json; the DuckDB side then runs immediately
 # after on the same box (the r14 pair protocol).
 #
-# Artifact layout (VERDICT r16 item 7): the repo ROOT carries only the
-# current round's committed artifacts — one clean pair
-# (bench_pair_<tag>_spark.json + duck_bench_<tag>.json) plus the per-round
-# BENCH_* files the driver writes; everything else (older rounds, demoted
-# suspects, failed attempts) lives in bench/, and this script enforces the
-# rotation and maintains the bench/README.md index table.
-# Bench.committedBaseline searches both root and bench/.
+# Artifact layout (VERDICT r16 item 7, ADVICE r17): the repo ROOT carries
+# only the CURRENT round's committed artifacts — one clean pair
+# (bench_pair_<tag>_spark.json + duck_bench_<tag>.json) plus THIS round's
+# driver-written BENCH_r<N>/BENCH_sf*_r<N> files; everything else (older
+# rounds' pairs AND BENCH files, demoted suspects, failed attempts) lives
+# in bench/, and this script enforces the rotation and maintains the
+# bench/README.md index table. Bench.committedBaseline searches both
+# root and bench/.
+#
+# Load normalization (VERDICT r17 item 2): StageFloor runs immediately
+# before the spark side and after the duck side; both measurements are
+# embedded in both artifacts and a floor-adjusted total/ratio
+# (raw - executed_stages x mean ms/stage) is reported next to the raw one.
 #
 #   scripts/bench_pair.sh <sfDir> <tag> [attempts=3] [oracle_sql.json]
 #
@@ -40,6 +46,22 @@ if [ -z "$ORACLE" ]; then
 fi
 
 SPARK_OUT="bench_pair_${TAG}_spark.json"
+
+# Load normalization (VERDICT r17 item 2): the pair ratio drifted
+# 0.89->1.30 across rounds while per-row evidence said the code got
+# faster — the mechanism is the box's per-stage scheduling floor swinging
+# 87-145 ms day-to-day, which Spark rows stack 5-30 deep and DuckDB never
+# pays. Measure the floor immediately BEFORE the spark bench and AFTER
+# the duck bench, embed both in both artifacts, and report a
+# floor-adjusted total (raw - stages x mean floor, using the per-row
+# executed-stage counts Bench now records) next to the raw one.
+stage_floor() {
+  scripts/run.sh graft.tools.StageFloor 3 2>/dev/null | grep per_stage_floor_ms | tail -1
+}
+echo "[bench_pair] measuring scheduling floor (before)..."
+FLOOR_BEFORE=$(stage_floor)
+echo "[bench_pair] floor before: $FLOOR_BEFORE"
+
 clean=0
 for i in $(seq 1 "$ATTEMPTS"); do
   echo "[bench_pair] spark bench attempt $i/$ATTEMPTS..."
@@ -78,18 +100,56 @@ fi
 
 echo "[bench_pair] duckdb side (same session)..."
 python3 scripts/duck_bench.py "$SF" "$ORACLE" 3 "duck_bench_${TAG}.json" | tail -1
-python3 - "$SPARK_OUT" "duck_bench_${TAG}.json" <<'EOF'
+
+echo "[bench_pair] measuring scheduling floor (after)..."
+FLOOR_AFTER=$(stage_floor)
+echo "[bench_pair] floor after: $FLOOR_AFTER"
+
+# Embed both floor measurements in both artifacts and compute the
+# floor-adjusted pair: adjusted_spark = raw - sum(stages_q) x mean
+# per-stage floor. DuckDB's single process stacks no stages, so its side
+# is unadjusted; the adjusted ratio is the code signal, the raw one the
+# box record.
+python3 - "$SPARK_OUT" "duck_bench_${TAG}.json" "$FLOOR_BEFORE" "$FLOOR_AFTER" <<'EOF'
 import json, sys
-s = json.load(open(sys.argv[1])); d = json.load(open(sys.argv[2]))
+spath, dpath = sys.argv[1], sys.argv[2]
+fb = json.loads(sys.argv[3]) if sys.argv[3].strip() else {}
+fa = json.loads(sys.argv[4]) if sys.argv[4].strip() else {}
+s = json.load(open(spath)); d = json.load(open(dpath))
+floors = [f.get("per_stage_floor_ms") for f in (fb, fa) if f.get("per_stage_floor_ms") is not None]
+mean_floor = sum(floors) / len(floors) if floors else None
+stages = s.get("stages", {})
+total_stages = sum(stages.values())
+adj = None
+if mean_floor is not None and total_stages > 0:
+    adj = round(s["value"] - total_stages * mean_floor / 1000.0, 3)
+for obj in (s, d):
+    obj["stage_floor_before"] = fb or None
+    obj["stage_floor_after"] = fa or None
+    obj["stage_floor_mean_ms"] = round(mean_floor, 1) if mean_floor is not None else None
+s["total_stages"] = total_stages
+s["value_floor_adjusted"] = adj
+if adj is not None:
+    s["ratio_raw"] = round(s["value"] / d["value"], 3)
+    s["ratio_floor_adjusted"] = round(adj / d["value"], 3)
+json.dump(s, open(spath, "w")); json.dump(d, open(dpath, "w"))
 print(f"[bench_pair] PAIR: spark={s['value']}s duck={d['value']}s ratio={s['value']/d['value']:.2f}x")
+if adj is not None:
+    print(f"[bench_pair] FLOOR-ADJUSTED: floor={mean_floor:.1f}ms/stage x {total_stages} stages"
+          f" -> spark_adj={adj}s ratio_adj={adj/d['value']:.2f}x")
+else:
+    print("[bench_pair] WARNING: no floor or no stage counts; adjusted ratio unavailable")
 EOF
 
 # rotate: every pair/bench artifact in root that is NOT this tag's (nor a
-# BENCH_* file of this tag's round) moves to bench/
+# BENCH_* file of this tag's ROUND — driver-written BENCH_r<N>/BENCH_sf*_r<N>
+# files of PRIOR rounds rotate too, ADVICE r17) moves to bench/
+ROUND=$(echo "$TAG" | grep -oE '^r[0-9]+' || true)
 shopt -s nullglob
-for f in bench_pair_*.json duck_bench_*.json; do
+for f in bench_pair_*.json duck_bench_*.json BENCH_r*.json BENCH_sf*_r*.json; do
   case "$f" in
     bench_pair_${TAG}_spark.json|duck_bench_${TAG}.json) ;;
+    BENCH_${ROUND}.json|BENCH_sf*_${ROUND}.json) ;;  # current round's driver files stay
     *) echo "[bench_pair] rotating $f -> bench/"; mv "$f" "bench/$f" ;;
   esac
 done

@@ -1,13 +1,18 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 scripts/compare.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/compare.py <sfDir> <verifyOutDir> [--json <path>]
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB over <sfDir>'s tables, and
 compares: columns sorted by name, rows sorted by all columns, exact value
 equality. Reports per-query PASS/FAIL. Strict — if this passes, any
 reasonable driver compare passes too.
+
+--json <path>: also write a per-query map in the driver's CORRECTNESS
+format ({name: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}) so gate artifacts built from this script carry
+re-derivable per-row detail (VERDICT r17 item 5).
 """
 import sys, os, json, glob
 # eager-load every C extension BEFORE DuckDB maps its buffer pool: a
@@ -65,22 +70,35 @@ def connect(sf_dir):
             print(f"WARNING: skipping table {t}: {e}")
     return con
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_rowsonly = 0
+    per_query = {}
+
+    def record(name, **kw):
+        row = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        row.update(kw)
+        per_query[name] = row
+
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
         files = glob.glob(f"{d}/*.parquet")
         if not files:
-            print(f"{name}: NO OUTPUT"); n_fail += 1; continue
+            print(f"{name}: NO OUTPUT"); n_fail += 1
+            record(name, rows_match=False, schema_match=False,
+                   hash_match=False, err="no output")
+            continue
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
         if name not in oracle:
             status = "ROWS-ONLY" if len(spark_df) > 0 else "ROWS-ONLY(EMPTY!)"
             print(f"{name}: {status} rows={len(spark_df)}")
             n_rowsonly += 1
+            record(name, rows_match=len(spark_df) > 0,
+                   spark_rows=len(spark_df), err=None if len(spark_df) else "empty")
             continue
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
@@ -103,18 +121,28 @@ def main(sf_dir, out_dir):
             ) or any(k in msg for k in ("memory", "allocat", "temp_directory",
                                         "could not allocate"))
             if not retryable:
-                print(f"{name}: ORACLE SQL ERROR: {e}"); n_fail += 1; continue
+                print(f"{name}: ORACLE SQL ERROR: {e}"); n_fail += 1
+                record(name, spark_rows=len(spark_df), err=f"oracle: {e}")
+                continue
             try:
                 con = connect(sf_dir)
                 duck_df = con.execute(oracle[name]).fetchdf()
             except Exception as e2:
-                print(f"{name}: ORACLE SQL ERROR: {e2}"); n_fail += 1; continue
+                print(f"{name}: ORACLE SQL ERROR: {e2}"); n_fail += 1
+                record(name, spark_rows=len(spark_df), err=f"oracle: {e2}")
+                continue
         a, b = norm(spark_df), norm(duck_df)
+        rows_ok = len(a) == len(b)
+        schema_ok = list(a.columns) == list(b.columns)
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             print(f"{name}: PASS rows={len(a)}")
             n_pass += 1
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(a), oracle_rows=len(b))
         except AssertionError as e:
+            record(name, rows_match=rows_ok, schema_match=schema_ok,
+                   hash_match=False, spark_rows=len(a), oracle_rows=len(b))
             print(f"{name}: FAIL rows spark={len(a)} duck={len(b)}")
             msg = str(e).split("\n")
             print("   " + "\n   ".join(msg[:12]))
@@ -131,7 +159,17 @@ def main(sf_dir, out_dir):
                         print(f"   col {c}: {int(neq.sum())} diffs; first at row {i}: spark={col_a.iloc[i]!r} duck={col_b.iloc[i]!r}")
             n_fail += 1
     print(f"\nSUMMARY: {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(per_query, f, indent=1)
+        print(f"per-query map -> {json_out} ({len(per_query)} entries)")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], json_out))

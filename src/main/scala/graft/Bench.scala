@@ -122,16 +122,57 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val qmap = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    def measure(name: String): Double = try {
+    // Executed-stage/job counters per row, for the scheduling-floor budget
+    // (VERDICT r17 item 2): tools/StageFloor calibrates this box's
+    // ms/stage; multiplying by each row's executed-stage count lets
+    // bench_pair.sh report a floor-adjusted total next to the raw one, so
+    // the pair ratio stops tracking box state. Listener events are async —
+    // poll until the counts are stable so a finished action's tail stages
+    // land in ITS row, not the next one's.
+    val stageEvents = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobEvents = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stageEvents.incrementAndGet(); ()
+      }
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        jobEvents.incrementAndGet(); ()
+      }
+    })
+    def settleCounters(): (Int, Int) = {
+      var last = (stageEvents.get, jobEvents.get)
+      var stableFor = 0
+      val deadline = System.nanoTime() + 500L * 1000 * 1000
+      while (stableFor < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(25)
+        val now = (stageEvents.get, jobEvents.get)
+        if (now == last) stableFor += 1 else { stableFor = 0; last = now }
+      }
+      last
+    }
+    def measure(name: String): (Double, Int, Int) = try {
       spark.catalog.clearCache()
-      time(qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save())
-    } catch { case _: Throwable => -1.0 }
+      val (s0, j0) = settleCounters()
+      val t = time(qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save())
+      val (s1, j1) = settleCounters()
+      (t, s1 - s0, j1 - j0)
+    } catch { case _: Throwable => (-1.0, 0, 0) }
     // SPARK_GRAFT_BENCH_RUNS (default 2): measurements per query, min
     // reported — raise locally to see steady-state past JIT noise.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // stage/job counts follow the kept (fastest) run of each row
+    val stageCounts = scala.collection.mutable.Map.empty[String, Int]
+    val jobCounts = scala.collection.mutable.Map.empty[String, Int]
     val firstPass = qmap.keys.toSeq.sorted.map { name =>
-      val runs = (1 to nRuns).map(_ => measure(name)).filter(_ >= 0)
-      name -> (if (runs.isEmpty) -1.0 else runs.min)
+      val runs = (1 to nRuns).map(_ => measure(name)).filter(_._1 >= 0)
+      if (runs.isEmpty) name -> -1.0
+      else {
+        val (t, st, jb) = runs.minBy(_._1)
+        stageCounts(name) = st; jobCounts(name) = jb
+        name -> t
+      }
     }
     // Millisecond precision keeps the one-line JSON under the driver's
     // stdout tail window (full-precision doubles pushed it past ~2.1 KB and
@@ -180,7 +221,11 @@ object Bench {
     val results =
       if (flagged.isEmpty) firstPass
       else firstPass.map { case (k, v) =>
-        k -> (if (flagged(k) && v >= 0) { val re = measure(k); if (re >= 0) math.min(v, re) else v } else v)
+        k -> (if (flagged(k) && v >= 0) {
+          val (re, st, jb) = measure(k)
+          if (re >= 0 && re < v) { stageCounts(k) = st; jobCounts(k) = jb; re }
+          else v
+        } else v)
       }
     // Stream rows run a REAL streaming engine per measurement (fresh
     // checkpoint, state-store init, microbatch machinery) against a
@@ -250,7 +295,18 @@ object Bench {
     // regressions, stream floors, and the slowest 30 queries (the ones
     // perf triage reads) — and write the full per-query map to the file
     // artifact, which the line names.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"regressions":$regs,"baseline_committed":"${committed._1}","regressions_vs_committed":$regsCommitted,"window_suspect":$windowSuspect,$floorNote,"stream_floor":$floors,"stream_net":$nets,"sf":"$sfDir"}"""
+    // per-row executed stage/job counts (kept run) — the multipliers for
+    // the StageFloor budget; file artifact only (the stdout line must fit
+    // the driver's tail window)
+    val stagesJson = jmap(results.collect {
+      case (k, v) if v >= 0 && stageCounts.contains(k) =>
+        k -> stageCounts(k).toString
+    })
+    val jobsJson = jmap(results.collect {
+      case (k, v) if v >= 0 && jobCounts.contains(k) =>
+        k -> jobCounts(k).toString
+    })
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"regressions":$regs,"baseline_committed":"${committed._1}","regressions_vs_committed":$regsCommitted,"window_suspect":$windowSuspect,$floorNote,"stream_floor":$floors,"stream_net":$nets,"stages":$stagesJson,"jobs":$jobsJson,"sf":"$sfDir"}"""
     def slimLine(nSlow: Int, regsJson: String): String = {
       val slowest = jmap(results.filter(_._2 >= 0).sortBy(-_._2).take(nSlow)
         .map { case (k, v) => k -> fmt(v) })

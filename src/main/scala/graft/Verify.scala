@@ -36,9 +36,24 @@ object Verify {
       // deserializes closures against a different loader and dies with
       // "cannot assign instance of SerializedLambda" (seen on the first
       // local-cluster probe)
+      // fallback globs the packaged jar rather than hardcoding the
+      // artifact version — a build.sbt version bump must not silently
+      // break the local-cluster smoke with a SerializedLambda error
       b0.config("spark.jars",
-          sys.env.getOrElse("SPARK_GRAFT_JAR",
-            "target/scala-2.13/bikedataflowspark_2.13-0.1.0.jar"))
+          sys.env.getOrElse("SPARK_GRAFT_JAR", {
+            val dir = java.nio.file.Paths.get("target/scala-2.13")
+            val found =
+              if (java.nio.file.Files.isDirectory(dir)) {
+                import scala.jdk.CollectionConverters._
+                java.nio.file.Files.list(dir).iterator().asScala
+                  .map(_.toString)
+                  .filter(p => p.endsWith(".jar") &&
+                    !p.contains("-sources") && !p.contains("-javadoc"))
+                  .toSeq.sorted.lastOption
+              } else None
+            found.getOrElse(sys.error(
+              "local-cluster needs the app jar: run `sbt package` or set SPARK_GRAFT_JAR"))
+          }))
         .config("spark.executor.memory",
           sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
     else b0).getOrCreate()

@@ -205,12 +205,25 @@ object EventsStream {
             override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
             override def onQueryProgress(e: QueryProgressEvent): Unit = {
               val p = e.progress
+              // query/operator names are free-form strings — escape them,
+              // or a quote/backslash in a name emits a malformed JSONL
+              // line that kills soak_table.py mid-parse
+              def jstr(s: String): String = {
+                val b = new StringBuilder
+                s.foreach {
+                  case '"'  => b.append("\\\"")
+                  case '\\' => b.append("\\\\")
+                  case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+                  case c => b.append(c)
+                }
+                b.toString
+              }
               val states = p.stateOperators.map { s =>
-                s"""{"operator":"${s.operatorName}","numRowsTotal":${s.numRowsTotal},""" +
+                s"""{"operator":"${jstr(s.operatorName)}","numRowsTotal":${s.numRowsTotal},""" +
                   s""""numRowsUpdated":${s.numRowsUpdated},"memoryUsedBytes":${s.memoryUsedBytes},""" +
                   s""""commitTimeMs":${s.commitTimeMs}}"""
               }.mkString("[", ",", "]")
-              val line = s"""{"query":"${Option(p.name).getOrElse(p.id.toString)}",""" +
+              val line = s"""{"query":"${jstr(Option(p.name).getOrElse(p.id.toString))}",""" +
                 s""""batchId":${p.batchId},"numInputRows":${p.numInputRows},""" +
                 s""""batchDurationMs":${p.batchDuration},"stateOperators":$states}""" + "\n"
               EventsStream.this.synchronized {

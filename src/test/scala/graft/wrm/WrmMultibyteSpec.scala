@@ -67,16 +67,16 @@ class WrmMultibyteSpec extends SparkSpec {
       RawTextSink.write(root, mojibake, base.plusMinutes(t.toLong))
     }
     assert(results.forall(!_.skippedDuplicate), "distinct payloads deduped")
-    val stored = Files.walk(root).iterator()
+    val walk = Files.walk(root)
     var n = 0
-    stored.forEachRemaining { p =>
+    try walk.iterator().forEachRemaining { p =>
       if (p.toString.endsWith(".txt")) {
         n += 1
         val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
         assert(txt.contains("Świdnicka żółta"), s"$p not repaired")
         assert(!txt.contains("Ã"), s"$p still contains mojibake")
       }
-    }
+    } finally walk.close()
     assert(n == 120, s"expected 120 stored files, got $n")
   }
 }
