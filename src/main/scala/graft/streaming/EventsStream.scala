@@ -57,8 +57,58 @@ object EventsStream {
     (s, dir) => runSessionWindowStream(s, dir),
     graft.relational.SessionQueries.q45.oracle)
 
+  /** Append-mode session windows (VERDICT r17 item 3): the bounded-state
+    * production variant of stream_session_window. The watermark closes a
+    * session once no event can extend it, the CLOSED session is emitted
+    * exactly once, and its state is evicted — state holds only OPEN
+    * sessions within the watermark horizon, so the soak's state curve is
+    * flat instead of linear-in-sessions. Oracle: the batch q45 sessions
+    * restricted to those the final watermark closes. Spark tracks the
+    * watermark in MILLISECONDS (EventTimeStats stores maxEventTime/1000),
+    * so the oracle floors max(ts) to the millisecond before subtracting
+    * the delay; a session is emitted when its end has been REACHED by the
+    * watermark (inclusive <=, pinned by the constructed-tie spec in
+    * StreamingSpec: a session ending exactly AT the final watermark is
+    * emitted closed).
+    */
+  val qStreamSessionsAppend = GraftQuery(
+    "stream_session_window_append",
+    (s, dir) => runSessionWindowAppendStream(s, dir),
+    Some("""
+      WITH sess AS (
+        SELECT user_id,
+               min(ts_us) AS session_start,
+               max(ts_us) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM (
+          SELECT user_id, value, ts_us,
+                 sum(boundary) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          FROM (
+            SELECT user_id, event_id, value,
+                   CAST(ts AS TIMESTAMP) AS ts_us,
+                   CASE WHEN lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                         OR epoch(CAST(ts AS TIMESTAMP))::BIGINT -
+                            epoch(lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id))::BIGINT >= 1800
+                        THEN 1 ELSE 0 END AS boundary
+            FROM events) b) s
+        GROUP BY user_id, session_no),
+      wm AS (
+        SELECT (epoch_us(max(CAST(ts AS TIMESTAMP))) // 1000) * 1000
+               - 1800000000 AS wm_us
+        FROM events)
+      SELECT user_id, session_start, session_end, n_events, session_value
+      FROM sess, wm
+      WHERE epoch_us(session_end) <= wm.wm_us
+      ORDER BY user_id, session_start"""))
+
   def queries: Seq[GraftQuery] =
-    Seq(qStreamHourly, qStreamLatest, qStreamJoin, qStreamSessions)
+    Seq(qStreamHourly, qStreamLatest, qStreamJoin, qStreamSessions,
+      qStreamSessionsAppend)
 
   final case class Event(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -276,7 +326,8 @@ object EventsStream {
       math.min(32, math.max(streamPartitions, (bytes / (8L << 20)).toInt))
     }
 
-  private[streaming] def withStreamPartitions[T](spark: SparkSession, n: Int = streamPartitions)(f: => T): T = {
+  private[streaming] def withStreamPartitions[T](spark: SparkSession, n: Int = streamPartitions,
+      noDataBatches: Boolean = false)(f: => T): T = {
     registerMetricsListener(spark) // no-op unless SPARK_GRAFT_STREAM_METRICS
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
@@ -286,12 +337,16 @@ object EventsStream {
     val prevChangelog = spark.conf.getOption(changelogKey)
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     // The watermark-advancing no-data batch costs a full state
-    // load/evict/commit cycle (~0.7 s here) and emits nothing for these
-    // sinks: hourly is COMPLETE mode (every batch emits all windows),
-    // latest is UPDATE mode, and the join is INNER (matches emit on
-    // arrival, never on watermark). Append-mode aggregations would need
-    // it — these runs don't.
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // load/evict/commit cycle (~0.7 s here) and emits nothing for most of
+    // these sinks: hourly is COMPLETE mode (every batch emits all
+    // windows), latest is UPDATE mode, and the join is INNER (matches
+    // emit on arrival, never on watermark). APPEND-mode aggregations are
+    // the exception — they emit ON watermark passage, so the final
+    // watermark's no-data batch is what flushes the last closed windows
+    // (without it the append session run emits NOTHING on a one-batch
+    // AvailableNow source) — those runs pass noDataBatches=true.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataBatches.toString)
     // SPARK_GRAFT_STATESTORE=rocksdb: run with the PRODUCTION state-store
     // stack — RocksDB provider + changelog checkpointing (per-batch delta
     // upload instead of full SST snapshot). Default stays the HDFS-backed
@@ -398,6 +453,40 @@ object EventsStream {
           col("session_window.end").as("session_end"),
           col("n_events"), col("session_value"))
         .writeStream.outputMode("complete").format("memory").queryName(name)
+        .option("checkpointLocation", shmTempDir(name))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).orderBy(col("user_id"), col("session_start"))
+    }
+
+  /** Append-mode session windows with watermarked eviction — the
+    * bounded-state production variant (VERDICT r17 item 3). The 30-minute
+    * watermark delay matches the session gap: once the watermark passes a
+    * session's end, no event inside the delay can extend it, the session
+    * is emitted CLOSED (exactly once — append mode), and its state row is
+    * evicted. In the soak's ascending time-bucketed delivery the
+    * watermark advances every batch, so state holds only the open tail
+    * (~gap+delay of event time) instead of every session ever seen. The
+    * final emitted set is deterministic — sessions whose end precedes the
+    * global max event time minus the delay — which is what makes a batch
+    * oracle possible for an append-mode stateful stream.
+    */
+  def runSessionWindowAppendStream(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark, streamPartitionsFor(s"$sfDir/events.parquet"),
+        noDataBatches = true) {
+      val name = s"stream_session_append_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = stagedEventStream(spark, sfDir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("session_value"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", shmTempDir(name))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

@@ -36,7 +36,7 @@ class RocksDbStateStoreSpec extends SparkSpec {
 
   test("every stream registry row is backend-invariant under RocksDB") {
     val streamQs = graft.SparkEntry.queries.keys.filter(_.startsWith("stream_")).toSeq.sorted
-    assert(streamQs.size == 8)
+    assert(streamQs.size == 9)
     streamQs.foreach { name =>
       val default = graft.SparkEntry.queries(name)(spark, sfDir)
         .collect().map(_.toString).sorted.toSeq

@@ -60,7 +60,7 @@ class StreamDegenerateSpec extends SparkSpec {
 
   test("every registry stream runner survives an empty source") {
     val streamQs = graft.SparkEntry.queries.keys.filter(_.startsWith("stream_")).toSeq.sorted
-    assert(streamQs.size == 8, s"expected 8 stream rows, got $streamQs")
+    assert(streamQs.size == 9, s"expected 9 stream rows, got $streamQs")
     streamQs.foreach { name =>
       val out = graft.SparkEntry.queries(name)(spark, emptySfDir).collect()
       assert(out.isEmpty, s"$name emitted ${out.length} rows from an empty source")

@@ -212,6 +212,41 @@ class StreamingSpec extends SparkSpec {
       (7L, t("2024-01-01 12:00:00"), 1L, 8.0)))
   }
 
+  test("append-mode session windows: eviction boundary is INCLUSIVE (end <= watermark)") {
+    // Pins the predicate the stream_session_window_append oracle mirrors:
+    // a session is emitted closed once the watermark REACHES its end
+    // (inclusive). Constructed tie: user 7's session ends exactly AT the
+    // final watermark (max ts 11:00 - 30 min delay = 10:30 = session
+    // end) and IS emitted; user 9's clearly-older session emits; user 8
+    // (the watermark carrier) ends above the watermark and stays open.
+    // (First draft assumed strict < — this test is what corrected it.)
+    val dir = Files.createTempDirectory("sess_append")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, t("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, t("2024-01-01 11:00:00"), 8L, "click", 2.0),
+      (3L, t("2024-01-01 09:00:00"), 9L, "click", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(dir.resolve("a").toString)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/a").schema)
+      .parquet(s"$dir/*")
+    val q = streamed
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.end").as("e"), col("n"))
+      .writeStream.outputMode("append").format("memory").queryName("sessapp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("sessapp")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(out == Set(
+      (9L, t("2024-01-01 09:30:00"), 1L),
+      (7L, t("2024-01-01 10:30:00"), 1L)),
+      s"expected users 9 and 7 closed (inclusive <=), user 8 open; got: $out")
+  }
+
   test("streaming token counts accumulate across micro-batches") {
     // the same token arrives in two separate files -> its final count must
     // come from cross-batch state, not within-batch grouping
