@@ -50,11 +50,18 @@ object Bootstrap {
     * inverse-CDF lookup. The composable DECIMAL(38,0) form of the same
     * modmul is semantically identical but runs every product through
     * BigDecimal — measured 17 s vs this kernel's sub-second at sf0.1.
+    *
+    * Codegen'd (VERDICT r17 item 7): the first cut was CodegenFallback,
+    * which (a) boxed all `reps` weights per row into a GenericArrayData
+    * and (b) split the whole-stage-codegen span feeding the explode.
+    * doGenCode calls [[evalArray]] on the expression instance (one
+    * virtual call per row around the same tight loop — the loop, not
+    * call dispatch, is the cost) and the result is an
+    * UnsafeArrayData.fromPrimitiveArray: no boxing on either path.
     */
   case class PoissonWeights(child: org.apache.spark.sql.catalyst.expressions.Expression,
                             reps: Int)
-      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     import org.apache.spark.sql.types.{ArrayType, IntegerType, DataType}
     require(reps >= 1, s"reps must be >= 1, got $reps")
     private val as = Array.tabulate(reps)(graft.text.Md5P61.familyA)
@@ -62,9 +69,8 @@ object Bootstrap {
     private val cdf = PoissonCdf.map(_.toDouble).toArray
     private val mD = graft.text.Md5P61.M.toDouble
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-    override def nullSafeEval(base: Any): Any = {
-      val x = base.asInstanceOf[Long]
-      val out = new Array[Any](reps)
+    def evalArray(x: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+      val out = new Array[Int](reps)
       var b = 0
       while (b < reps) {
         val u = graft.text.Md5P61.mulAddMod(x, as(b), bs(b)).toDouble / mD
@@ -73,7 +79,16 @@ object Bootstrap {
         out(b) = w
         b += 1
       }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override def nullSafeEval(base: Any): Any =
+      evalArray(base.asInstanceOf[Long])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("poissonWeights", this, classOf[PoissonWeights].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalArray($c);")
     }
     override protected def withNewChildInternal(
         c: org.apache.spark.sql.catalyst.expressions.Expression): PoissonWeights =

@@ -83,10 +83,24 @@ object FuzzyJoin {
       col("p_brand").as("blk_brand"),
       col("p_partkey"), col("p_name"))
     val names = p.select(col("blk_tok"), col("blk_brand"), col("p_name")).distinct()
+    // EXACT length-ratio prune ahead of the kernel (the q105 length-guard
+    // idea, JW-shaped): with prefix scale p=0.1 and prefix cap 4,
+    // JW <= 0.6·J + 0.4, and Jaro's match count m <= min(|a|,|b|) gives
+    // J <= (2 + min/max)/3 — so JW >= s forces min/max >= 3·(s−0.4)/0.6 − 2.
+    // At s=0.95 that is min/max >= 0.75: a near-free codegen'd length
+    // comparison that discards length-mismatched candidates before the
+    // O(|a|·|b|) kernel (and before the distinct), with zero recall loss —
+    // it is an upper-bound argument, not a heuristic. Degenerates to
+    // no-op (rMin <= 0) for thresholds below 0.8.
+    val rMin = 3.0 * (minSim - 0.4) / 0.6 - 2.0
+    val lenOk =
+      if (rMin <= 0) lit(true)
+      else least(length(col("name_a")), length(col("name_b"))).cast("double") >=
+        greatest(length(col("name_a")), length(col("name_b"))) * lit(rMin)
     val pairSim = names.select(col("blk_tok"), col("blk_brand"), col("p_name").as("name_a"))
       .join(names.select(col("blk_tok"), col("blk_brand"), col("p_name").as("name_b")),
         Seq("blk_tok", "blk_brand"))
-      .filter(col("name_a") =!= col("name_b"))
+      .filter(col("name_a") =!= col("name_b") && lenOk)
       .select(col("name_a"), col("name_b")).distinct()
       .withColumn("jw", graft.text.JaroWinkler.jaroWinkler(col("name_a"), col("name_b")))
       .filter(col("jw") >= minSim)

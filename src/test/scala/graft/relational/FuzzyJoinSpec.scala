@@ -27,6 +27,36 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("jaro-winkler length-ratio prune is exact — brute force agrees on adversarial lengths") {
+    // Names engineered around the bound: JW >= 0.95 forces
+    // min/max length >= 0.75, and the prune must agree with an
+    // unpruned brute force on pairs AT and NEAR that ratio, including
+    // max-prefix-boost shapes (shared 4+ char prefixes, which maximize
+    // JW for a given Jaro and so stress the bound's slack).
+    val rows = Seq(
+      (1L, "prefixaaaaaaaaaaa widget", "B1"), // len 24
+      (2L, "prefixaaaaaaaaaab widget", "B1"), // len 24: near-identical
+      (3L, "prefixa widget", "B1"),           // len 14: ratio .58 vs 24
+      (4L, "prefixaaaaaaaaaaaaaaaaa widget", "B1"), // len 30: ratio .8 vs 24
+      (5L, "prefixaaaaaaaaaaa gadget", "B1"),
+      (6L, "zz widget", "B1"),
+      (7L, "prefixaaaaaaaaaaa widget", "B2"))
+    val got = FuzzyJoin.jaroWinklerPairs(parts(rows: _*), minSim = 0.95)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    // brute force: same blocks, same kernel, NO prune
+    def jw(a: String, b: String): Double = graft.text.JaroWinkler.similarity(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    val byBlock = rows.groupBy(r => (r._2.split(" ").last, r._3))
+    val want = (for {
+      (_, g) <- byBlock.toSeq
+      a <- g; b <- g
+      if a._1 < b._1 && a._2 != b._2 && jw(a._2, b._2) >= 0.95
+    } yield (a._1, b._1)).toSet
+    assert(got === want, s"pruned=$got brute=$want")
+    assert(want.nonEmpty, "fixture must produce at least one surviving pair")
+  }
+
   test("fuzzy join: length guard is exact — never drops a pair within maxDist") {
     // edit distance >= |len(a) - len(b)|, so the guard can only remove
     // pairs that the distance filter would remove anyway
