@@ -37,14 +37,14 @@ def growth_verdict(n0, n1, nbatches):
 
 
 print("| query | operator | batches | rows/batch | state rows first->last "
-      "| state MB first->last | commit ms (median) | growth |")
-print("|---|---|---|---|---|---|---|---|")
+      "| rows evicted | state MB first->last | commit ms (median) | growth |")
+print("|---|---|---|---|---|---|---|---|---|")
 for name, rows in per.items():
     rows.sort(key=lambda d: d["batchId"])
     nops = max((len(r["stateOperators"]) for r in rows), default=0)
     if nops == 0:
         print(f"| {name} | — | {len(rows)} | {rows[0]['numInputRows']} "
-              f"| stateless | — | — | — |")
+              f"| stateless | — | — | — | — |")
         continue
     for i in range(nops):
         sts = [r["stateOperators"][i] for r in rows
@@ -56,7 +56,9 @@ for name, rows in per.items():
         med = commits[len(commits) // 2]
         n0, n1 = first["numRowsTotal"], last["numRowsTotal"]
         growth = growth_verdict(n0, n1, len(sts))
+        removed = sum(s.get("numRowsRemoved", 0) for s in sts)
         op = (first.get("operator") or f"op{i}") or f"op{i}"
         mb = lambda s: round(s["memoryUsedBytes"] / 1e6, 1)
         print(f"| {name} | {op} | {len(rows)} | {rows[0]['numInputRows']} | "
-              f"{n0} -> {n1} | {mb(first)} -> {mb(last)} | {med} | {growth} |")
+              f"{n0} -> {n1} | {removed} | {mb(first)} -> {mb(last)} | "
+              f"{med} | {growth} |")

@@ -270,7 +270,8 @@ object EventsStream {
               }
               val states = p.stateOperators.map { s =>
                 s"""{"operator":"${jstr(s.operatorName)}","numRowsTotal":${s.numRowsTotal},""" +
-                  s""""numRowsUpdated":${s.numRowsUpdated},"memoryUsedBytes":${s.memoryUsedBytes},""" +
+                  s""""numRowsUpdated":${s.numRowsUpdated},"numRowsRemoved":${s.numRowsRemoved},""" +
+                  s""""memoryUsedBytes":${s.memoryUsedBytes},""" +
                   s""""commitTimeMs":${s.commitTimeMs}}"""
               }.mkString("[", ",", "]")
               val line = s"""{"query":"${jstr(Option(p.name).getOrElse(p.id.toString))}",""" +
