@@ -105,40 +105,65 @@ echo "[bench_pair] measuring scheduling floor (after)..."
 FLOOR_AFTER=$(stage_floor)
 echo "[bench_pair] floor after: $FLOOR_AFTER"
 
-# Embed both floor measurements in both artifacts and compute the
-# floor-adjusted pair: adjusted_spark = raw - sum(stages_q) x mean
-# per-stage floor. DuckDB's single process stacks no stages, so its side
-# is unadjusted; the adjusted ratio is the code signal, the raw one the
-# box record.
+# Embed both floor measurements in both artifacts (load stamps) and
+# compute the floor-adjusted pair. Two estimators, both emitted:
+#
+#  - EFFECTIVE per-stage floor, self-calibrated from the pair itself:
+#    median(spark_q / stages_q) over rows whose DuckDB time is < 50 ms —
+#    rows with essentially no real work, so their whole Spark wall IS
+#    scheduling. The synthetic no-op chain (StageFloor) overestimates the
+#    in-bench floor (r18: chain said 149-198 ms/stage while the bench's
+#    own floor rows ran 89 ms/stage — subtracting the chain number went
+#    NEGATIVE, sum(stages)xfloor > wall). The chain floors stay in the
+#    artifact as before/after load stamps; the adjustment uses the
+#    empirical floor, per-row clamped at 0:
+#      value_floor_adjusted = sum_q max(spark_q - stages_q x eff, 0)
+#  - WORK-ROW ratio: sum over rows with duck_q >= 0.2 s (floor amortized
+#    on both sides) — no model at all, just restriction to rows where
+#    the engines do comparable real work. SCALE.md tracks this on a
+#    FIXED 40-row set across rounds; here it's this pair's own >=0.2 s set.
 python3 - "$SPARK_OUT" "duck_bench_${TAG}.json" "$FLOOR_BEFORE" "$FLOOR_AFTER" <<'EOF'
-import json, sys
+import json, statistics, sys
 spath, dpath = sys.argv[1], sys.argv[2]
 fb = json.loads(sys.argv[3]) if sys.argv[3].strip() else {}
 fa = json.loads(sys.argv[4]) if sys.argv[4].strip() else {}
 s = json.load(open(spath)); d = json.load(open(dpath))
-floors = [f.get("per_stage_floor_ms") for f in (fb, fa) if f.get("per_stage_floor_ms") is not None]
-mean_floor = sum(floors) / len(floors) if floors else None
 stages = s.get("stages", {})
 total_stages = sum(stages.values())
+sq, dq = s["queries"], d["queries"]
+common = set(sq) & set(dq)
+# effective floor from this pair's own floor-dominated rows
+floor_rows = [sq[q] / stages[q] for q in common
+              if dq[q] < 0.05 and stages.get(q, 0) > 0]
+eff = statistics.median(floor_rows) if len(floor_rows) >= 10 else (
+    fb.get("per_stage_floor_ms", 0) / 1000.0 or None)
 adj = None
-if mean_floor is not None and total_stages > 0:
-    adj = round(s["value"] - total_stages * mean_floor / 1000.0, 3)
+if eff and total_stages > 0:
+    adj = round(sum(max(sq[q] - stages.get(q, 0) * eff, 0.0) for q in sq), 3)
+# work-row ratio (model-free)
+work = [q for q in common if dq[q] >= 0.2]
+sw, dw = sum(sq[q] for q in work), sum(dq[q] for q in work)
 for obj in (s, d):
     obj["stage_floor_before"] = fb or None
     obj["stage_floor_after"] = fa or None
-    obj["stage_floor_mean_ms"] = round(mean_floor, 1) if mean_floor is not None else None
 s["total_stages"] = total_stages
+s["effective_stage_floor_ms"] = round(eff * 1000, 1) if eff else None
+s["floor_rows_n"] = len(floor_rows)
 s["value_floor_adjusted"] = adj
+s["ratio_raw"] = round(s["value"] / d["value"], 3)
 if adj is not None:
-    s["ratio_raw"] = round(s["value"] / d["value"], 3)
     s["ratio_floor_adjusted"] = round(adj / d["value"], 3)
+s["work_rows"] = {"n": len(work), "duck_threshold_s": 0.2,
+                  "spark_s": round(sw, 1), "duck_s": round(dw, 1),
+                  "ratio": round(sw / dw, 3) if dw else None}
 json.dump(s, open(spath, "w")); json.dump(d, open(dpath, "w"))
 print(f"[bench_pair] PAIR: spark={s['value']}s duck={d['value']}s ratio={s['value']/d['value']:.2f}x")
 if adj is not None:
-    print(f"[bench_pair] FLOOR-ADJUSTED: floor={mean_floor:.1f}ms/stage x {total_stages} stages"
+    print(f"[bench_pair] FLOOR-ADJUSTED: eff floor={eff*1000:.1f}ms/stage (n={len(floor_rows)} floor rows,"
+          f" chain said {fb.get('per_stage_floor_ms')}/{fa.get('per_stage_floor_ms')}) x {total_stages} stages"
           f" -> spark_adj={adj}s ratio_adj={adj/d['value']:.2f}x")
-else:
-    print("[bench_pair] WARNING: no floor or no stage counts; adjusted ratio unavailable")
+print(f"[bench_pair] WORK-ROW (duck>=0.2s, n={len(work)}): spark={sw:.1f}s duck={dw:.1f}s"
+      f" ratio={sw/dw:.2f}x")
 EOF
 
 # rotate: every pair/bench artifact in root that is NOT this tag's (nor a
