@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: fuzzy matching is inherently quadratic per block — the
   * design lever is block granularity. Blocking on (last name token, brand)
-  * bounds each block at catalog-constant size; the join is a plain
-  * shuffled equi-join on the block key, pair expansion O(Σ block²), and a
+  * bounds each block at catalog-constant size. The quadratic term is paid
+  * exactly once, on the per-block DISTINCT-name self-join that feeds the
+  * kernel (names, not rows); the row-level join-back never expands
+  * Σ block² candidate rows — it probes the surviving name-pair set first
+  * and re-attaches the other side with a plain O(|rows|) equi-join. A
   * cheap length-difference guard prunes before the O(len²) levenshtein
   * kernel runs (edit distance ≥ length difference, so the guard is exact,
   * not a heuristic). Skewed blocks would salt exactly like any hot join
@@ -57,11 +60,20 @@ object FuzzyJoin {
       .select(col("name_a"), col("name_b")).distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
       .filter(col("dist") >= 0)
-    // single candidate expansion; the inner join against the surviving
-    // name pairs IS the distance filter (AQE broadcasts the small side)
-    a.join(b, Seq("blk_tok", "blk_brand"))
+    // Join-back WITHOUT the block expansion (round 18): the original shape
+    // expanded a x b on the block key first — sum(block_rows^2) rows
+    // (202 M at sf10 for 2 M parts in ~100-row blocks) — and only then
+    // probed the surviving name pairs; the expansion and its two-string
+    // hash probe, not the kernel, were the whole row's cost. Joining the
+    // row side against the surviving pairs FIRST keeps only rows whose
+    // name actually has a near-match (survivors x rows-per-name), and the
+    // second join re-attaches the b side on (block, name_b) — a plain
+    // equi-join shuffling O(|part|) rows, never O(sum block^2). Each
+    // unordered key pair still appears exactly once: (key_a, key_b) with
+    // key_a < key_b picks one orientation of the symmetric pair set.
+    a.join(pairDist, Seq("name_a"))
+      .join(b, Seq("blk_tok", "blk_brand", "name_b"))
       .filter(col("key_a") < col("key_b"))
-      .join(pairDist, Seq("name_a", "name_b"))
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"), col("dist"))
       .orderBy(col("key_a"), col("key_b"))
   }
@@ -108,9 +120,15 @@ object FuzzyJoin {
       col("p_partkey").as("key_a"), col("p_name").as("name_a"))
     val b = p.select(col("blk_tok"), col("blk_brand"),
       col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("blk_tok", "blk_brand"))
+    // Same expansion-free join-back as [[blockedFuzzyPairs]]: probe the
+    // surviving name pairs BEFORE re-attaching the b side, so the plan
+    // shuffles O(|part|) rows instead of expanding sum(block^2) candidate
+    // rows (the expansion — 202 M rows at sf10 — was 100% of this row's
+    // cost; the JW kernel itself runs on 1.3 M distinct pairs and is
+    // sub-second).
+    a.join(pairSim, Seq("name_a"))
+      .join(b, Seq("blk_tok", "blk_brand", "name_b"))
       .filter(col("key_a") < col("key_b"))
-      .join(pairSim, Seq("name_a", "name_b"))
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
         round(col("jw"), 5).as("jw"))
       .orderBy(col("key_a"), col("key_b"))
