@@ -16,12 +16,18 @@ import org.apache.spark.sql.functions._
   * no RNG state, any partitioning produces identical vectors.
   *
   * Usage: scripts/run.sh graft.tools.SemDedupSweep [n=100000] [runs=2]
+  *          [corpus=both|clustered|uniform] [kList=64,128,...]
   * Prints one line per (corpus, k): corpus k dense_s pruned_s ratio.
+  * The corpus/kList args exist so a sweep interrupted mid-grid can be
+  * resumed from the failed cell instead of re-paying the full grid.
   */
 object SemDedupSweep {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 100000
     val runs = if (args.length > 1) args(1).toInt else 2
+    val corpusArg = if (args.length > 2) args(2) else "both"
+    val kList = if (args.length > 3) args(3).split(",").map(_.toInt).toSeq
+                else Seq(64, 128, 256, 1024, 4096, 8192)
     val dims = 64
     val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32)
       .getOrCreate()
@@ -62,8 +68,13 @@ object SemDedupSweep {
 
     println(f"n=$n dims=$dims runs=$runs (min-of-runs wall, s)")
     println("corpus     k      dense   pruned   pruned/dense")
-    for (clustered <- Seq(true, false);
-         k <- Seq(64, 128, 256, 1024, 4096, 8192)) {
+    val corpora = corpusArg match {
+      case "clustered" => Seq(true)
+      case "uniform"   => Seq(false)
+      case _           => Seq(true, false)
+    }
+    for (clustered <- corpora;
+         k <- kList) {
       val vecs = corpus(clustered)
       val d = timeForced(vecs, k, "dense")
       val p = timeForced(vecs, k, "pruned")
