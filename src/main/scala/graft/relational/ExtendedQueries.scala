@@ -95,20 +95,26 @@ object ExtendedQueries {
   val q33 = GraftQuery(
     "q33_percentiles",
     (s, dir) => {
-      // counts feeds BOTH the cumulative window and the totals — without
-      // a materialization the corpus count shuffle runs twice (the q79
-      // share-one-scan rule); the checkpointed table is O(groups ×
-      // distinct values), corpus-size-independent here
+      // count table pinned on the GROUP key right after its aggregate
+      // (the Quantiles.groupQuantiles exchange layout): the cumulative
+      // window, the per-group total (a second frame of the same window),
+      // and the a/b rank-pick aggregate all cluster by event_type, so
+      // the chain runs exchange-free behind one O(groups × distinct
+      // values) shuffle. This also retires the previous localCheckpoint
+      // (counts had two consumers, cum + a separate totals aggregate;
+      // the window-derived total leaves one) and both totals joins.
       val counts = Tables.events(s, dir)
         .groupBy(col("event_type"), col("value").as("v"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("event_type"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = counts.withColumn("cum", sum(col("c")).over(w))
-      val tot = counts.groupBy(col("event_type"))
-        .agg(sum(col("c")).as("n"), min(col("v")).as("vmin"),
-          max(col("v")).as("vmax"))
+      val wAll = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = counts
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wAll))
       val probes = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
       def rank(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
       val abAggs = probes.flatMap { case (tag, p) =>
@@ -116,10 +122,12 @@ object ExtendedQueries {
         Seq(min(when(col("cum") >= lo, col("v"))).as(s"a_$tag"),
           min(when(col("cum") >= lo + 1, col("v"))).as(s"b_$tag"))
       }
-      val ab = cum.join(tot.select(col("event_type"), col("n")), "event_type")
+      val ab = cum
         .groupBy(col("event_type"))
-        .agg(abAggs.head, abAggs.tail: _*)
-      ab.join(tot, "event_type")
+        .agg(abAggs.head, abAggs.tail ++ Seq(
+          max(col("n")).as("n"), min(col("v")).as("vmin"),
+          max(col("v")).as("vmax")): _*)
+      ab
         .select(col("event_type") +: probes.map { case (tag, p) =>
           val f = rank(p) - floor(rank(p)).cast("double")
           (col(s"a_$tag") +

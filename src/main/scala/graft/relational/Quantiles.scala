@@ -26,21 +26,33 @@ object Quantiles {
   val Probes: Seq[(String, String)] =
     Seq("p50" -> "0.50", "p90" -> "0.90", "p99" -> "0.99")
 
-  /** Per (group, probe): the exact discrete quantile of `valueCol`. */
+  /** Per (group, probe): the exact discrete quantile of `valueCol`.
+    *
+    * Exchange layout: the aggregated count table is pinned on the GROUP
+    * key right after its own aggregate — the cumulative window, the
+    * per-group total (a second frame of the SAME window), and the
+    * quantile-pick aggregate all cluster by that key, so the whole chain
+    * runs exchange-free behind one small shuffle of O(groups × distinct
+    * values) count rows (previously: window re-exchange + a separate
+    * totals aggregate + its join, three exchanges of the same table).
+    */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
     val counts = df.groupBy(col(groupCol), col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))
+      .repartition(sp.sessionState.conf.numShufflePartitions, col(groupCol))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = counts
       .withColumn("cum", sum(col("c")).over(w))
-    val totals = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+      .withColumn("n", sum(col("c")).over(wAll))
     val probes = Probes
       .map { case (label, q) => (label, BigDecimal(q)) }
       .toDF("probe", "q")
-    cum.join(totals, Seq(groupCol))
+    cum
       .crossJoin(broadcast(probes)) // constant 3-row probe table
       .filter(col("cum") >= ceil(col("q") * col("n")))
       .groupBy(col(groupCol), col("probe"))
@@ -59,19 +71,25 @@ object Quantiles {
                              valueCol: String, weightCol: String): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
+    // group-key pin + window-derived total: one count-table shuffle feeds
+    // the whole chain (see groupQuantiles)
     val counts = df
       .select(col(groupCol), col(valueCol).as("v"),
         col(weightCol).cast("long").as("wt"))
       .groupBy(col(groupCol), col("v"))
       .agg(sum(col("wt")).as("c"))
+      .repartition(sp.sessionState.conf.numShufflePartitions, col(groupCol))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.withColumn("cum", sum(col("c")).over(w))
-    val totals = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    val wAll = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
     val probes = WeightedProbes
       .map { case (label, q) => (label, BigDecimal(q)) }
       .toDF("probe", "q")
-    cum.join(totals, Seq(groupCol))
+    cum
       .crossJoin(broadcast(probes)) // constant 4-row probe table
       .filter(col("cum") >= ceil(col("q") * col("n")))
       .groupBy(col(groupCol), col("probe"))
@@ -196,15 +214,23 @@ object Quantiles {
     require(slack >= 1, s"slack must be >= 1, got $slack")
     val sp = df.sparkSession
     import sp.implicits._
+    // group-key pin + window-derived total (see groupQuantiles); the rank
+    // bounds are row-level arithmetic on (q, n), so inlining them after
+    // the probe cross-join replaces the totals aggregate + ranks join
+    // with expressions on rows already at hand
     val counts = df.groupBy(col(groupCol), col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))
+      .repartition(sp.sessionState.conf.numShufflePartitions, col(groupCol))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.withColumn("cum", sum(col("c")).over(w))
-    val totals = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    val wAll = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
     val probes = Probes.map { case (label, q) => (label, BigDecimal(q)) }
       .toDF("probe", "q")
-    val ranks = totals.crossJoin(broadcast(probes))
+    val exact = cum.crossJoin(broadcast(probes))
       .withColumn("r", ceil(col("q") * col("n")).cast("long"))
       // bound ranks only feed the pass/fail booleans (the oracle pins them
       // TRUE, never their numeric path), so double arithmetic is fine here
@@ -212,7 +238,6 @@ object Quantiles {
         ceil(lit(slack.toDouble) * col("n") / lit(accuracy.toDouble)).cast("long"))
       .withColumn("rlo", greatest(lit(1L), col("r") - col("d")))
       .withColumn("rhi", least(col("n"), col("r") + col("d")))
-    val exact = cum.join(ranks, Seq(groupCol))
       .groupBy(col(groupCol), col("probe"))
       .agg(
         min(when(col("cum") >= col("r"), col("v"))).as("quantile"),

@@ -107,7 +107,12 @@ object PrefixJoin {
       .join(toks.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")), "doc_a")
       .join(toks.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
-      .withColumn("un", size(array_union(col("ts_a"), col("ts_b"))))
+      // |A ∪ B| = |A| + |B| − |A ∩ B| exactly (both sides are
+      // array_distinct'd above): the arithmetic replaces a second
+      // hash-set build + array materialization per candidate pair —
+      // array_union was the same cost as array_intersect again, for a
+      // number already determined by the sizes at hand
+      .withColumn("un", size(col("ts_a")) + size(col("ts_b")) - col("inter"))
       .filter(col("inter") * den >= col("un") * num)
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / col("un").cast("double")).as("jaccard"))

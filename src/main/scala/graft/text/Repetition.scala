@@ -45,38 +45,58 @@ object Repetition {
     // no early orderBy here (unlike the TextAnalysis staging pattern): the
     // final sort runs above the join anyway, and an inner sort would leak a
     // wasted range-exchange into the exploded top-bigram branch
-    val base = docs
+    //
+    // One narrow repartition of (doc_id, toks) feeds BOTH branches: its
+    // doc_id key satisfies every downstream clustering — the (doc, bg)
+    // aggregate, the per-doc rollup, and the signals join — so the whole
+    // query runs on this single reused exchange plus the declared output
+    // sort. Without it the CPU-dense in-row n-gram work (an interpreted
+    // higher-order `transform` per doc) runs inside the scan stage, which
+    // is ONE task on a single-row-group bench file (measured 2×0.5-0.7 s
+    // single-task stages at sf0.1); the shuffled payload is the token
+    // array — lighter than the exploded (doc_id, bigram) rows the old
+    // plan pushed through its aggregate exchange.
+    val toksDf = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        ngrams(col("toks"), 2).as("bigrams"),
-        ngrams(col("toks"), 3).as("trigrams"))
-    // top-bigram count: the one wide stage — O(tokens) rows of (doc_id,
-    // bigram) scalars, combined map-side by the partial aggregate.
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+    val base = toksDf.select(col("doc_id"), col("toks"),
+      ngrams(col("toks"), 3).as("trigrams"))
+    // bigram stats: the one wide aggregation — O(tokens) rows of (doc_id,
+    // bigram) scalars, combined map-side by the partial aggregate. It
+    // yields the top-bigram count AND the distinct-bigram count (count of
+    // (doc, bg) groups), so the bigram ARRAY is never materialized in-row:
+    // total bigrams is just n_tokens − 1 and the duplicated fraction
+    // derives from the same aggregate — one interpreted transform + one
+    // array_distinct per doc gone for identical output.
     // Explode token POSITIONS and build each bigram with one element_at
-    // lookahead: exploding the bigrams array itself inlines the array
+    // lookahead: exploding a pre-built bigrams array inlines the array
     // definition into Generate/Filter, and every element evaluation then
     // re-runs split(trim(text)) — O(tokens²·len) per doc (measured 12.5 s
     // vs 0.6 s at sf0.1).
-    val topCnt = docs
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val bgStats = toksDf
       .select(col("doc_id"), col("toks"),
         posexplode(col("toks")).as(Seq("pos", "tok")))
       .filter(col("pos") + 1 < size(col("toks")))
       .select(col("doc_id"),
         concat_ws(" ", col("tok"), element_at(col("toks"), col("pos") + 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
+      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"),
+        count(lit(1)).as("n_distinct_bg"))
     def dupFrac(arr: Column): Column =
       when(size(arr) > 0, lit(1.0) - size(array_distinct(arr)) / size(arr))
         .otherwise(lit(0.0))
-    base.join(topCnt, Seq("doc_id"), "left")
+    val nBigrams = size(col("toks")) - 1
+    base.join(bgStats, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),
         dupFrac(col("toks")).as("dup_token_frac"),
-        dupFrac(col("bigrams")).as("dup_bigram_frac"),
+        when(size(col("toks")) >= 2,
+          lit(1.0) - col("n_distinct_bg") / nBigrams)
+          .otherwise(lit(0.0)).as("dup_bigram_frac"),
         dupFrac(col("trigrams")).as("dup_trigram_frac"),
-        when(size(col("bigrams")) > 0,
-          coalesce(col("top_cnt"), lit(0L)) / size(col("bigrams")))
+        when(size(col("toks")) >= 2,
+          coalesce(col("top_cnt"), lit(0L)) / nBigrams)
           .otherwise(lit(0.0)).as("top_bigram_frac"))
       .orderBy(col("doc_id"))
   }

@@ -9,14 +9,20 @@ class RepetitionSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a a a a"),        // 4 tokens, 1 distinct; 3x bigram "a a"; 2x trigram
       (2L, "w x y z"),        // all unique
-      (3L, "solo")            // 1 token: no bigrams/trigrams, guards hold
+      (3L, "solo"),           // 1 token: no bigrams/trigrams, guards hold
+      (4L, "p q"),            // 2 tokens: exactly one bigram, no trigram —
+                              // the n_bigrams = n_tokens − 1 boundary of the
+                              // aggregate-derived bigram stats
+      (5L, "")                // empty text: tokenizes to [""] (1 token)
     ).toDF("doc_id", "text")
     val out = Repetition.repetitionSignals(docs)
       .as[(Long, Int, Double, Double, Double, Double)].collect().toSeq
     assert(out == Seq(
       (1L, 4, 0.75, 1.0 - 1.0 / 3, 0.5, 1.0),
       (2L, 4, 0.0, 0.0, 0.0, 1.0 / 3), // 3 distinct bigrams, each count 1
-      (3L, 1, 0.0, 0.0, 0.0, 0.0)))
+      (3L, 1, 0.0, 0.0, 0.0, 0.0),
+      (4L, 2, 0.0, 0.0, 0.0, 1.0),
+      (5L, 1, 0.0, 0.0, 0.0, 0.0)))
   }
 
   test("token entropy: 0 for degenerate, ln(n) for all-distinct") {
