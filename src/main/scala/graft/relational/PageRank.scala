@@ -51,10 +51,15 @@ object PageRank {
     // upstream still executes once without a separate materialization job.
     val e = edges.localCheckpoint(eager = false)
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    // ew and nodes checkpoint LAZILY: the node-count probe right below is
+    // the first action, so one job materializes the whole upstream chain
+    // (edge build → ew → nodes) instead of three scheduling round-trips
+    // (eager ew job + eager nodes job + count job)
     val ew = e.join(deg, Seq("src"))
       .select(col("src"), col("dst"), (col("w") / col("wsum")).as("frac"))
-      .localCheckpoint()
-    val nodes = ew.select(col("src").as("node")).distinct().localCheckpoint()
+      .localCheckpoint(eager = false)
+    val nodes = ew.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = false)
     val n = nodes.count() // O(1) scalar off the checkpointed node set
     var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     (1 to iters).foreach { _ =>

@@ -23,15 +23,20 @@ object Triangles {
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
     // `und` feeds deg + the orientation join and `oriented` is referenced
-    // three times (two wedge sides + the closing edge): materialize each
-    // once so the upstream graph construction runs once, not 3×.
+    // three times (two wedge sides + the closing edge): persist each once
+    // so the upstream graph construction runs once, not 3×. LAZY
+    // checkpoints (persist + lineage cut, no action): the final job
+    // materializes the whole chain, where three eager checkpoints paid a
+    // scheduling round-trip each before any real work started — within
+    // the job, the first stage to compute a persisted partition caches
+    // it and the other readers reuse it (the bfsHops pattern).
     val und = edges.select(least(col("a"), col("b")).as("a"),
       greatest(col("a"), col("b")).as("b")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
@@ -43,7 +48,7 @@ object Triangles {
       when(lowFirst, col("b")).otherwise(col("a")).as("dst"),
       when(lowFirst, col("da")).otherwise(col("db")).as("ds"),
       when(lowFirst, col("db")).otherwise(col("da")).as("dd"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // wedges at the lowest vertex: two out-edges, second strictly above
     // the first in orientation order — each triangle enumerated once

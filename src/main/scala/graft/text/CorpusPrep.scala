@@ -53,7 +53,16 @@ object CorpusPrep {
     require(maxKeyBits >= 1 && maxKeyBits <= 63,
       s"exclusivePrefix maxKeyBits must be in [1, 63], got $maxKeyBits")
     import org.apache.spark.sql.expressions.Window
-    val levels = (maxKeyBits + bits - 1) / bits
+    // enough levels that EVERY window partition — each level's sibling
+    // groups AND the final top-level global window — is bounded by 2^bits
+    // rows: keys < 2^maxKeyBits collapse to < 2^(maxKeyBits − levels·bits)
+    // top rows, so ceil(maxKeyBits/bits) − 1 levels suffice. The previous
+    // ceil(maxKeyBits/bits) ran one extra level whose top window held a
+    // single row — a full agg-exchange + join + window round per call
+    // (and per query that composes the ladder) bought nothing. Level
+    // count never affects results (exact integer prefix sums at every
+    // granularity), only the boundedness guarantee, which is preserved.
+    val levels = math.max(0, (maxKeyBits + bits - 1) / bits - 1)
     val base = agg.select(col(keyCol).cast("long").as("k"),
       col(nCol).cast("long").as("n"))
     val aggs = Seq.iterate(base, levels + 1) { lvl =>
@@ -289,9 +298,14 @@ object CorpusPrep {
       size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
       .join(shuffleOrder(docs, seed), Seq("doc_id"))
       .withColumn("grp", floor(col("shuffle_pos") / groupSize).cast("long"))
+    // grp = shuffle_pos / groupSize and shuffle_pos is a corpus RANK, so
+    // grp < n_docs/groupSize: 46 bits covers 2^46 ≈ 7·10^13 doc-groups —
+    // far beyond any corpus — and halves the ladder depth vs the 63-bit
+    // default (2 levels instead of 4; each level is an agg exchange +
+    // join + window round)
     val offsets = exclusivePrefix(
       slim.groupBy(col("grp")).agg(sum(col("n_tokens")).as("grp_tokens")),
-      "grp", "grp_tokens", offsetCol = "grp_offset")
+      "grp", "grp_tokens", offsetCol = "grp_offset", maxKeyBits = 46)
     val wIn = Window.partitionBy(col("grp")).orderBy(col("shuffle_pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val docOff = slim.join(offsets, Seq("grp"))
@@ -315,11 +329,24 @@ object CorpusPrep {
         slice(col("toks"),
           (col("frag_start") - col("doc_offset") + 1).cast("int"),
           col("frag_len").cast("int")).as("frag_toks"))
-    frags.groupBy(col("window_id"))
+    // pin the fragment rows on window_id BEFORE the reassembly aggregate:
+    // collect_list partials don't combine (the same fragment rows ship
+    // either way), so the satisfied-distribution plan skips the map-side
+    // partial entirely and the CPU-dense reassembly (collect + sort +
+    // flatten + concat) runs at the shuffle parallelism instead of inside
+    // the scan-side task layout
+    frags
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("window_id"))
+      .groupBy(col("window_id"))
       .agg(sum(col("frag_len")).as("n_tokens"),
-        concat_ws(" ", flatten(transform(
-          array_sort(collect_list(struct(col("frag_start"), col("frag_toks")))),
-          s => s.getField("frag_toks")))).as("text"))
+        // .getField on the sorted struct array is GetArrayStructFields —
+        // native codegen — where the equivalent higher-order transform
+        // lambda is a CodegenFallback evaluated per window (measured
+        // ~15 s summed task time at sf0.1 in this one stage)
+        concat_ws(" ", flatten(
+          array_sort(collect_list(struct(col("frag_start"), col("frag_toks"))))
+            .getField("frag_toks"))).as("text"))
       .orderBy(col("window_id"))
   }
 

@@ -385,10 +385,15 @@ object TextDedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // LAZY local checkpoints throughout the loop: the signature probe
+    // that follows every checkpoint is itself an action, so it
+    // materializes the cached partitions in the same job — eager
+    // checkpointing ran a separate materialization job per round (2 jobs
+    // per iteration instead of 1, pure scheduling floor at bench scale)
     var edges = edgesIn
       .select(col("src").as("u"), col("dst").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var sig = signature(edges)
 
     // Size-adaptive fast path: the deduped edge set of a dedup graph is
@@ -430,7 +435,7 @@ object TextDedup {
         var iter = 0
         var converged = sig._1 == 0
         while (iter < maxIter && !converged) {
-          edges = smallStar(largeStar(edges)).localCheckpoint()
+          edges = smallStar(largeStar(edges)).localCheckpoint(false)
           val next = signature(edges)
           converged = next == sig
           sig = next
