@@ -242,7 +242,10 @@ object Distributions {
         // boundary sampling is a second full evaluation of its child,
         // which would re-run the O(lineitem) groupBy; downstream, totals
         // is a third consumer
-        val perPart = perPartRaw.localCheckpoint()
+        val perPart = perPartRaw.localCheckpoint(false) // lazy: the
+        // range sampler's sketch pass is the first action and evaluates
+        // every child partition, materializing the persisted aggregate
+        // in the same job
         // second checkpoint pins the sampled range boundaries AND the
         // partition ids: the ranged set is consumed twice (offsets +
         // cumulative), and a re-executed exchange could re-sample

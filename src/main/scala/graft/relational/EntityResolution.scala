@@ -65,8 +65,13 @@ object EntityResolution {
     // keys satisfies the aggregate's required distribution at the
     // session's parallelism and is exempt from coalescing.
     val pnum = p.sparkSession.sessionState.conf.numShufflePartitions
+    // partition by the BLOCK key alone (not (block, name)): the distinct
+    // still clusters correctly (block ⊂ (block, name)), and the SAME
+    // exchange now also satisfies the block-count aggregate, its join,
+    // and both sides of the candidate self-join downstream — previously
+    // each of those re-exchanged
     val names = p.select(col("blk_tok"), col("blk_brand"), col("p_name"))
-      .repartition(pnum, col("blk_tok"), col("blk_brand"), col("p_name"))
+      .repartition(pnum, col("blk_tok"), col("blk_brand"))
       .distinct()
     val bn = names.groupBy(col("blk_tok"), col("blk_brand"))
       .agg(count(lit(1)).as("blk_n"))

@@ -52,7 +52,15 @@ object FuzzyJoin {
     // is O(maxDist·len) not O(len²). Computed above a distinct
     // (= aggregate) barrier, so Catalyst cannot push the dist filter back
     // into a join condition and re-evaluate the kernel per conjunct.
-    val names = p.select(col("blk_tok"), col("blk_brand"), col("p_name")).distinct()
+    // pin the distinct-name table on the BLOCK key: one exchange serves
+    // the distinct (clustering on a superset of the partition key), both
+    // sides of the block self-join below (co-partitioned, the second side
+    // reuses the first's exchange), and keeps the kernel stage at the
+    // session parallelism instead of AQE-coalesced single tasks
+    val pnum = part.sparkSession.sessionState.conf.numShufflePartitions
+    val names = p.select(col("blk_tok"), col("blk_brand"), col("p_name"))
+      .repartition(pnum, col("blk_tok"), col("blk_brand"))
+      .distinct()
     val pairDist = names.select(col("blk_tok"), col("blk_brand"), col("p_name").as("name_a"))
       .join(names.select(col("blk_tok"), col("blk_brand"), col("p_name").as("name_b")),
         Seq("blk_tok", "blk_brand"))
@@ -94,7 +102,11 @@ object FuzzyJoin {
       element_at(split(col("p_name"), " "), -1).as("blk_tok"),
       col("p_brand").as("blk_brand"),
       col("p_partkey"), col("p_name"))
-    val names = p.select(col("blk_tok"), col("blk_brand"), col("p_name")).distinct()
+    // block-key pin: see blockedFuzzyPairs
+    val pnum = part.sparkSession.sessionState.conf.numShufflePartitions
+    val names = p.select(col("blk_tok"), col("blk_brand"), col("p_name"))
+      .repartition(pnum, col("blk_tok"), col("blk_brand"))
+      .distinct()
     // EXACT length-ratio prune ahead of the kernel (the q105 length-guard
     // idea, JW-shaped): with prefix scale p=0.1 and prefix cap 4,
     // JW <= 0.6·J + 0.4, and Jaro's match count m <= min(|a|,|b|) gives

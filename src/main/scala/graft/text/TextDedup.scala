@@ -1149,10 +1149,27 @@ object TextDedup {
         posexplode(TextExprs.gramWindowHashes(spark, col("toks"), minTokens))
           .as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
-    val dup = grams.groupBy(col("g"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("g"))
+      // pin the gram rows on the hash key ONCE: the duplicate-gram
+      // aggregate clusters by g (subset of its (g, doc) keys) and BOTH
+      // semi-join sides then read this same exchange (ReusedExchange) —
+      // previously the plan shuffled the O(tokens) gram rows twice (once
+      // by (g, doc) for the distinct count, once by g for the semi-join)
+      // and ran the docs scan + rolling-hash kernel once per side
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("g"))
+    // "shared by >= 2 distinct docs" ⟺ min(doc) != max(doc): exact, and
+    // one aggregation level where count_distinct plans two (dedup then
+    // count), each with its own exchange
+    val dup =
+      if (minDocs == 2)
+        grams.groupBy(col("g"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .filter(col("mn") =!= col("mx"))
+          .select(col("g"))
+      else
+        grams.groupBy(col("g"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= minDocs)
+          .select(col("g"))
     val marked = grams.join(dup, Seq("g"), "left_semi")
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     marked

@@ -265,7 +265,10 @@ object SemDedup {
     val seeds = pool.orderBy(col("skey"), col("vec_id")).limit(k)
       .select(col("skey"), col("vec_id").as("seed_id"),
         col("embedding").as("seed_vec"))
-      .localCheckpoint()
+      // lazy: coarseModel's own collect right below is the first action
+      // and materializes the persisted seeds in the same job (eager paid
+      // a separate materialization job — scheduling floor at bench scale)
+      .localCheckpoint(false)
 
     val m = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val (coarse, radii) = coarseModel(seeds, m)
@@ -292,7 +295,7 @@ object SemDedup {
     val sa = seeds
       .withColumn("nc", VectorExprs.nearestCentroid(col("seed_vec"), coarse))
       .select(col("seed_id"), col("seed_vec"), col("nc.cell").as("ccell"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: cellG's broadcast build materializes it
 
     val S = 256
     val seedBuckets = sa
@@ -338,7 +341,7 @@ object SemDedup {
       .withColumn("cent_sim",
         VectorExprs.cosineSim(col("qv").cast("array<double>"), col("cvec")))
       .select(col("cell"), col("vec_id"), col("embedding"), col("cent_sim"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the first pair-side consumer materializes
 
     // Dominance: within a cell every vector meets every other — O(cluster²)
     // pairs whose cost is CPU (64-dim cosine), not bytes. Two serialization
