@@ -63,8 +63,20 @@ object CorpusPrep {
     // count never affects results (exact integer prefix sums at every
     // granularity), only the boundedness guarantee, which is preserved.
     val levels = math.max(0, (maxKeyBits + bits - 1) / bits - 1)
+    // Self-check the caller's key-domain promise at run time: a key
+    // outside [0, 2^maxKeyBits) would silently void the <= 2^bits
+    // window-partition bound (a memory guarantee, not a correctness one —
+    // the prefix sums stay exact either way), so fail loudly instead.
+    // One codegen comparison per AGGREGATED row (the ladder's input is
+    // already keyed), dropped from the plan only if the keys are provably
+    // in range. assert_true returns NULL when the predicate holds, so the
+    // filter keeps every row.
+    val maxKey = if (maxKeyBits == 63) Long.MaxValue else (1L << maxKeyBits) - 1
     val base = agg.select(col(keyCol).cast("long").as("k"),
       col(nCol).cast("long").as("n"))
+      .filter(assert_true(col("k") >= 0L && col("k") <= maxKey,
+        concat(lit(s"exclusivePrefix: key outside promised [0, 2^$maxKeyBits): "),
+          col("k").cast("string"))).isNull)
     val aggs = Seq.iterate(base, levels + 1) { lvl =>
       // recompute the shift from the level's own key domain: shifting the
       // PARENT key by `bits` each step composes to min(63, i*bits) overall

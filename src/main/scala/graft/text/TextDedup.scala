@@ -1250,19 +1250,36 @@ object TextDedup {
     */
   def removeDupSpans(spark: SparkSession, docs: DataFrame, minTokens: Int,
                      minDocs: Int = 2): DataFrame = {
+    // sort_array: collect_list order is partition-arrival order; the gap
+    // arithmetic below needs spans ascending by span_start
     val spans = substringDupSpans(spark, docs, minTokens, minDocs)
       .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
-    // typed empty array so the no-span branch filters NOTHING (a bare
-    // null would make the exists() lambda null → every token dropped)
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("spans"))
+    // typed empty array so the no-span branch keeps EVERYTHING (a bare
+    // null would null out the gap arithmetic → clean_text null)
     val noSpans = array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    // Spans are disjoint maximal intervals (consecutive spans satisfy
+    // next.span_start > prev.span_end — the finder merges anything at gap
+    // <= minTokens), so the kept tokens are exactly the gap slices between
+    // them: [0, s1.start), [s1.end, s2.start), ..., [sk.end, n_toks).
+    // Per-doc cost is O(tokens + spans): the lambdas below run once per
+    // SPAN (interpreted, but the array is short), and the token-volume
+    // work (slice / flatten / concat_ws) is native — unlike the previous
+    // per-token filter(exists(spans)) scan, an interpreted
+    // O(tokens x spans) loop per document.
     docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .join(spans, Seq("doc_id"), "left")
       .withColumn("spans", coalesce(col("spans"), noSpans))
-      .withColumn("kept", filter(col("toks"), (_, i) =>
-        !exists(col("spans"), sp =>
-          i.cast("long") >= sp.getField("span_start") &&
-            i.cast("long") < sp.getField("span_end"))))
+      .withColumn("gap_starts",
+        concat(array(lit(1L)),
+          transform(col("spans"), sp => sp.getField("span_end") + lit(1L))))
+      .withColumn("gap_ends",
+        concat(transform(col("spans"), sp => sp.getField("span_start")),
+          array(size(col("toks")).cast("long"))))
+      .withColumn("kept",
+        flatten(zip_with(col("gap_starts"), col("gap_ends"), (s, e) =>
+          slice(col("toks"), s.cast("int"), greatest(e - s + lit(1L), lit(0L)).cast("int")))))
       .select(col("doc_id"),
         concat_ws(" ", col("kept")).as("clean_text"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_tokens_removed"))

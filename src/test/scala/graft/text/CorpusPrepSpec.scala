@@ -119,6 +119,23 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("exclusivePrefix: key outside the promised maxKeyBits domain fails loudly") {
+    // the boundedness guarantee (every window partition <= 2^bits rows)
+    // rests on keys < 2^maxKeyBits; a violation must error, not silently
+    // unbound the windows
+    val bad = Seq((1L << 50) -> 3L, 2L -> 1L).toDF("k", "n")
+    val e = intercept[Exception] {
+      CorpusPrep.exclusivePrefix(bad, "k", "n", bits = 16, maxKeyBits = 46)
+        .collect()
+    }
+    assert(e.getMessage.contains("exclusivePrefix"), e.getMessage)
+    // in-range keys at the same setting still produce exact prefix sums
+    val ok = Seq(5L -> 2L, 9L -> 4L, (1L << 45) -> 1L).toDF("k", "n")
+    val got = CorpusPrep.exclusivePrefix(ok, "k", "n", bits = 16, maxKeyBits = 46)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 0L, 9L -> 2L, (1L << 45) -> 6L))
+  }
+
   test("rarity score: integer corpus-frequency sums") {
     // cf: x=3, y=2, z=1
     val docs = Seq((1L, "x x y"), (2L, "x y z")).toDF("doc_id", "text")
