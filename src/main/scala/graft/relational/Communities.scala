@@ -39,15 +39,26 @@ object Communities {
     // the whole run is ONE job — the eager per-round checkpoints paid a
     // scheduling round-trip per round (the r16 scheduling-floor finding).
     val e = edges.localCheckpoint(eager = false)
+    // Exchange layout per round (the r18 quantile-family pin, LPA-shaped):
+    // one REPARTITION_BY_NUM on dst satisfies BOTH aggregates — the
+    // (dst, label) weight sum (dst ⊂ (dst, label) clusters it) and the
+    // per-node argmax (HashAggregate is alias-aware, so hash(dst) flows
+    // through as hash(node)) — where the default plan ran two exchanges,
+    // hash(dst, label) then hash(node), per round. The pin trades the
+    // weight sum's map-side partial for the saved exchange: the join
+    // output is partitioned by src, so a dst's edges are scattered across
+    // map partitions and the partial combines little (only same-partition
+    // parallel edges); the argmax exchange it retires carried the full
+    // per-(node, label) table either way.
+    val pnum = edges.sparkSession.sessionState.conf.numShufflePartitions
     // Round 1 fused into graph construction: with labels0 = identity the
     // first edges⋈labels join is a no-op (label ≡ src), so round 1
     // collapses to a per-(dst, src) weight sum (parallel edges combine,
     // matching the join form on multigraphs) + an argmax aggregate —
     // min(struct(-s, label)) = (max weight, then smallest neighbor), the
-    // same (s DESC, label ASC) order the windowed rounds use. Two
-    // map-side-combinable exchanges instead of the generic round's
-    // join + aggregate + window three.
+    // same (s DESC, label ASC) order the windowed rounds use.
     var labels = e
+      .repartition(pnum, col("dst"))
       .groupBy(col("dst").as("node"), col("src").as("label"))
       .agg(sum(col("w")).as("s"))
       .groupBy(col("node"))
@@ -62,6 +73,7 @@ object Communities {
     (2 to iters).foreach { _ =>
       labels = e
         .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .repartition(pnum, col("dst"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(sum(col("w")).as("s"))
         .groupBy(col("node"))
